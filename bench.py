@@ -1,0 +1,60 @@
+"""Benchmark harness (driver contract, TESTDATA.md).
+
+Runs the full registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time = plan build + execution + collect of the (small) result.
+A JVM/session warmup action runs first so query timings measure the
+engine, not interpreter startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from serverless_etl_reporting_pipeline_spark.plans import REGISTRY  # noqa: E402
+from serverless_etl_reporting_pipeline_spark.session import get_spark  # noqa: E402
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark(driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+
+    # warmup: touch the big fact table once (JVM JIT, FS metadata)
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.time()
+        q.builder(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

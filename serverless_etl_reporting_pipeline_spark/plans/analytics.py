@@ -1,0 +1,395 @@
+"""Athena analytics corpus (reference `pipeline/athena_queries.sql`)
+re-expressed over the fixture star schema.
+
+Role mapping (FIXTURES.md §2): `orders`+`lineitem` ≙ the transactions
+fact; `customer`/`nation`/`region` ≙ dims; `o_orderdate` ≙ `at`;
+`events` carries the time-of-day axis (order dates are date-only).
+
+All money aggregates use exact integer-cents arithmetic (see
+`functions/money.py`) so results are order-independent and hash-stable
+vs the DuckDB oracle. Aggregations are low-cardinality group-bys: at
+100 TB they execute as partial (map-side) + final HashAggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.functions.money import cents, duck_avg, duck_sum, money_avg, money_sum
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+
+def _rev():
+    """Line-level revenue, the corpus' `total`."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_DUCK_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "a01_totals",
+    oracle=f"""
+    SELECT {duck_sum(_DUCK_REV)} AS total_revenue,
+           count(*) AS total_transactions,
+           {duck_avg('l_extendedprice')} AS avg_price
+    FROM lineitem
+    """,
+    doc="A1 ungrouped multi-agg — athena_queries.sql:18-23",
+)
+def a01_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        money_sum(_rev()).alias("total_revenue"),
+        F.count("*").alias("total_transactions"),
+        money_avg("l_extendedprice").alias("avg_price"),
+    )
+
+
+def _fact_with_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation, dims broadcast.
+
+    The reference denormalizes this at extract time (extract.py:86-101);
+    Spark-first we keep the fact normalized and broadcast the small dims
+    so the big side never shuffles (J1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+
+
+@query(
+    "a02_revenue_by_nation",
+    oracle=f"""
+    SELECT nation,
+           total_transactions,
+           rev_cents / 100.0 AS total_revenue,
+           avg_transaction_value,
+           round(rev_cents * 10000.0 / sum(rev_cents) OVER ()) / 100.0 AS revenue_percentage
+    FROM (
+        SELECT n_name AS nation,
+               count(*) AS total_transactions,
+               CAST(sum(CAST(round(({_DUCK_REV}) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+               {duck_avg(_DUCK_REV)} AS avg_transaction_value
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    """,
+    doc="A2 + A10 share-of-total — athena_queries.sql:25-34 (scalar subquery → window)",
+)
+def a02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _fact_with_nation(spark, sf_dir).select(F.col("n_name").alias("nation"), _rev().alias("rev"))
+    grouped = fact.groupBy("nation").agg(
+        F.count("*").alias("total_transactions"),
+        F.sum(cents(F.col("rev"))).alias("rev_cents"),
+        money_avg("rev").alias("avg_transaction_value"),
+    )
+    # share-of-total as a window over the 25-row aggregate (cheap even at
+    # 100 TB: the window runs on the grouped result, not the fact)
+    w = Window.partitionBy()
+    return grouped.select(
+        "nation",
+        "total_transactions",
+        (F.col("rev_cents") / 100.0).alias("total_revenue"),
+        "avg_transaction_value",
+        (F.round(F.col("rev_cents") * 10000.0 / F.sum("rev_cents").over(w)) / 100.0).alias("revenue_percentage"),
+    )
+
+
+@query(
+    "a03_revenue_by_status",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           count(*) AS transactions,
+           {duck_sum('o_totalprice')} AS revenue,
+           {duck_avg('o_totalprice')} AS avg_value
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="A3 group-by payment method analog — athena_queries.sql:36-44",
+)
+def a03_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("transactions"),
+        money_sum("o_totalprice").alias("revenue"),
+        money_avg("o_totalprice").alias("avg_value"),
+    )
+
+
+@query(
+    "a04_daily_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           CAST(day(o_orderdate) AS INT) AS day,
+           count(*) AS transactions,
+           {duck_sum('o_totalprice')} AS daily_revenue,
+           {duck_avg('o_totalprice')} AS avg_transaction
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="A4 composite time key — athena_queries.sql:49-59; partition cols via P9",
+)
+def a04_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.dayofmonth("o_orderdate").alias("day"),
+        ).agg(
+            F.count("*").alias("transactions"),
+            money_sum("o_totalprice").alias("daily_revenue"),
+            money_avg("o_totalprice").alias("avg_transaction"),
+        )
+    )
+
+
+@query(
+    "a05_hourly_events",
+    oracle=f"""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS transactions,
+           {duck_sum('value')} AS revenue
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A5 group-by derived expr HOUR(at) — athena_queries.sql:61-68 (events carry time-of-day)",
+)
+def a05_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        F.count("*").alias("transactions"),
+        money_sum("value").alias("revenue"),
+    )
+
+
+@query(
+    "a06_day_of_week",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%A') AS day_of_week,
+           count(*) AS transactions,
+           {duck_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="A5 DATE_FORMAT('%W') weekday — athena_queries.sql:70-77; F3",
+)
+def a06_day_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.date_format("o_orderdate", "EEEE").alias("day_of_week")).agg(
+        F.count("*").alias("transactions"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
+    "a07_daily_nation_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           CAST(day(o_orderdate) AS INT) AS day,
+           n_name AS nation,
+           count(*) AS transactions,
+           {duck_sum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="A6 two-dim group — athena_queries.sql:82-92 best-truck-by-day analog",
+)
+def a07_daily_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.dayofmonth("o_orderdate").alias("day"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count("*").alias("transactions"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "a08_distinct_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           count(DISTINCT c_nationkey) AS num_nations,
+           count(*) AS customers,
+           {duck_sum('c_acctbal')} AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="A7 COUNT(DISTINCT) within groups — athena_queries.sql:94-101",
+)
+def a08_distinct_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("c_nationkey").alias("num_nations"),
+        F.count("*").alias("customers"),
+        money_sum("c_acctbal").alias("total_balance"),
+    )
+
+
+@query(
+    "a09_priority_impact",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           count(DISTINCT o_custkey) AS num_customers,
+           count(*) AS transactions,
+           {duck_avg('o_totalprice')} AS avg_transaction,
+           {duck_sum('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="A7 fsa-rating impact analog — athena_queries.sql:103-112",
+)
+def a09_priority_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("num_customers"),
+        F.count("*").alias("transactions"),
+        money_avg("o_totalprice").alias("avg_transaction"),
+        money_sum("o_totalprice").alias("total_revenue"),
+    )
+
+
+@query(
+    "a10_avg_daily_revenue",
+    oracle="""
+    SELECT round(avg(d_cents)) / 100.0 AS avg_daily_revenue
+    FROM (
+        SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS d_cents
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+    )
+    """,
+    doc="A9 two-level agg (agg of agg) — dashboard.py:126-127",
+)
+def a10_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("d_date"))
+        .agg(F.sum(cents("o_totalprice")).alias("d_cents"))
+        .agg((F.round(F.avg("d_cents")) / 100.0).alias("avg_daily_revenue"))
+    )
+
+
+@query(
+    "a11_conditional_share",
+    oracle="""
+    SELECT round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 10000.0 / count(*)) / 100.0 AS purchase_pct,
+           CAST(sum(CASE WHEN contains(lower(event_type), 'purchase')
+                         THEN CAST(round(value * 2.0) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS purchase_fees,
+           count(*) AS total_events
+    FROM events
+    """,
+    doc="A10 conditional share + A13/P11 card-fee pattern — dashboard.py:130-132, generate_report.py:120-131",
+)
+def a11_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # fee = 2% of value ⇒ fee-cents = round(value * 2.0), exact integers
+    fee_cents = F.when(
+        F.lower("event_type").contains("purchase"), F.round(F.col("value") * 2.0).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return events.agg(
+        (F.round(F.sum(is_purchase) * 10000.0 / F.count(F.lit(1))) / 100.0).alias("purchase_pct"),
+        (F.sum(fee_cents) / 100.0).alias("purchase_fees"),
+        F.count("*").alias("total_events"),
+    )
+
+
+@query(
+    "a12_watermark_bounds",
+    oracle="""
+    SELECT min(o_orderdate) AS first_at,
+           max(o_orderdate) AS last_at,
+           count(*) AS total_rows
+    FROM orders
+    """,
+    doc="A12 min/max watermark agg — extract.py:142, transform.py:62",
+)
+def a12_watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderdate").alias("first_at"),
+        F.max("o_orderdate").alias("last_at"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+@query(
+    "a13_rollup_year_month",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           count(*) AS transactions,
+           {duck_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+    doc="rollup — free-in-Spark upgrade noted at SURVEY.md §2.4 (subtotals + grand total in one pass)",
+)
+def a13_rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            "o_totalprice",
+        )
+        .rollup("year", "month")
+        .agg(
+            F.count("*").alias("transactions"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "a14_pivot_status",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) / 100.0 AS status_f,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) / 100.0 AS status_o,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) / 100.0 AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="pivot (dashboard cross-tab analog) — SURVEY.md §2.4 note",
+)
+def a14_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(cents("o_totalprice")) / 100.0)
+    )
+    return pivoted.select(
+        "priority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )

@@ -1,0 +1,210 @@
+"""Window-function corpus (SURVEY.md §2.8).
+
+The reference has no window functions; these are the principled upgrades
+of its hand patterns: share-of-total (athena_queries.sql:31), per-group
+argmax (athena_queries.sql:139-146), moving average / lag-delta /
+running total over the daily-revenue trend (dashboard.py:143-152), and
+gap-based sessionization of the events stream.
+
+Scale notes: every window here partitions by a real key (event_type,
+user_id) or runs over an already-aggregated tiny frame — no whole-table
+single-partition windows over raw data. Money values ride through the
+windows as exact integer cents (functions/money.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.functions.money import cents, money_sum
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+_DUCK_DAILY_CENTS = """
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS d_cents
+        FROM orders
+        GROUP BY 1
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(cents("o_totalprice")).alias("d_cents")
+    )
+
+
+@query(
+    "w01_top1_hour_per_type",
+    oracle="""
+    SELECT event_type, peak_hour, transactions
+    FROM (
+        SELECT event_type,
+               CAST(hour(ts) AS INT) AS peak_hour,
+               count(*) AS transactions,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY count(*) DESC, CAST(hour(ts) AS INT)
+               ) AS rn
+        FROM events
+        GROUP BY event_type, hour(ts)
+    )
+    WHERE rn = 1
+    """,
+    doc="per-group argmax via row_number — upgrade of athena_queries.sql:139-146 / generate_report.py:98-101",
+)
+def w01_top1_hour_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy("event_type", F.hour("ts").alias("peak_hour")).agg(
+        F.count("*").alias("transactions")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("transactions"), F.asc("peak_hour"))
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "peak_hour", "transactions")
+    )
+
+
+@query(
+    "w02_share_of_total",
+    oracle="""
+    SELECT status,
+           rev_cents / 100.0 AS revenue,
+           round(rev_cents * 10000.0 / sum(rev_cents) OVER ()) / 100.0 AS pct_of_total
+    FROM (
+        SELECT o_orderstatus AS status,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    """,
+    doc="share-of-total window — upgrade of athena_queries.sql:31 scalar subquery",
+)
+def w02_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    grouped = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "status",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        (F.round(F.col("rev_cents") * 10000.0 / F.sum("rev_cents").over(w)) / 100.0).alias("pct_of_total"),
+    )
+
+
+@query(
+    "w03_moving_avg_daily",
+    oracle=f"""
+    SELECT order_date,
+           d_cents / 100.0 AS revenue,
+           round(avg(d_cents) OVER (
+               ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           )) / 100.0 AS ma7
+    FROM ({_DUCK_DAILY_CENTS})
+    """,
+    doc="7-row moving average over daily trend — planned extension of dashboard.py:143-152",
+)
+def w03_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        (F.col("d_cents") / 100.0).alias("revenue"),
+        (F.round(F.avg("d_cents").over(w)) / 100.0).alias("ma7"),
+    )
+
+
+@query(
+    "w04_lag_delta_daily",
+    oracle=f"""
+    SELECT order_date,
+           d_cents / 100.0 AS revenue,
+           (d_cents - lag(d_cents) OVER (ORDER BY order_date)) / 100.0 AS delta_vs_prev
+    FROM ({_DUCK_DAILY_CENTS})
+    """,
+    doc="lag/delta day-over-day — window upgrade (SURVEY.md §2.8)",
+)
+def w04_lag_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        (F.col("d_cents") / 100.0).alias("revenue"),
+        ((F.col("d_cents") - F.lag("d_cents").over(w)) / 100.0).alias("delta_vs_prev"),
+    )
+
+
+@query(
+    "w05_running_total_by_month",
+    oracle="""
+    SELECT ym,
+           m_cents / 100.0 AS revenue,
+           sum(m_cents) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_revenue
+    FROM (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        FROM orders
+        GROUP BY 1
+    )
+    """,
+    doc="running total (cumulative frame) — SURVEY.md §2.8 frame-spec note",
+)
+def w05_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.sum(cents("o_totalprice")).alias("m_cents")
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "ym",
+        (F.col("m_cents") / 100.0).alias("revenue"),
+        (F.sum("m_cents").over(w) / 100.0).alias("running_revenue"),
+    )
+
+
+@query(
+    "w06_sessionization",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT session_id) AS sessions,
+           count(*) AS events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM (
+        SELECT user_id, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id
+    """,
+    doc="gap-based sessionization (lag + cumsum) — batch form of session_window (SURVEY.md §2.9)",
+)
+def w06_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap in exact microseconds — second-truncating casts would disagree
+    # with the oracle on sub-second boundaries (ntz→timestamp is identity
+    # under the pinned UTC session timezone)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(wo)
+    with_new = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    with_session = with_new.withColumn(
+        "session_id", F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("sessions"),
+        F.count("*").alias("events"),
+        money_sum("value").alias("total_value"),
+    )

@@ -1,0 +1,61 @@
+"""Data-lake writers: Hive-partitioned Parquet append + single-file dims.
+
+Re-expresses the reference's sink layer (SURVEY.md §2.1 S4/S5):
+
+- ``write_partitioned`` ≙ awswrangler partitioned append
+  (`pipeline/ETL/load.py:34-58`): derive year/month/day from the event
+  timestamp and ``partitionBy`` so downstream date filters get partition
+  pruning for free.
+- ``write_dim`` ≙ single-parquet dim write
+  (`pipeline/ETL/partition_transactions.py:21-31`): dims are tiny, one
+  file keeps them broadcast-friendly.
+
+At scale: partition columns are low-cardinality (date parts), never
+high-cardinality keys; files-per-partition is controlled by the upstream
+shuffle, with AQE coalescing small outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COLS = ("year", "month", "day")
+
+
+def with_date_parts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Derive y/m/d partition columns from a timestamp column.
+
+    Reference: `pipeline/ETL/load.py:45-47`.
+    """
+    return (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+    )
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str = "at", mode: str = "append") -> None:
+    """Append a fact table to the lake, Hive-partitioned by year/month/day.
+
+    Reference: `pipeline/ETL/load.py:34-58` (awswrangler `partition_cols`).
+    """
+    with_date_parts(df, ts_col).write.partitionBy(*PARTITION_COLS).mode(mode).parquet(path)
+
+
+def write_dim(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a small dimension table as a single parquet file.
+
+    Reference: `pipeline/ETL/partition_transactions.py:21-31`.
+    """
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Full lake scan; partition columns recovered automatically.
+
+    Reference: `pipeline/dashboard.py:41-44`. Date filters applied on the
+    result use automatic partition pruning — the reference's manual
+    prefix-listing (`report-lambda/generate_report.py:24-67`) disappears.
+    """
+    return spark.read.parquet(path)

@@ -1,0 +1,83 @@
+"""Parquet table readers for the fixture star schema.
+
+Reads go straight through ``spark.read.parquet`` so Catalyst keeps
+predicate pushdown / column pruning (`PushedFilters` / `ReadSchema` in the
+physical plan). One ingest-normalization exists: ``events.parquet`` is
+written with nanosecond timestamps, which Spark's Parquet reader rejects
+(`PARQUET_TYPE_ILLEGAL`); we rewrite it once per scale factor to
+microsecond precision via pyarrow into a local cache dir. DuckDB (the
+oracle) also truncates ns→µs, so values stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_cache")
+
+
+def _normalized_events_path(sf_dir: str) -> str:
+    """Rewrite events.parquet ns→µs timestamps once; return cached path."""
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dst = os.path.join(_CACHE_ROOT, f"{tag}-events-us.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import pyarrow.compute as pc
+
+        table = pq.read_table(src)
+        cols = []
+        for f in table.schema:
+            col = table.column(f.name)
+            if pa.types.is_timestamp(f.type):
+                # truncate ns→µs exactly like DuckDB does on read, so the
+                # oracle sees identical values
+                opts = pc.CastOptions(target_type=pa.timestamp("us"), allow_time_truncate=True)
+                col = pc.cast(col, options=opts)
+            cols.append(col)
+        table = pa.table(dict(zip(table.schema.names, cols)))
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        tmp = dst + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    if name == "events":
+        return _normalized_events_path(sf_dir)
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load tables and register them as temp views (for spark.sql use)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,160 @@
+"""Local mirror of the driver's differential-oracle check.
+
+Runs every registry query on Spark and its oracle SQL on DuckDB against
+the same parquet tables, then compares row count, column names/types and
+values (order-insensitive). Floats compare with tight tolerance and the
+max deviation is reported — the driver hashes values, so any non-trivial
+float deviation here predicts a hash mismatch there.
+
+Usage:
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
+from serverless_etl_reporting_pipeline_spark.session import get_spark
+from serverless_etl_reporting_pipeline_spark.sources.reader import TABLES
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, date):
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    try:  # Decimal → float
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _sort_key(row):
+    out = []
+    for v in row:
+        if v is None:
+            out.append((0, ""))
+        elif isinstance(v, float):
+            out.append((1, f"{v:.6f}"))
+        elif isinstance(v, (tuple, list)):
+            out.append((2, str(v)))
+        else:
+            out.append((1, str(v)))
+    return out
+
+
+def compare(spark_rows, duck_rows, spark_cols, duck_cols):
+    """Returns (ok, message, max_float_dev)."""
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}", None
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}", None
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted((tuple(_norm_cell(r[i]) for i in order) for r in spark_rows), key=_sort_key)
+    d = sorted((tuple(_norm_cell(r[i]) for i in dorder) for r in duck_rows), key=_sort_key)
+    max_dev = 0.0
+    for ri, (sr, dr) in enumerate(zip(s, d)):
+        for ci, (a, b) in enumerate(zip(sr, dr)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                dev = abs(a - b)
+                rel = dev / max(1.0, abs(a), abs(b))
+                max_dev = max(max_dev, rel)
+                if rel > 1e-9:
+                    return False, f"float mismatch row {ri} col {sorted(spark_cols)[ci]}: {a!r} vs {b!r}", max_dev
+            elif isinstance(a, tuple) and isinstance(b, tuple):
+                if len(a) != len(b):
+                    return False, f"array len mismatch row {ri}: {len(a)} vs {len(b)}", max_dev
+                for x, y in zip(a, b):
+                    if isinstance(x, float) and isinstance(y, float):
+                        if abs(x - y) / max(1.0, abs(x), abs(y)) > 1e-6:
+                            return False, f"array value mismatch row {ri}: {x!r} vs {y!r}", max_dev
+                    elif x != y:
+                        return False, f"array value mismatch row {ri}: {x!r} vs {y!r}", max_dev
+            elif a != b:
+                return False, f"value mismatch row {ri} col {sorted(spark_cols)[ci]}: {a!r} vs {b!r}", max_dev
+    return True, f"{len(s)} rows", max_dev
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    selected = {n: REGISTRY[n] for n in names} if names else REGISTRY
+
+    spark = get_spark()
+    con = duck_connect(sf_dir)
+    n_pass = n_fail = n_nooracle = 0
+    exact_warn = []
+    for name, q in sorted(selected.items()):
+        t0 = time.time()
+        try:
+            sdf = q.builder(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"---- {name}: no oracle, {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            n_nooracle += 1
+            continue
+        try:
+            rel = con.execute(q.oracle)
+            duck_cols = [d[0] for d in rel.description]
+            duck_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok, msg, max_dev = compare(spark_rows, duck_rows, spark_cols, duck_cols)
+        status = "ok  " if ok else "FAIL"
+        devnote = f" maxreldev={max_dev:.1e}" if max_dev else ""
+        print(f"{status} {name}: {msg}{devnote} ({time.time()-t0:.1f}s)")
+        if ok and max_dev and max_dev > 1e-12:
+            exact_warn.append((name, max_dev))
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_nooracle} rows-only")
+    if exact_warn:
+        print("float deviations (tolerated here, may flip driver hash):")
+        for name, dev in exact_warn:
+            print(f"  {name}: {dev:.2e}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
