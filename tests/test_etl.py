@@ -1,0 +1,162 @@
+"""ETL subsystem tests (SURVEY.md §5.2-§5.4): clean/cast/dedup unit
+tests on literal rows with injected edge cases, end-to-end partitioned
+write, and the incremental-extract property (split runs ≡ single run,
+watermark monotonic)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from serverless_etl_reporting_pipeline_spark.etl import (
+    RAW_TRANSACTIONS_SCHEMA,
+    FileWatermarkStore,
+    clean_transactions,
+    duplicate_report,
+    extract_dims,
+    incremental_extract,
+    run_pipeline,
+)
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(rows, schema=RAW_TRANSACTIONS_SCHEMA)
+
+
+def _row(i, at="2024-03-01 10:00:00", total=1250, truck=1, pm=1, name="Truck A", card=1, fsa=5, method="card"):
+    return (i, at, total, truck, pm, name, f"{name} desc", card, fsa, method)
+
+
+@pytest.fixture()
+def raw_df(spark):
+    rows = [
+        _row(1),
+        _row(2, at="2024-03-01 11:00:00", total=900, method="cash", pm=2),
+        _row(3, total=None),  # NULL total → dropped (transform.py:15)
+        _row(4, total=0),  # zero total → dropped (transform.py:16)
+        _row(5, at="2024-03-01 10:00:00", total=1250),  # exact dup of 1 → dropped, keep id 1
+        _row(6, at="2024-03-02 09:30:00", total=700, truck=2, name="Truck B", card=0, fsa=3),
+        (7, "2024-03-02 09:31:00", 500, None, 1, "Truck C", "d", 1, 2, "card"),  # NULL critical col
+        _row(8, at="2024-04-05 20:00:00", total=3000, truck=2, name="Truck B", card=0, fsa=3),
+    ]
+    return _raw(spark, rows)
+
+
+def test_clean_semantics(raw_df):
+    out = clean_transactions(raw_df)
+    rows = {r["transaction_id"]: r for r in out.collect()}
+    # survivors: 1 (dup winner), 2, 6, 8
+    assert set(rows) == {1, 2, 6, 8}
+    assert rows[1]["total"] == 12.50  # pence → pounds
+    assert rows[6]["has_card_reader"] is False and rows[1]["has_card_reader"] is True
+    assert str(out.schema["at"].dataType) == "TimestampType()"
+
+
+def test_duplicate_report(raw_df):
+    dupes = duplicate_report(clean_rawish(raw_df)).collect()
+    assert len(dupes) == 1
+    assert dupes[0]["copies"] == 2
+    assert dupes[0]["kept_transaction_id"] == 1
+
+
+def clean_rawish(raw_df):
+    # duplicate_report runs on the casted frame (same key types as clean)
+    from pyspark.sql import functions as F
+
+    return raw_df.withColumn("at", F.col("at").cast("timestamp")).filter(F.col("total").isNotNull())
+
+
+def test_extract_dims(raw_df):
+    trucks, payments = extract_dims(clean_transactions(raw_df))
+    t = {r["truck_id"]: r["truck_name"] for r in trucks.collect()}
+    assert t == {1: "Truck A", 2: "Truck B"}
+    p = {r["payment_method_id"]: r["payment_method"] for r in payments.collect()}
+    assert p == {1: "card", 2: "cash"}
+
+
+def test_pipeline_e2e_partition_layout(spark, raw_df, tmp_path):
+    lake = str(tmp_path / "lake")
+    state = str(tmp_path / "state" / "last_run.txt")
+    result = run_pipeline(raw_df, lake, state, write_dims=True)
+    assert result.rows_written == 4
+    assert result.watermark is not None
+    # Hive layout year=/month=/day= derived from `at` (load.py:45-56)
+    assert os.path.isdir(os.path.join(lake, "year=2024", "month=3", "day=1"))
+    assert os.path.isdir(os.path.join(lake, "year=2024", "month=4", "day=5"))
+    back = spark.read.parquet(lake)
+    assert back.count() == 4
+    assert {"year", "month", "day"} <= set(back.columns)
+    # partition pruning readable: day filter returns only that day
+    assert back.filter("year=2024 AND month=3 AND day=1").count() == 2
+    # dims written
+    assert spark.read.parquet(lake + "_dim_trucks").count() == 2
+
+
+def test_pipeline_incremental_idempotent(spark, raw_df, tmp_path):
+    lake = str(tmp_path / "lake")
+    state = str(tmp_path / "last_run.txt")
+    first = run_pipeline(raw_df, lake, state)
+    assert first.rows_written == 4
+    # same input again → nothing new (watermark excludes everything)
+    second = run_pipeline(raw_df, lake, state)
+    assert second.rows_written == 0
+    assert second.watermark == first.watermark
+    assert spark.read.parquet(lake).count() == 4
+
+
+def test_pipeline_split_equals_single_run(spark, raw_df, tmp_path):
+    """Property from SURVEY.md §5.4: run(all) ≡ run(first half) + run(all)."""
+    from pyspark.sql import functions as F
+
+    lake_a = str(tmp_path / "lake_a")
+    lake_b = str(tmp_path / "lake_b")
+    run_pipeline(raw_df, lake_a, str(tmp_path / "wm_a.txt"))
+
+    early = raw_df.filter(F.col("at") < "2024-03-02 00:00:00")
+    r1 = run_pipeline(early, lake_b, str(tmp_path / "wm_b.txt"))
+    r2 = run_pipeline(raw_df, lake_b, str(tmp_path / "wm_b.txt"))
+    assert r1.rows_written + r2.rows_written == 4
+
+    a = sorted(map(str, spark.read.parquet(lake_a).collect()))
+    b = sorted(map(str, spark.read.parquet(lake_b).collect()))
+    assert a == b
+
+
+def test_watermark_boundary_not_skipped(spark, tmp_path):
+    """Rows sharing the watermark second must not be lost (fixes the
+    reference's +1s bump, extract.py:50-53)."""
+    state = str(tmp_path / "wm.txt")
+    lake = str(tmp_path / "lake")
+    batch1 = _raw(spark, [_row(1, at="2024-03-01 10:00:00")])
+    run_pipeline(batch1, lake, state)
+    # second batch: new row in the SAME second (later is impossible to
+    # distinguish at 1s granularity — reference would drop it)
+    batch2 = _raw(
+        spark,
+        [_row(1, at="2024-03-01 10:00:00"), _row(2, at="2024-03-01 10:00:00.500000", total=800)],
+    )
+    r = run_pipeline(batch2, lake, state)
+    assert r.rows_written == 1
+    assert spark.read.parquet(lake).count() == 2
+
+
+def test_watermark_store_roundtrip(tmp_path):
+    from datetime import datetime
+
+    store = FileWatermarkStore(str(tmp_path / "wm.txt"))
+    assert store.read() is None
+    ts = datetime(2024, 3, 1, 10, 0, 0, 123456)
+    store.write(ts)
+    assert store.read() == ts
+
+
+def test_incremental_extract_empty_batch(spark, tmp_path):
+    from datetime import datetime
+
+    store = FileWatermarkStore(str(tmp_path / "wm.txt"))
+    store.write(datetime(2030, 1, 1))
+    df = clean_transactions(_raw(spark, [_row(1)]))
+    inc, commit = incremental_extract(df, "at", store)
+    assert inc.isEmpty()
+    assert commit() == datetime(2030, 1, 1)  # unchanged on empty batch
