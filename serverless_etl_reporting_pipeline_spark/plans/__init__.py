@@ -12,5 +12,6 @@ from serverless_etl_reporting_pipeline_spark.plans import windows  # noqa: F401,
 from serverless_etl_reporting_pipeline_spark.plans import text  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import vectors  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import streams  # noqa: F401, E402
+from serverless_etl_reporting_pipeline_spark.plans import multimodal  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "Query", "query"]

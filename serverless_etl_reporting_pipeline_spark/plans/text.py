@@ -1,6 +1,308 @@
-"""Text-analysis / dedup corpus over the `documents` table (SURVEY.md §2.11).
+"""Text-analysis / dedup corpus over the `documents` table
+(SURVEY.md §2.11 north-star operators).
 
-Filled in by the text-operators milestone.
+Engine-portability discipline: tokenization is `regexp_extract_all`
+(same regex dialect for \\w), hashing is md5 (identical hex in Spark and
+DuckDB), every ratio is a ratio of exact integers (identical doubles in
+both engines), rounding only at integer scale.
+
+Scale notes are per-query; the LSH variants of the expensive joins live
+in operators/minhash.py.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.text import (
+    exact_dedup,
+    fingerprint_md5,
+    normalize_text,
+    shingles,
+    simhash_bits,
+    tokens,
+)
+from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_neardup_pairs
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+
+@query(
+    "t01_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+    doc="exact dedup on content, keep lowest id — north star; generalizes D2 (transform.py:30-37)",
+)
+def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "t02_normalized_dedup_groups",
+    oracle=r"""
+    SELECT norm_fp, count(*) AS copies, min(doc_id) AS kept_doc_id
+    FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+        FROM documents
+    )
+    GROUP BY norm_fp
+    """,
+    doc="near-exact dedup via normalized-content fingerprint (md5) — north star",
+)
+def t02_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_md5("text").alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(F.count("*").alias("copies"), F.min("doc_id").alias("kept_doc_id"))
+    )
+
+
+@query(
+    "t03_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\w+')) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           round(length(text) * 100.0 / greatest(len(regexp_extract_all(lower(text), '\w+')), 1)) / 100.0 AS chars_per_token
+    FROM documents
+    """,
+    doc="token counting (whitespace/word regex + chars/4 BPE-ish estimate) — north star text analysis",
+)
+def t03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    n_chars = F.length("text").cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        F.ceil(n_chars / 4.0).alias("est_bpe_tokens"),
+        (F.round(n_chars * 100.0 / F.greatest(n_tokens, F.lit(1))) / 100.0).alias("chars_per_token"),
+    )
+
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "est", "une"),
+}
+
+
+def _duck_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(regexp_extract_all(lower(text), '\\w+'), x -> x IN ({lst})))"
+
+
+@query(
+    "t04_language_id",
+    oracle=f"""
+    SELECT lang AS lang_actual, lang_pred, count(*) AS docs
+    FROM (
+        SELECT lang,
+               CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                    WHEN de >= fr AND de > 0 THEN 'de'
+                    WHEN fr > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM (
+            SELECT lang,
+                   {_duck_hits('en')} AS en,
+                   {_duck_hits('es')} AS es,
+                   {_duck_hits('de')} AS de,
+                   {_duck_hits('fr')} AS fr
+            FROM documents
+        )
+    )
+    GROUP BY 1, 2
+    """,
+    doc="language-ID stopword-marker heuristic, confusion counts vs labeled lang — north star",
+)
+def t04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    # IN-list inside a higher-order lambda needs the SQL form (Python
+    # Column.isin is not supported in lambda scope)
+    hits = {
+        lang: F.expr(
+            "size(filter(toks, x -> x IN ({})))".format(", ".join(f"'{w}'" for w in markers))
+        )
+        for lang, markers in _MARKERS.items()
+    }
+    scored = docs.select(F.col("lang").alias("lang_actual"), *[hits[k].alias(k) for k in _MARKERS])
+    en, es, de, fr = (F.col(k) for k in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), "en")
+        .when((es >= de) & (es >= fr) & (es > 0), "es")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return scored.select("lang_actual", pred.alias("lang_pred")).groupBy("lang_actual", "lang_pred").agg(
+        F.count("*").alias("docs")
+    )
+
+
+@query(
+    "t05_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           round((0.4 * (stop * 1.0 / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / length(text))) * 10000) / 10000.0 AS quality,
+           round(stop * 10000.0 / n) / 10000.0 AS stopword_ratio,
+           round(punct * 10000.0 / length(text)) / 10000.0 AS punct_ratio
+    FROM (
+        SELECT doc_id, text,
+               greatest(len(regexp_extract_all(lower(text), '\w+')), 1) AS n,
+               len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                               x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS stop,
+               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+        FROM documents
+    )
+    """,
+    doc="quality scoring: stopword/length/punctuation signals (ratios of exact ints) — north star",
+)
+def t05_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n = F.greatest(F.size("toks"), F.lit(1))
+    stop = F.expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in')))")
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    base = docs.select("doc_id", F.length("text").alias("len"), n.alias("n"), stop.alias("stop"), punct.alias("punct"))
+    quality = (
+        0.4 * (F.col("stop") * 1.0 / F.col("n"))
+        + 0.3 * F.least(F.col("n") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("punct") * 1.0 / F.col("len"))
+    )
+    return base.select(
+        "doc_id",
+        (F.round(quality * 10000) / 10000.0).alias("quality"),
+        (F.round(F.col("stop") * 10000.0 / F.col("n")) / 10000.0).alias("stopword_ratio"),
+        (F.round(F.col("punct") * 10000.0 / F.col("len")) / 10000.0).alias("punct_ratio"),
+    )
+
+
+@query(
+    "t06_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprinting (md5 of normalized content) — north star",
+)
+def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+@query(
+    "t07_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1000000.0 / (ca.n + cb.n - c)) / 1000000.0 AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    """,
+    doc="n-gram (3-shingle) jaccard near-dup pairs, blocked by source — north star; "
+    "exact small-scale oracle for the MinHashLSH scale path (operators/minhash.py)",
+)
+def t07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", tokens("text").alias("t"))
+        .select("doc_id", "source", F.explode(shingles("t", 3)).alias("s"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    union_size = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("c") * 1.0 / union_size >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(F.col("c") * 1000000.0 / union_size) / 1000000.0).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "t08_simhash",
+    oracle=r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, md5(x) AS h
+        FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS x FROM documents)
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               ((instr('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                 // CAST(pow(2, 3 - (j % 4)) AS INT)) % 2 AS bit
+        FROM toks, UNNEST(generate_series(0, 63)) AS u(j)
+    ),
+    summed AS (
+        SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM summed
+    GROUP BY doc_id
+    """,
+    doc="SimHash-64 signatures (md5-nibble construction, engine-portable) — north star near-dup",
+)
+def t08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_bits(docs, "doc_id", "text")
+
+
+@query(
+    "t09_minhash_lsh_neardup",
+    oracle=None,  # LSH banding is not SQL-expressible; tests check recall vs t07
+    doc="MinHashLSH near-dup candidate pairs (pyspark.ml, seed=42) — the 100 TB scale path for t07",
+)
+def t09_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

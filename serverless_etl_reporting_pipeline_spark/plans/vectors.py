@@ -1,6 +1,111 @@
-"""Vector similarity corpus over the `embeddings` table (SURVEY.md §2.11).
+"""Vector similarity corpus over the `embeddings` table
+(SURVEY.md §2.11: similarity search, embedding near-dup, centroids).
 
-Filled in by the vector-operators milestone.
+Oracle portability: cosine in explicit double arithmetic (see
+operators/vectors.py docstring), centroids over 1e-6-quantized integer
+components so sums are exact and order-independent.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, as_double, cosine, knn_bruteforce
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+_DUCK_COS = """
+  list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+
+
+@query(
+    "v01_knn_bruteforce",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(({_DUCK_COS.format(a="embedding", b="q")}) * 1000000) / 1000000.0 AS cos
+    FROM embeddings, qv
+    WHERE vec_id <> 0
+    ORDER BY {_DUCK_COS.format(a="embedding", b="q")} DESC, vec_id
+    LIMIT 10
+    """,
+    doc="brute-force cosine top-k (query = vec 0) — north star similarity search baseline",
+)
+def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return knn_bruteforce(emb.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@query(
+    "v02_top_similar_pairs",
+    oracle=f"""
+    SELECT id_a, id_b, round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ({_DUCK_COS.format(a="a.embedding", b="b.embedding")}) AS raw_cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    ORDER BY raw_cos DESC, id_a, id_b
+    LIMIT 20
+    """,
+    doc="embedding-cosine near-dup: top-20 most-similar pairs (all-pairs at oracle scale; "
+    "LSH banding is the 100 TB path — operators/vectors.py)",
+)
+def v02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    raw = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", raw.alias("raw_cos"))
+        .orderBy(F.desc("raw_cos"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+        .select("id_a", "id_b", (F.round(F.col("raw_cos") * 1000000) / 1000000.0).alias("cos"))
+    )
+
+
+@query(
+    "v03_label_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INT) AS dim, round(avg(q)) / 1000000.0 AS centroid
+    FROM (
+        SELECT label, u.pos AS pos,
+               CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+    )
+    GROUP BY 1, 2
+    """,
+    doc="per-label centroid over 1e-6-quantized components (exact int sums, order-independent) — "
+    "cluster-summary building block for IVF-style ANN",
+)
+def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(as_double("embedding")).alias("dim", "x"),
+    ).select("label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
+    return exploded.groupBy("label", "dim").agg((F.round(F.avg("q")) / 1000000.0).alias("centroid"))
+
+
+@query(
+    "v04_ann_lsh_topk",
+    oracle=None,  # LSH bucketing not SQL-expressible; tests check recall vs v01
+    doc="approximate top-k via BucketedRandomProjectionLSH (seed=42) — the repeated-query scale path",
+)
+def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    out = ann_topk_lsh(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select("vec_id", (F.round(F.col("dist") * 1000000) / 1000000.0).alias("dist")).orderBy(
+        "dist", "vec_id"
+    )

@@ -1,0 +1,62 @@
+"""Extension-operator tests: MinHashLSH recall vs exact jaccard, ANN
+recall vs brute force, simhash properties, dedup survivors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_dedup_survivors, minhash_neardup_pairs
+from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, knn_bruteforce
+from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+
+def test_minhash_recall_of_true_pairs(spark, sf_dir):
+    """Every exact-jaccard≥0.5 pair (t07 oracle-verified) must be found
+    by the LSH candidate join."""
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["t07_ngram_jaccard_pairs"].builder(spark, sf_dir).collect()
+    }
+    assert true_pairs, "fixture should contain planted near-dup pairs"
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert true_pairs <= lsh_pairs
+
+
+def test_minhash_dedup_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = minhash_dedup_survivors(docs, jaccard_threshold=0.5)
+    n_docs, n_surv = docs.count(), survivors.count()
+    assert n_surv < n_docs  # planted near-dups removed
+    # keep-lowest policy: the minimum doc_id always survives
+    assert survivors.agg(F.min("doc_id")).collect()[0][0] == 0
+
+
+def test_ann_lsh_contains_top1(spark, sf_dir):
+    """LSH approx top-10 (euclidean) should include the exact top-1
+    cosine neighbor for normalized-ish random data — sanity recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    exact = knn_bruteforce(emb.filter("vec_id != 0"), q, k=10).collect()
+    approx = {r["vec_id"] for r in ann_topk_lsh(emb.filter("vec_id != 0"), q, k=10).collect()}
+    assert len(approx) == 10
+    # weak-but-meaningful recall bound: some overlap with exact top-10
+    assert approx & {r["vec_id"] for r in exact}
+
+
+def test_simhash_near_dups_close(spark, sf_dir):
+    """Planted near-dup pairs should have small simhash hamming distance
+    relative to random pairs."""
+    sig = {r["doc_id"]: r["simhash"] for r in REGISTRY["t08_simhash"].builder(spark, sf_dir).collect()}
+    pairs = [(r["id_a"], r["id_b"]) for r in REGISTRY["t07_ngram_jaccard_pairs"].builder(spark, sf_dir).collect()]
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(sig[a], sig[b]))
+
+    near = [ham(a, b) for a, b in pairs]
+    some_random = [ham(0, d) for d in list(sig)[1:40] if d != 0]
+    assert max(near) < sum(some_random) / len(some_random)  # near-dups ≪ random average

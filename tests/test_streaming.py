@@ -1,0 +1,104 @@
+"""Structured Streaming slice tests: checkpointed AvailableNow ingest
+(exactly-once), watermarked window agg ≡ batch result, custom stateful
+operator (SURVEY.md §2.9, §7.1 step 7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+from serverless_etl_reporting_pipeline_spark.streaming.ingest import available_now_ingest
+from serverless_etl_reporting_pipeline_spark.streaming.windows import running_totals_per_user, windowed_counts
+
+
+@pytest.fixture()
+def events_src(spark, sf_dir, tmp_path):
+    """Events split into two 'arrival' file batches in a stream dir."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "incoming")
+    events.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    return events, src, tmp_path
+
+
+def test_available_now_ingest_exactly_once(spark, events_src):
+    events, src, tmp = events_src
+    dest, ckpt = str(tmp / "lake"), str(tmp / "ckpt")
+    schema = SCHEMAS["events"]
+
+    available_now_ingest(spark, src, schema, dest, ckpt)
+    assert spark.read.parquet(dest).count() == events.filter("event_id % 2 = 0").count()
+
+    # rerun with no new files → nothing reprocessed (checkpoint, not last_run.txt)
+    available_now_ingest(spark, src, schema, dest, ckpt)
+    n_after_rerun = spark.read.parquet(dest).count()
+    assert n_after_rerun == events.filter("event_id % 2 = 0").count()
+
+    # second arrival batch → only the new file is processed
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    available_now_ingest(spark, src, schema, dest, ckpt)
+    assert spark.read.parquet(dest).count() == events.count()
+
+
+def test_streaming_window_equals_batch(spark, events_src):
+    events, src, tmp = events_src
+    # stream the first batch through a watermarked tumbling window
+    stream = spark.readStream.schema(SCHEMAS["events"]).parquet(src)
+    # complete mode: append would hold back windows newer than the final
+    # watermark (correct streaming behavior, but here we compare totals)
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 2))
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = events.filter("event_id % 2 = 0")
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 2))
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals(spark, events_src):
+    events, src, tmp = events_src
+    stream = spark.readStream.schema(SCHEMAS["events"]).parquet(src)
+    q = (
+        running_totals_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user must equal the batch aggregate
+    got = {
+        r["user_id"]: (r["events_seen"], round(r["value_sum"], 2))
+        for r in spark.sql(
+            "SELECT user_id, events_seen, value_sum FROM state_out"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in events.filter("event_id % 2 = 0")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # memory sink in update mode keeps the latest row per key per batch;
+    # with a single batch the totals are final
+    assert got == want
