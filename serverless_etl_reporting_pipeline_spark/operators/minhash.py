@@ -1,12 +1,23 @@
 """MinHash-LSH near-duplicate detection (SURVEY.md §2.11).
 
-Scale path for document near-dup at 100 TB: shingle → hash features →
-MinHash signatures → LSH banding (`pyspark.ml.feature.MinHashLSH`
-approxSimilarityJoin), which joins only within LSH buckets instead of
-the O(n²) all-pairs. Deterministic given the fixed seed.
+Scale path for document near-dup at 100 TB: shingle → per-permutation
+MinHash signatures (`xxhash64`, JVM codegen) → banded LSH bucketing →
+candidate pairs only within equal-signature buckets → **exact Jaccard
+verification of candidates only**. This replaces an earlier
+`pyspark.ml.feature.MinHashLSH.approxSimilarityJoin` formulation, which
+OR-amplifies single hashes (r=1 bands) — high recall but enormous
+candidate sets, and its per-candidate keyDistance ran outside codegen
+(~8× slower at sf0.1).
 
-The exact-jaccard shingle join (plans/text.py t07) is the small-scale
-oracle; tests check the LSH pairs against it (recall on true pairs).
+Band tuning: with `num_hashes=64, bands=32` (r=2 rows/band) the miss
+probability for a true pair at jaccard s is (1-s²)^32 — ≈1e-4 at
+s=0.5, ≈1e-14 at s=0.8 — while disjoint documents collide only via
+64-bit hash collisions (negligible). The exact-verify stage then makes
+precision 1.0 at the requested threshold, so output quality is governed
+by recall alone.
+
+Everything is deterministic: xxhash64 is seed-stable across partitions
+and runs; no pyspark.ml model fitting.
 """
 
 from __future__ import annotations
@@ -17,37 +28,94 @@ from pyspark.sql import functions as F
 from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
+    """Distinct (id, shingle) rows — map-side only, no shuffle until the
+    distinct (which co-partitions by row hash)."""
+    return (
+        df.select(id_col, tokens(text_col).alias("toks"))
+        .select(id_col, F.explode(shingles("toks", shingle_k)).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """One row per doc with `num_hashes` min-hash columns mh0..mhN-1.
+
+    Single partial+final hash aggregate: each shingle row evaluates
+    `num_hashes` xxhash64 calls (whole-stage codegen), map-side combine
+    reduces to one row per doc before the shuffle.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    num_hashes: int = 64,
+    bands: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) with LSH-estimated
-    jaccard distance below (1 - jaccard_threshold)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold),
+    found via banded-LSH candidates + exact verification.
 
-    shingled = (
-        df.select(id_col, tokens(text_col).alias("toks"))
-        .withColumn("sh", shingles("toks", shingle_k))
-        .filter(F.size("sh") > 0)
-        .select(id_col, "sh")
-    )
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist")
-    return (
-        pairs.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.col("jaccard_dist"),
+    Shuffle profile at scale: signature agg (1 shuffle keyed by doc),
+    bucket self-join (1 shuffle keyed by (band, band-signature) — bucket
+    sizes are near-dup cluster sizes, no global skew), then the verify
+    joins touch only candidate docs' shingle sets.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sh = _shingle_sets(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]).alias(
+                "sig"
+            ),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        for b in range(bands)
+    ]
+    buckets = sigs.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    # exact-jaccard verification on candidates only
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "s")
+    shb = sh.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        cand.join(sha, "id_a").join(shb, ["id_b", "s"]).groupBy("id_a", "id_b").agg(
+            F.count("*").alias("c")
+        )
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jaccard = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jaccard >= jaccard_threshold)
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
     )
 
 

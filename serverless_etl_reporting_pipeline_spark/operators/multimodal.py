@@ -103,9 +103,91 @@ def decode_media_features(media: DataFrame, batch_hint: int | None = None) -> Da
     return media.mapInPandas(kernel, schema=FEATURES_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — NOT IMPLEMENTED (no codecs in container).
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
 
-    Declared so the API surface is complete; raises on use.
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling over mapInPandas: one output row per sampled
+    frame (doc_id, frame_idx, frame fingerprint).
+
+    The codec is STUBBED deterministically (no video libs in container):
+    frame count = 4 + (second md5 nibble of the payload % 8), frame
+    payload fingerprint = md5(payload || '#' || idx). Real plumbing —
+    Arrow batches, 1→N row fan-out inside the kernel, stable schema —
+    is what a real decoder (pyav/ffmpeg) would slot into, replacing only
+    `fake_probe`/`fake_frame`.
     """
-    raise NotImplementedError("video decode requires codec libraries not present in this container")
+    step = int(every_n)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_probe(payload: bytes) -> int:
+            # STUB: frame count from the md5 of the payload (would be
+            # container metadata in a real decoder)
+            return 4 + int(_hashlib.md5(payload).hexdigest()[1], 16) % 8
+
+        def fake_frame(payload: bytes, idx: int) -> str:
+            # STUB: fingerprint of the decoded frame (would be the frame
+            # tensor); md5(payload || '#' || idx) is oracle-reproducible
+            return _hashlib.md5(payload + b"#" + str(idx).encode()).hexdigest()
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(0, fake_probe(raw), step):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(fake_frame(raw, i))
+            yield _pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": fps})
+
+    return media.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize over mapInPandas (STUB kernel, real plumbing).
+
+    Output fingerprint = md5(payload || '#resize#WxH') stands in for the
+    resized pixel buffer; a real implementation replaces only the body
+    of `fake_resize` with PIL `Image.resize`.
+    """
+    w, h = int(width), int(height)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_resize(payload: bytes) -> str:
+            return _hashlib.md5(payload + f"#resize#{w}x{h}".encode()).hexdigest()
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": w,
+                    "height": h,
+                    "resized_md5": [fake_resize(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)

@@ -66,26 +66,31 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     is the sign of sum(±1) across tokens. Built engine-portably from
     md5 + integer arithmetic so an oracle can reproduce it bit-for-bit.
 
-    Shuffle profile: explode(tokens)×64 bits → groupBy(id, j) is a
-    single shuffle keyed by (doc, bit) — fully parallel, no skew (all
-    docs produce exactly 64 groups).
+    Shuffle profile: one token row per (doc, token) with 64 codegen'd
+    bit-sum aggregate columns → a single partial+final hash aggregate on
+    `id_col`; no ×64 row blow-up (an earlier formulation exploded a bit
+    index per token and was ~4× slower at sf0.1), no skew (every doc
+    aggregates to exactly one 64-int row).
     """
     toks = df.select(id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    bits = toks.select(
+    # 128-bit md5 as four 32-bit integer chunks (hex chars are MSB-first,
+    # so chunk c covers bits 32c..32c+31 — same numbering as the
+    # nibble-by-nibble oracle construction); bit extraction is then pure
+    # integer shift/mod, no per-bit string ops.
+    h = F.md5(F.col("tok").cast("binary"))
+    base = toks.select(
         id_col,
-        F.md5(F.col("tok").cast("binary")).alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        *[
+            F.conv(F.substring(h, 8 * c + 1, 8), 16, 10).cast("long").alias(f"c{c}")
+            for c in range(2)
+        ],
     )
-    digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", (F.col("j") / 4).cast("int") + 1, 1)) - 1
-    shift = F.pow(F.lit(2.0), 3 - (F.col("j") % 4)).cast("int")
-    bit = (digit / shift).cast("int") % 2
-    contrib = (bit * 2 - 1).alias("contrib")
-    summed = bits.select(id_col, "j", contrib).groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
-    sig = summed.select(
-        id_col, "j", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+    aggs = []
+    for j in range(64):
+        bit = F.shiftright(F.col(f"c{j // 32}"), 31 - (j % 32)) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    summed = base.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
     )
-    return sig.groupBy(id_col).agg(
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(j, b))), x -> x.b)"), ""
-        ).alias("simhash")
-    )
+    return summed.select(id_col, sig.alias("simhash"))

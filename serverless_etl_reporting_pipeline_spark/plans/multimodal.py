@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.operators.multimodal import attach_binary, decode_media_features
+from serverless_etl_reporting_pipeline_spark.operators.multimodal import (
+    attach_binary,
+    decode_media_features,
+    frame_sample,
+    resize,
+)
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -43,3 +48,35 @@ def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_media_features(attach_binary(docs))
     return feats.select("doc_id", "width", "height", "n_channels").orderBy("doc_id")
+
+
+@query(
+    "m03_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(text || '#' || i) AS frame_md5
+    FROM (
+        SELECT doc_id, text,
+               4 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 8 AS n_frames
+        FROM documents
+    ), UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    WHERE i % 2 = 0
+    """,
+    doc="video frame sampling via mapInPandas 1→N fan-out (stub codec, oracle-reproducible "
+    "md5 frame fingerprints) — north star multimodal",
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary(docs), every_n=2)
+
+
+@query(
+    "m04_resize",
+    oracle="""
+    SELECT doc_id, 64 AS width, 64 AS height, md5(text || '#resize#64x64') AS resized_md5
+    FROM documents
+    """,
+    doc="image resize via mapInPandas (stub kernel, real Arrow-batch plumbing) — north star multimodal",
+)
+def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize(attach_binary(docs), 64, 64)

@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, as_double, cosine, knn_bruteforce
+from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+    ann_topk_lsh,
+    as_double,
+    ivf_topk,
+    knn_bruteforce,
+    quantized,
+    top_similar_pairs,
+)
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -47,30 +54,32 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "v02_top_similar_pairs",
-    oracle=f"""
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
+    )
     SELECT id_a, id_b, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ({_DUCK_COS.format(a="a.embedding", b="b.embedding")}) AS raw_cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS raw_cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
     )
     ORDER BY raw_cos DESC, id_a, id_b
     LIMIT 20
     """,
-    doc="embedding-cosine near-dup: top-20 most-similar pairs (all-pairs at oracle scale; "
-    "LSH banding is the 100 TB path — operators/vectors.py)",
+    doc="embedding-cosine near-dup: exact top-20 most-similar pairs via quantized-integer "
+    "cosine (blocked BLAS matmul vs broadcast matrix — exact integer arithmetic in float64, "
+    "so any summation order matches the oracle bit-for-bit; operators/vectors.py)",
 )
 def v02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    raw = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", raw.alias("raw_cos"))
-        .orderBy(F.desc("raw_cos"), F.asc("id_a"), F.asc("id_b"))
-        .limit(20)
-        .select("id_a", "id_b", (F.round(F.col("raw_cos") * 1000000) / 1000000.0).alias("cos"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = top_similar_pairs(emb, k=20)
+    return top.select(
+        "id_a", "id_b", (F.round(F.col("raw_cos") * 1000000) / 1000000.0).alias("cos")
     )
 
 
@@ -95,6 +104,57 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(as_double("embedding")).alias("dim", "x"),
     ).select("label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
     return exploded.groupBy("label", "dim").agg((F.round(F.avg("q")) / 1000000.0).alias("centroid"))
+
+
+@query(
+    "v05_ann_ivf_topk",
+    oracle="""
+    WITH qv AS (
+        SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+        FROM embeddings WHERE vec_id = 0
+    ),
+    ex AS (
+        SELECT label, u.pos - 1 AS dim,
+               round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+    ),
+    cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    probed AS (
+        SELECT label FROM cent, qv
+        ORDER BY list_sum(list_transform(list_zip(cv, q), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(q, x -> x * x)))) DESC, label
+        LIMIT 2
+    )
+    SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(eq, q), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(eq, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q, x -> x * x)))) AS raw_cos
+        FROM (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
+            FROM embeddings WHERE vec_id <> 0
+        ) e
+        JOIN probed USING (label), qv
+    )
+    ORDER BY raw_cos DESC, vec_id
+    LIMIT 10
+    """,
+    doc="IVF-style ANN top-k: label-cell centroids as coarse quantizer, probe 2 nearest "
+    "cells, exact quantized cosine within — fully oracle-checkable ANN (exact integer "
+    "arithmetic end-to-end; operators/vectors.py ivf_topk)",
+)
+def v05_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qq = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantized("embedding").alias("q"))
+        .collect()[0]["q"]
+    )
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), qq, k=10, nprobe=2)
 
 
 @query(

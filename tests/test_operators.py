@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_dedup_survivors, minhash_neardup_pairs
+from serverless_etl_reporting_pipeline_spark.operators.multimodal import attach_binary, frame_sample, resize
 from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, knn_bruteforce
 from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
@@ -46,6 +47,40 @@ def test_ann_lsh_contains_top1(spark, sf_dir):
     assert len(approx) == 10
     # weak-but-meaningful recall bound: some overlap with exact top-10
     assert approx & {r["vec_id"] for r in exact}
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    """1→N kernel fan-out: every doc yields 2–6 even-indexed frames
+    (stub probe gives 4–11 frames, sampled every 2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary(docs), every_n=2)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == docs.count()
+    assert all(2 <= r["count"] <= 6 for r in per_doc)
+    assert frames.filter(F.col("frame_idx") % 2 != 0).count() == 0
+
+
+def test_resize_one_row_per_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize(attach_binary(docs), 32, 16).collect()
+    assert len(out) == docs.count()
+    assert all(r["width"] == 32 and r["height"] == 16 for r in out)
+    assert len({r["resized_md5"] for r in out}) > 1  # payload-dependent
+
+
+def test_ivf_probes_subset(spark, sf_dir):
+    """IVF top-k must return k rows, all drawn from the 2 probed cells."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import ivf_topk, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qq = emb.filter("vec_id = 0").select(quantized("embedding").alias("q")).collect()[0]["q"]
+    got = ivf_topk(emb.filter("vec_id != 0"), qq, k=10, nprobe=2).collect()
+    assert len(got) == 10
+    labels = {
+        r["label"]
+        for r in emb.filter(F.col("vec_id").isin([x["vec_id"] for x in got])).select("label").collect()
+    }
+    assert len(labels) <= 2
 
 
 def test_simhash_near_dups_close(spark, sf_dir):
