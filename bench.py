@@ -32,8 +32,16 @@ def main() -> None:
 
     spark = get_spark(driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
 
-    # warmup: touch the big fact table once (JVM JIT, FS metadata)
-    load_table(spark, sf_dir, "lineitem").count()
+    # warmup: real column scans (parquet count() reads only footers —
+    # without this the first queries pay JVM JIT + cold page cache)
+    for t, c in [
+        ("lineitem", "l_extendedprice"),
+        ("orders", "o_totalprice"),
+        ("events", "value"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        load_table(spark, sf_dir, t).agg({c: "sum"}).collect()
 
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
