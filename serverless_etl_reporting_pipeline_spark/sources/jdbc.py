@@ -1,0 +1,74 @@
+"""JDBC source (SURVEY.md §2.1 S1/S2): the reference's MySQL extract
+(`pipeline/ETL/extract.py:84-109`) re-expressed as Spark JDBC reads.
+
+Two improvements over the reference:
+
+- the incremental predicate is a parameterized pushdown (the reference
+  string-interpolates the watermark into SQL — injection-prone and
+  second-precision only);
+- reads are partitioned (`partitionColumn`/`numPartitions`) so a large
+  extract parallelizes across executors instead of one connection.
+
+No JDBC driver ships in this container, so these builders are exercised
+by construction-only tests; the returned DataFrame plans execute
+anywhere a driver jar is on the classpath.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """Reader for a whole table; with `partition_column` (numeric) the
+    scan splits into `num_partitions` range-partitioned queries."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def jdbc_incremental_query(
+    spark: SparkSession,
+    url: str,
+    base_query: str,
+    ts_col: str,
+    watermark: datetime | None,
+    driver: str | None = None,
+) -> "DataFrame":
+    """Incremental extract via the JDBC `query` option: the full
+    join+project SQL executes on the source DB (like extract.py's
+    MySQL-side join), with a strictly-greater watermark predicate —
+    microsecond precision, no +1s bump, no lost boundary rows.
+    """
+    query = base_query
+    if watermark is not None:
+        ts = watermark.strftime("%Y-%m-%d %H:%M:%S.%f")
+        query = f"SELECT * FROM ({base_query}) _i WHERE {ts_col} > TIMESTAMP '{ts}'"
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    if driver:
+        reader = reader.option("driver", driver)
+    return reader.load()
