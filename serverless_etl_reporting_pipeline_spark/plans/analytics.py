@@ -393,3 +393,32 @@ def a14_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("status_o"),
         F.col("P").alias("status_p"),
     )
+
+
+@query(
+    "a15_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           count(*) AS transactions,
+           {duck_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (1, 2)
+    """,
+    doc="cube — the one-pass cross-tab-with-totals upgrade of the dashboard's "
+    "truck x payment-method panels (SURVEY.md §2.4 closing note)",
+)
+def a15_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(
+            F.count("*").alias("transactions"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )

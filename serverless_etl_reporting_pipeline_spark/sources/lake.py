@@ -51,6 +51,24 @@ def write_dim(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).parquet(path)
 
 
+def write_csv_stage(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV stage hand-off sink (SURVEY.md §2.1 S3).
+
+    The reference materializes CSV between E/T/P/L stages
+    (`extract.py:112-115`, `transform.py:49-52`); in this engine stages
+    compose lazily, so CSV exists only as an interchange format for
+    external consumers.
+    """
+    df.write.option("header", "true").mode(mode).csv(path)
+
+
+def read_csv_stage(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV stage source with a declared schema — no inference pass over
+    the data (the reference re-infers dtypes on every read_csv,
+    `transform.py:5-7`; a second full scan at scale)."""
+    return spark.read.option("header", "true").schema(schema).csv(path)
+
+
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
     """Full lake scan; partition columns recovered automatically.
 

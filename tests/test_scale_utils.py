@@ -72,6 +72,18 @@ def test_jdbc_reader_construction(spark):
         )
 
 
+def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
+    """S3 stage hand-off: declared-schema CSV read (no inference scan)."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import read_csv_stage, write_csv_stage
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "stage")
+    write_csv_stage(nation, path)
+    back = read_csv_stage(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
+
+
 def test_catalog_ddl(spark, sf_dir):
     register_star_schema(spark, sf_dir, database="lake_test")
     tables = {r["tableName"] for r in show_tables(spark, "lake_test").collect()}
