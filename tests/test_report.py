@@ -37,3 +37,37 @@ def test_html_render(spark):
     html = render_html(daily_metrics(_transactions(spark)), title="T3 Daily")
     assert "T3 Daily" in html and "Truck A" in html and "49.20" in html
     assert render_html({"empty": True}).count("No transactions") == 1
+
+
+def test_dashboard_panels(spark):
+    """Dashboard layer: conjunctive filter + cached panel aggregations
+    (dashboard.py:36-343 semantics)."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_reporting_pipeline_spark.report.dashboard import Dashboard, filtered_frame
+
+    tx = _transactions(spark).withColumn("date", F.to_date("at"))
+    flt = filtered_frame(
+        tx,
+        start=date(2024, 3, 1),
+        end=date(2024, 3, 1),
+        trucks=["Truck A"],
+        methods=["card"],
+    )
+    dash = Dashboard(flt)
+    try:
+        head = dash.headline().collect()[0]
+        assert head["transactions"] == 2
+        assert head["total_revenue"] == 40.0
+        assert head["avg_transaction"] == 20.0
+        by_truck = dash.by_column("truck_name").collect()
+        assert [r["truck_name"] for r in by_truck] == ["Truck A"]
+        trend = dash.daily_trend().collect()
+        assert len(trend) == 1 and trend[0]["revenue"] == 40.0
+        assert dash.top_days(1).collect()[0]["revenue"] == 40.0
+        latest = dash.latest(1).collect()
+        assert latest[0]["transaction_id"] == 2  # newest first
+    finally:
+        dash.close()

@@ -102,3 +102,62 @@ def test_stateful_running_totals(spark, events_src):
     # memory sink in update mode keeps the latest row per key per batch;
     # with a single batch the totals are final
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Append-mode windows must finalize once the watermark passes, and
+    a row arriving later with an older event time must NOT reopen them —
+    the principled fix for the reference's +1s-bump data loss
+    (extract.py:50-57, SURVEY.md §2.9)."""
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "late_src")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    t = datetime(2024, 3, 1, 10, 0, 0)
+    # batch 1: two rows in the 10:00 window, one at 14:00 (advances the
+    # watermark far past 10:00 + 1h once processed)
+    write_batch(
+        [
+            (1, t, 1, "view", 1.0),
+            (2, t + timedelta(minutes=10), 1, "view", 1.0),
+            (3, t + timedelta(hours=4), 1, "view", 1.0),
+        ],
+        "b1",
+    )
+
+    dest = str(tmp_path / "late_out")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            windowed_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", dest)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # batch 2: a LATE row for the long-closed 10:00 window
+    write_batch([(4, t + timedelta(minutes=5), 1, "view", 99.0)], "b2")
+    # and a fresh row so the batch isn't empty
+    write_batch([(5, t + timedelta(hours=6), 1, "view", 1.0)], "b3")
+    run()
+
+    out = spark.read.parquet(dest).collect()
+    rows = {}
+    for r in out:
+        assert r["window_start"] not in rows, "window emitted twice"
+        rows[r["window_start"]] = r["n_events"]
+    # the 10:00 window was emitted with exactly the 2 on-time rows; the
+    # late row (id 4) was dropped, not double-counted
+    assert rows[t] == 2
