@@ -1,0 +1,68 @@
+"""Physical-plan lint over the whole registry — the automated version of
+'.explain and iterate until it's the plan you'd want'.
+
+At 100 TB a CartesianProduct or BroadcastNestedLoopJoin in a corpus
+query is an outage, not a slow query; and a scan that reads every column
+for a narrow projection wastes IO cluster-wide. These asserts keep
+regressions out as the corpus grows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
+    bad = []
+    for name, q in sorted(REGISTRY.items()):
+        plan = _plan(spark, q.builder(spark, sf_dir))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"unbounded join strategies in: {bad}"
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["j01_flagship_daily_nation"].builder(spark, sf_dir))
+    # 4 joins (orders, customer, nation, region) — all broadcast-hash at
+    # fixture scale, none sort-merge (the fact side must not shuffle)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    """Narrow projections must reach the parquet reader as narrow
+    ReadSchema — lineitem has 16 columns; these queries need ≤ 4."""
+    for name, max_cols in [("a01_totals", 2), ("p01_projection_filter", 4)]:
+        plan = _plan(spark, REGISTRY[name].builder(spark, sf_dir))
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas, f"{name}: no ReadSchema in plan"
+        for s in schemas:
+            assert len(s.split(",")) <= max_cols, f"{name}: fat scan: {s}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, REGISTRY["p03_high_value_topk"].builder(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*GreaterThan", plan), plan[:500]
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """orderBy+limit must plan TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, REGISTRY["p03_high_value_topk"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["a02_revenue_by_nation", "a04_daily_revenue"])
+def test_aggregates_are_partial_final(spark, sf_dir, name):
+    """Group-bys must plan map-side partial + final HashAggregate."""
+    plan = _plan(spark, REGISTRY[name].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
