@@ -41,13 +41,25 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m02_decode_features",
-    oracle=None,  # decode kernel is a mapInPandas stub (md5-derived fake, deterministic)
-    doc="Arrow-batched decode/feature-extract via mapInPandas (stubbed codec) — north star multimodal",
+    # the stub decode is md5-derived, so DuckDB can reproduce it:
+    # byte k of md5 = two hex nibbles → width/height/channels
+    oracle="""
+    SELECT doc_id,
+           64 + (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS width,
+           64 + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS height,
+           1 + ((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) % 4 AS n_channels
+    FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    """,
+    doc="Arrow-batched decode/feature-extract via mapInPandas (stub codec, md5-derived "
+    "and therefore oracle-reproducible) — north star multimodal",
 )
 def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_media_features(attach_binary(docs))
-    return feats.select("doc_id", "width", "height", "n_channels").orderBy("doc_id")
+    return feats.select("doc_id", "width", "height", "n_channels")
 
 
 @query(

@@ -296,13 +296,39 @@ def t08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t09_minhash_lsh_neardup",
-    oracle=None,  # LSH banding is not SQL-expressible; tests check recall vs t07
-    doc="MinHashLSH near-dup candidate pairs (pyspark.ml, seed=42) — the 100 TB scale path for t07",
+    # The banding itself is not SQL-expressible, but the exact-verify
+    # stage makes the OUTPUT equal to the unblocked exact-jaccard pairs
+    # whenever banding recall is 1 — and with r=2×b=32 the per-pair miss
+    # probability at the fixtures' j≥0.8 is ≤(1-0.64)^32≈1e-14, with
+    # deterministic xxhash64 (no run-to-run variance). So the exact
+    # all-pairs SQL is a valid oracle.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c * 1000000.0 / (ca.n + cb.n - c)) / 1000000.0 AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    """,
+    doc="banded MinHash LSH (xxhash64, r=2 b=32) + exact-verify near-dup pairs — the "
+    "100 TB scale path for t07; oracle = unblocked exact jaccard (recall ≈ 1-1e-14)",
 )
 def t09_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", (F.round(F.col("jaccard") * 1000000) / 1000000.0).alias("jaccard")
     )

@@ -112,6 +112,7 @@ _DUCK_ONLY = {
     "t06_fingerprint",
     "t07_ngram_jaccard_pairs",
     "t08_simhash",
+    "t09_minhash_lsh_neardup",
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
     "v03_label_centroids",
