@@ -207,6 +207,63 @@ def top_similar_pairs(
     return top.orderBy(F.desc("raw_cos"), "id_a", "id_b").limit(k)
 
 
+def random_hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Seeded quantized random hyperplanes (integer-valued doubles).
+
+    Generated once at plan-build time and inlined as literals into both
+    the Spark plan and the oracle SQL, so sign-bit computation is exact
+    integer arithmetic in both engines — which is what lets a
+    random-projection LSH be oracle-checked at all.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_bits, dim))
+    return [[float(int(v)) for v in np.rint(row * QUANT)] for row in h]
+
+
+def ann_topk_rp(
+    df: DataFrame,
+    query_vec_quantized: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets + multiprobe.
+
+    Index shape at 100 TB: each vector carries an `n_bits` bucket code
+    (map-only to compute, storable as a partition/cluster key); a query
+    scans only buckets within `probe_hamming` of its own code —
+    (Σ_{i≤r} C(n_bits,i)) / 2^n_bits of the data (~14% for 8 bits, r=2)
+    — then ranks candidates by exact quantized cosine. Deterministic:
+    seeded hyperplanes, exact integer dots, no pyspark.ml RNG.
+    """
+    planes = random_hyperplanes(n_bits, len(query_vec_quantized), seed)
+    qq = [float(x) for x in query_vec_quantized]
+    q_bits = [1 if sum(a * b for a, b in zip(qq, p)) >= 0 else 0 for p in planes]
+
+    emb = df.select(id_col, quantized(vec_col).alias("_qv"))
+    bits = [
+        F.when(quantized_dot(F.col("_qv"), F.lit(p)) >= 0, 1).otherwise(0).alias(f"_b{i}")
+        for i, p in enumerate(planes)
+    ]
+    coded = emb.select(id_col, "_qv", *bits)
+    hamming = sum(
+        F.when(F.col(f"_b{i}") != F.lit(q_bits[i]), 1).otherwise(0) for i in range(n_bits)
+    )
+    cos = quantized_cosine(F.col("_qv"), F.lit(qq))
+    return (
+        coded.filter(hamming <= probe_hamming)
+        .select(id_col, cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"))
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

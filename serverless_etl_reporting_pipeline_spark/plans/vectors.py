@@ -169,3 +169,62 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round(F.col("dist") * 1000000) / 1000000.0).alias("dist")).orderBy(
         "dist", "vec_id"
     )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _duck_plane(p: list[float]) -> str:
+    return "[" + ", ".join(str(int(v)) + ".0" for v in p) + "]"
+
+
+def _v06_oracle() -> str:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(8, 64, seed=42)
+    ham = " + ".join(
+        f"CAST((CASE WHEN {_duck_dot('e.v', _duck_plane(p))} >= 0 THEN 1 ELSE 0 END)"
+        f" <> (CASE WHEN {_duck_dot('q', _duck_plane(p))} >= 0 THEN 1 ELSE 0 END) AS INT)"
+        for p in planes
+    )
+    return f"""
+    WITH qv AS (
+        SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+        FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT e.vec_id,
+               {_duck_dot('e.v', 'q')}
+               / (sqrt({_duck_dot('e.v', 'e.v')}) * sqrt({_duck_dot('q', 'q')})) AS raw_cos,
+               {ham} AS ham
+        FROM e, qv
+    )
+    WHERE ham <= 2
+    ORDER BY raw_cos DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "v06_ann_rplsh_topk",
+    oracle=_v06_oracle(),
+    doc="sign-random-projection LSH ANN: 8-bit bucket codes from seeded quantized "
+    "hyperplanes, hamming<=2 multiprobe, exact quantized cosine ranking — fully "
+    "oracle-checkable (operators/vectors.py ann_topk_rp)",
+)
+def v06_ann_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_rp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qq = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantized("embedding").alias("q"))
+        .collect()[0]["q"]
+    )
+    return ann_topk_rp(emb.filter(F.col("vec_id") != 0), qq, k=10)

@@ -117,6 +117,7 @@ _DUCK_ONLY = {
     "v02_top_similar_pairs",
     "v03_label_centroids",
     "v05_ann_ivf_topk",
+    "v06_ann_rplsh_topk",
     "w05_running_total_by_month",
     "w06_sessionization",
 }
