@@ -207,6 +207,65 @@ def top_similar_pairs(
     return top.orderBy(F.desc("raw_cos"), "id_a", "id_b").limit(k)
 
 
+def neardup_map(
+    df: DataFrame,
+    threshold: float = 0.44,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: (dup_id, kept_id, cos) survivor map.
+
+    Rule (single-pass, deterministic, SQL-expressible): a row is a
+    duplicate iff ANY smaller-id row has cosine >= threshold; its
+    survivor is the SMALLEST such id. This is the one-sweep variant of
+    near-dup dedup — the transitive (connected-components) variant lives
+    in operators/minhash.py; both keep min-id representatives.
+
+    Physical strategy mirrors `top_similar_pairs`: broadcast the
+    quantized matrix, stream probe blocks through a BLAS kernel, but
+    emit only pairs above threshold — output is |near-dup pairs|, not
+    O(n²). The per-row min reduction is a map-side-combinable groupBy.
+    At 100 TB, swap the broadcast build for RP-bucket blocking
+    (`random_hyperplanes` codes as join key) — same kernel per bucket.
+    """
+    spark = df.sparkSession
+    q = df.select(F.col(id_col).cast("long").alias("_id"), quantized(vec_col).alias("_qv"))
+    rows = q.collect()  # build side only
+
+    import numpy as np
+
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    B = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows])
+    bnorm = np.sqrt((B * B).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, B, bnorm))
+    tau = float(threshold)
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_b, Bm, bn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]])
+            aid = pdf["_id"].to_numpy(dtype=_np.int64)
+            an = _np.sqrt((A * A).sum(axis=1))
+            S = (A @ Bm.T) / (an[:, None] * bn[None, :])
+            ai, bi = _np.nonzero((aid[:, None] < ids_b[None, :]) & (S >= tau))
+            yield _pd.DataFrame(
+                {"id_a": aid[ai], "id_b": ids_b[bi], "raw_cos": S[ai, bi]}
+            )
+
+    pairs = q.mapInPandas(kernel, schema=_PAIRS_SCHEMA)
+    kept = pairs.groupBy("id_b").agg(F.min(F.struct("id_a", "raw_cos")).alias("m"))
+    return kept.select(
+        F.col("id_b").alias("dup_id"),
+        F.col("m.id_a").alias("kept_id"),
+        (F.round(F.col("m.raw_cos") * QUANT) / QUANT).alias("cos"),
+    ).orderBy("dup_id")
+
+
 def random_hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Seeded quantized random hyperplanes (integer-valued doubles).
 

@@ -171,6 +171,39 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "v07_embedding_neardup",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) / (a.nrm * b.nrm) AS raw_cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_b AS dup_id, min(id_a) AS kept_id,
+           round(arg_min(raw_cos, id_a) * 1000000) / 1000000.0 AS cos
+    FROM pairs
+    WHERE raw_cos >= 0.44
+    GROUP BY id_b
+    ORDER BY dup_id
+    """,
+    doc="embedding-cosine near-dup dedup: duplicate iff any smaller-id vector has "
+    "cosine >= 0.44; survivor = smallest such id (one-sweep rule; exact quantized "
+    "arithmetic — operators/vectors.py neardup_map)",
+)
+def v07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import neardup_map
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_map(emb, threshold=0.44)
+
+
 def _duck_dot(a: str, b: str) -> str:
     return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 

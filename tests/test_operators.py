@@ -83,6 +83,21 @@ def test_ivf_probes_subset(spark, sf_dir):
     assert len(labels) <= 2
 
 
+def test_embedding_neardup_map_properties(spark, sf_dir):
+    """Survivor map invariants: kept_id is always a smaller id, each dup
+    appears once, and every above-threshold pair's larger side is mapped."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import neardup_map, top_similar_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = neardup_map(emb, threshold=0.44).collect()
+    assert rows, "threshold 0.44 should catch the closest synthetic pairs"
+    assert all(r["kept_id"] < r["dup_id"] for r in rows)
+    assert len({r["dup_id"] for r in rows}) == len(rows)
+    top = top_similar_pairs(emb, k=1).collect()[0]
+    if top["raw_cos"] >= 0.44:
+        assert top["id_b"] in {r["dup_id"] for r in rows}
+
+
 def test_simhash_near_dups_close(spark, sf_dir):
     """Planted near-dup pairs should have small simhash hamming distance
     relative to random pairs."""

@@ -118,6 +118,7 @@ _DUCK_ONLY = {
     "v03_label_centroids",
     "v05_ann_ivf_topk",
     "v06_ann_rplsh_topk",
+    "v07_embedding_neardup",
     "w05_running_total_by_month",
     "w06_sessionization",
 }
