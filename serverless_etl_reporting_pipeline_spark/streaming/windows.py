@@ -29,6 +29,26 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen, with
+    state bounded by the event-time watermark (`dropDuplicatesWithinWatermark`).
+
+    The streaming twin of the batch dedup family (t01/d02): an unbounded
+    `dropDuplicates` on a stream would grow key-state forever; the
+    watermark bound makes state size O(keys per watermark horizon) — the
+    only shape that survives an always-on 100 TB/day ingest. Duplicates
+    arriving within the horizon are dropped; a duplicate arriving after
+    its original's watermark expiry is treated as new (documented
+    at-least-once-per-horizon semantics).
+    """
+    keyed = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

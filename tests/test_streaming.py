@@ -104,6 +104,59 @@ def test_stateful_running_totals(spark, events_src):
     assert got == want
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Cross-batch duplicates inside the watermark horizon are dropped
+    exactly once; state is bounded by the watermark (SURVEY.md §2.6/§2.9)."""
+    from datetime import datetime, timedelta
+
+    from serverless_etl_reporting_pipeline_spark.streaming.windows import dedup_within_watermark
+
+    src = str(tmp_path / "dup_src")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    t = datetime(2024, 3, 1, 10, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1 carries an in-batch duplicate of event 1
+    write_batch(
+        [
+            (1, t, 1, "view", 1.0),
+            (1, t, 1, "view", 1.0),
+            (2, t + timedelta(minutes=5), 2, "view", 1.0),
+        ]
+    )
+
+    dest, ckpt = str(tmp_path / "dup_out"), str(tmp_path / "dup_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # batch 2: a cross-batch duplicate of event 2 (within the horizon) + a new row
+    write_batch(
+        [
+            (2, t + timedelta(minutes=6), 2, "view", 99.0),
+            (3, t + timedelta(minutes=10), 3, "click", 1.0),
+        ]
+    )
+    run()
+
+    out = spark.read.parquet(dest).collect()
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == [1, 2, 3], f"duplicates must be dropped exactly once, got {ids}"
+
+
 def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     """Append-mode windows must finalize once the watermark passes, and
     a row arriving later with an older event time must NOT reopen them —
