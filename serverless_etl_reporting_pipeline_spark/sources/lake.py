@@ -51,6 +51,32 @@ def write_dim(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located join/agg
+    layout for keys too hot to re-shuffle per query.
+
+    At 100 TB, a fact⋈fact join on a shared key shuffles both sides on
+    every query; bucketing both tables by that key with the same bucket
+    count pays the shuffle ONCE at write time — every later equi-join or
+    groupBy on the bucket key plans with zero Exchange (asserted in
+    tests/test_scale_utils.py). ``sort_cols`` additionally pre-sorts
+    within buckets so sort-merge joins skip their sort step. Bucketing
+    requires the catalog (`saveAsTable`) — the bucket spec lives in table
+    metadata, not in the parquet files.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_csv_stage(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV stage hand-off sink (SURVEY.md §2.1 S3).
 

@@ -84,6 +84,35 @@ def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
 
 
+def test_bucketed_join_and_agg_avoid_shuffle(spark, sf_dir):
+    """Tables bucketed on the join key must plan equi-joins and
+    group-bys with ZERO Exchange — the write-once shuffle that makes
+    repeated fact⋈fact joins viable at 100 TB."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "bk_orders", ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"])
+    write_bucketed(cust, "bk_customer", ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        bo, bc = spark.table("bk_orders"), spark.table("bk_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+
+        agg = bo.groupBy("o_custkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, "group-by on bucket key must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_customer")
+
+
 def test_catalog_ddl(spark, sf_dir):
     register_star_schema(spark, sf_dir, database="lake_test")
     tables = {r["tableName"] for r in show_tables(spark, "lake_test").collect()}
