@@ -485,3 +485,48 @@ def d05_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey")).distinct()
     y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey")).distinct()
     return y95.intersect(y96)
+
+
+@query(
+    "j06_asof_prior_view",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS view_ts, max(event_id) AS prior_view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.prior_view_id,
+           epoch_us(p.ts) - epoch_us(v.view_ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    doc="as-of (backward) join: each purchase matched to the user's latest view at-or-"
+    "before it — union + last(ignoreNulls) window, ONE key shuffle, no range-join "
+    "blowup (operators/asof.py; oracle = DuckDB native ASOF LEFT JOIN)",
+)
+def j06_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.asof import asof_backward_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("prior_view_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = asof_backward_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        payload_cols=["prior_view_id", "view_ts"],
+    )
+    # gap as exact microseconds: a difference of epochs is timezone-shift
+    # invariant, so the ntz->timestamp cast is oracle-safe in any session tz
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("view_ts").cast("timestamp")
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "prior_view_id", gap.alias("gap_us")
+    ).orderBy("event_id")

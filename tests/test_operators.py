@@ -83,6 +83,39 @@ def test_ivf_probes_subset(spark, sf_dir):
     assert len(labels) <= 2
 
 
+def test_asof_backward_join_edges(spark):
+    """Literal-frame edge cases: inclusive equality, latest-wins,
+    no-match nulls, per-key isolation, payload clash rejection."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.operators.asof import asof_backward_join
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (2, t(5), "a"), (3, t(0), "b"), (4, t(30), "c")],
+        "id bigint, ts timestamp, k string",
+    )
+    right = spark.createDataFrame(
+        [("a", t(5), 100), ("a", t(9), 101), ("b", t(1), 200)],
+        "k string, rts timestamp, payload int",
+    )
+    out = {
+        r["id"]: r["payload"]
+        for r in asof_backward_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", payload_cols=["payload"]
+        ).collect()
+    }
+    assert out[1] == 101  # latest at-or-before wins (not just any earlier)
+    assert out[2] == 100  # equal timestamp is inclusive
+    assert out[3] is None  # right row is later -> no match
+    assert out[4] is None  # key with no right rows at all
+    with _pytest.raises(ValueError):
+        asof_backward_join(left, right.withColumnRenamed("payload", "id"),
+                           on=["k"], left_ts="ts", right_ts="rts", payload_cols=["id"])
+
+
 def test_embedding_neardup_map_properties(spark, sf_dir):
     """Survivor map invariants: kept_id is always a smaller id, each dup
     appears once, and every above-threshold pair's larger side is mapped."""
