@@ -1,0 +1,58 @@
+"""Distributed interval (range) join — key-equal rows whose timestamps
+fall within a bounded window of each other.
+
+A naive ``l.ts - 5min <= r.ts <= l.ts`` theta-join degenerates: without
+an equi key Spark plans BroadcastNestedLoopJoin (an outage at 100 TB —
+the plan-lint test forbids it), and even with a key the range condition
+is a post-filter over the full key-group cross product. The scale
+pattern is time-bucketing: quantize both sides to coarse buckets of
+width >= the window span, fan the left side out to the (at most two)
+buckets its window can touch, equi-join on (key, bucket) — a plain
+shuffle-hash join with co-partitioned keys — and apply the exact range
+predicate as a cheap post-filter. Work is O(matching bucket pairs), not
+O(|key group|^2); the bucket fan-out is bounded by
+ceil(span/bucket) + 1 = 2 rows per left row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+) -> DataFrame:
+    """Inner join: same ``on`` keys and
+    ``left_ts + lower_us <= right_ts <= left_ts + upper_us`` (inclusive,
+    exact microseconds — epoch differences are timezone-shift invariant).
+
+    Non-key column names must not clash between the sides (alias first).
+    """
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(f"non-key columns clash between sides: {sorted(clash)}")
+    span = max(int(upper_us) - int(lower_us), 1)
+
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l = left.withColumn("_lus", l_us).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lus") + F.lit(int(lower_us))) / span),
+                F.floor((F.col("_lus") + F.lit(int(upper_us))) / span),
+            )
+        ),
+    )
+    r = right.withColumn("_rus", r_us).withColumn("_bucket", F.floor(F.col("_rus") / span))
+    cond = (F.col("_rus") >= F.col("_lus") + int(lower_us)) & (
+        F.col("_rus") <= F.col("_lus") + int(upper_us)
+    )
+    return l.join(r, [*on, "_bucket"]).filter(cond).drop("_bucket", "_lus", "_rus")

@@ -530,3 +530,42 @@ def j06_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", "prior_view_id", gap.alias("gap_us")
     ).orderBy("event_id")
+
+
+@query(
+    "j07_interval_click_context",
+    oracle="""
+    SELECT error_id,
+           count(*) AS n_clicks,
+           max(click_id) AS last_click_id
+    FROM (SELECT event_id AS error_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT event_id AS click_id, user_id, ts AS cts FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.cts >= e.ts - INTERVAL 5 MINUTE
+     AND c.cts <= e.ts
+    GROUP BY error_id
+    ORDER BY error_id
+    """,
+    doc="interval (range) join: clicks within 5 min before each error, same user — "
+    "time-bucket fan-out + equi-join on (key, bucket), never a nested-loop plan "
+    "(operators/rangejoin.py; plan asserted in test_plan_quality)",
+)
+def j07_interval_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    pairs = interval_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="cts",
+        lower_us=-5 * 60 * 1_000_000, upper_us=0,
+    )
+    return (
+        pairs.groupBy("error_id")
+        .agg(F.count("*").alias("n_clicks"), F.max("click_id").alias("last_click_id"))
+        .orderBy("error_id")
+    )

@@ -116,6 +116,40 @@ def test_asof_backward_join_edges(spark):
                            on=["k"], left_ts="ts", right_ts="rts", payload_cols=["id"])
 
 
+def test_interval_join_edges(spark):
+    """Inclusive bounds, cross-bucket matches, out-of-window exclusion,
+    clash rejection."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.operators.rangejoin import interval_join
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, base, "a")], "lid bigint, ts timestamp, k string")
+    right = spark.createDataFrame(
+        [
+            (10, base - timedelta(minutes=5), "a"),  # exactly at lower bound (inclusive)
+            (11, base, "a"),  # exactly at upper bound (inclusive)
+            (12, base - timedelta(minutes=4, seconds=59), "a"),  # crosses bucket boundary
+            (13, base - timedelta(minutes=5, microseconds=1), "a"),  # 1us outside
+            (14, base - timedelta(minutes=1), "b"),  # wrong key
+        ],
+        "rid bigint, rts timestamp, k string",
+    )
+    got = {
+        r["rid"]
+        for r in interval_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            lower_us=-5 * 60 * 1_000_000, upper_us=0,
+        ).collect()
+    }
+    assert got == {10, 11, 12}
+    with _pytest.raises(ValueError):
+        interval_join(left, right.withColumnRenamed("rts", "ts"),
+                      on=["k"], left_ts="ts", right_ts="ts", lower_us=-1, upper_us=0)
+
+
 def test_embedding_neardup_map_properties(spark, sf_dir):
     """Survivor map invariants: kept_id is always a smaller id, each dup
     appears once, and every above-threshold pair's larger side is mapped."""
