@@ -84,6 +84,22 @@ def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
 
 
+def test_approx_aggregates_track_exact(spark, sf_dir):
+    """Sketch-based scale-out variants (SURVEY.md §2.4 A7 note): HLL++
+    distinct counts and t-digest-style percentiles replace their exact
+    forms at 100 TB (bounded memory, one pass, mergeable partials) —
+    assert they track the exact answers at fixture scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_n"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_n"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_n"] - row["exact_n"]) <= 0.05 * row["exact_n"]
+    assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.02 * abs(row["exact_p50"])
+
+
 def test_bucketed_join_and_agg_avoid_shuffle(spark, sf_dir):
     """Tables bucketed on the join key must plan equi-joins and
     group-bys with ZERO Exchange — the write-once shuffle that makes
