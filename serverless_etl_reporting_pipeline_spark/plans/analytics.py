@@ -422,3 +422,33 @@ def a15_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "a16_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           count(*) AS transactions,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS (per-status, per-priority, grand total in ONE pass over "
+    "the facts — three dashboard panels for one scan+shuffle; Spark 4 DataFrame "
+    "groupingSets API, SURVEY.md §2.4 closing note)",
+)
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .groupingSets([["status"], ["priority"], []], "status", "priority")
+        .agg(
+            F.count("*").alias("transactions"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
