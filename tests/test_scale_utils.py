@@ -84,6 +84,23 @@ def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
 
 
+def test_timestamp_queries_are_session_tz_invariant(spark, sf_dir):
+    """The driver runs an UNPINNED session (no UTC timezone conf); every
+    timestamp-touching query must give identical results in any session
+    timezone — guaranteed by keeping event times NTZ end-to-end and only
+    using tz-invariant derivations (verified here against a cloned
+    session pinned to a hostile offset)."""
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    for name in ["a04_daily_revenue", "a05_hourly_events", "a06_day_of_week",
+                 "p04_time_derivations", "s01_tumbling_1h", "j06_asof_prior_view",
+                 "w05_running_total_by_month", "w06_sessionization"]:
+        q = REGISTRY[name]
+        want = sorted(map(str, q.builder(spark, sf_dir).collect()))
+        got = sorted(map(str, q.builder(hostile, sf_dir).collect()))
+        assert got == want, f"{name}: result depends on session timezone"
+
+
 def test_approx_aggregates_track_exact(spark, sf_dir):
     """Sketch-based scale-out variants (SURVEY.md §2.4 A7 note): HLL++
     distinct counts and t-digest-style percentiles replace their exact
