@@ -95,6 +95,37 @@ def read_csv_stage(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.option("header", "true").schema(schema).csv(path)
 
 
+def compact_partitions(spark: SparkSession, path: str) -> int:
+    """Rewrite a Hive-partitioned dataset down to ONE file per partition
+    — the small-files maintenance pass.
+
+    Incremental appends (3-hourly in the reference) leave one file per
+    run per partition; at 100 TB that is millions of tiny files and the
+    scan becomes metadata-bound. Hash-repartitioning on the partition
+    columns routes each Hive partition's rows to exactly one task (so
+    each directory gets one file) while distinct partitions still spread
+    across defaultParallelism tasks. Dynamic partition overwrite
+    replaces only partitions present in the rewrite (a date-filtered
+    frame would compact just that range), so concurrent readers never
+    see a half-deleted dataset. Returns the number of rows rewritten.
+    """
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_tasks = max(spark.sparkContext.defaultParallelism, 1)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_tasks, *PARTITION_COLS)
+            .write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return n
+
+
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
     """Full lake scan; partition columns recovered automatically.
 

@@ -9,6 +9,10 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
 from serverless_etl_reporting_pipeline_spark.etl import (
     RAW_TRANSACTIONS_SCHEMA,
     FileWatermarkStore,
@@ -160,3 +164,31 @@ def test_incremental_extract_empty_batch(spark, tmp_path):
     inc, commit = incremental_extract(df, "at", store)
     assert inc.isEmpty()
     assert commit() == datetime(2030, 1, 1)  # unchanged on empty batch
+
+
+def test_compact_partitions_one_file_each(spark, sf_dir, tmp_path):
+    """Fragmented appends collapse to one file per partition with
+    identical data (small-files maintenance at 100 TB scale)."""
+    import glob
+
+    from serverless_etl_reporting_pipeline_spark.sources.lake import compact_partitions, write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").filter("year(o_orderdate) = 1995").limit(500)
+    lake = str(tmp_path / "frag_lake")
+    # two fragmented appends: multiple files per partition dir
+    write_partitioned(orders.repartition(4), lake, ts_col="o_orderdate", mode="append")
+    write_partitioned(orders.repartition(4), lake, ts_col="o_orderdate", mode="append")
+    before = spark.read.parquet(lake)
+    n_before = before.count()
+    checksum_before = before.agg(F.sum(F.crc32(F.concat_ws("|", "o_orderkey", "o_totalprice")))).collect()[0][0]
+
+    days = glob.glob(os.path.join(lake, "year=*", "month=*", "day=*"))
+    assert any(len(glob.glob(os.path.join(d, "*.parquet"))) > 1 for d in days), "setup not fragmented"
+
+    assert compact_partitions(spark, lake) == n_before
+    after = spark.read.parquet(lake)
+    assert after.count() == n_before
+    checksum_after = after.agg(F.sum(F.crc32(F.concat_ws("|", "o_orderkey", "o_totalprice")))).collect()[0][0]
+    assert checksum_after == checksum_before
+    for d in glob.glob(os.path.join(lake, "year=*", "month=*", "day=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, f"not compacted: {d}"
