@@ -452,3 +452,55 @@ def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "a17_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(pc) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum(pc * (100 - dp)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum(pc * (100 - dp) * (100 + tp)) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+           CAST(sum(pc) AS BIGINT) / count(*) / 100.0 AS avg_price,
+           CAST(sum(dp) AS BIGINT) / count(*) / 100.0 AS avg_disc,
+           count(*) AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100) AS BIGINT) AS dp,
+               CAST(round(l_tax * 100) AS BIGINT) AS tp
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shape pricing summary: the canonical partial+final multi-agg over the "
+    "fact table, all money math as exact integer cents (discount/tax as integer "
+    "hundredths) so every sum is order-independent and hash-exact cross-engine",
+)
+def a17_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    pc = cents("l_extendedprice")
+    dp = F.round(F.col("l_discount") * 100).cast("bigint")
+    tp = F.round(F.col("l_tax") * 100).cast("bigint")
+    cutoff = F.lit("1998-09-02").cast(li.schema["l_shipdate"].dataType)
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(pc) / 100.0).alias("sum_base_price"),
+            (F.sum(pc * (100 - dp)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(pc * (100 - dp) * (100 + tp)) / 1000000.0).alias("sum_charge"),
+            (F.sum(qty) / n).alias("avg_qty"),
+            (F.sum(pc) / n / 100.0).alias("avg_price"),
+            (F.sum(dp) / n / 100.0).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
