@@ -157,6 +157,46 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3], f"duplicates must be dropped exactly once, got {ids}"
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream watermarked interval join over the real events data
+    must emit exactly the batch interval-join pairs (SURVEY.md §2.9)."""
+    from serverless_etl_reporting_pipeline_spark.operators.rangejoin import interval_join
+    from serverless_etl_reporting_pipeline_spark.streaming.joins import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events").filter("user_id < 20")
+    errors = events.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    err_dir, clk_dir = str(tmp_path / "err"), str(tmp_path / "clk")
+    errors.coalesce(1).write.parquet(err_dir)
+    clicks.coalesce(1).write.parquet(clk_dir)
+
+    se = spark.readStream.schema(errors.schema).parquet(err_dir)
+    sc = spark.readStream.schema(clicks.schema).parquet(clk_dir)
+    q = (
+        stream_interval_join(se, sc, key="user_id", left_ts="ts", right_ts="cts",
+                             span_seconds=300, watermark="10 minutes")
+        .select("error_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["error_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    want = {
+        (r["error_id"], r["click_id"])
+        for r in interval_join(errors, clicks, on=["user_id"], left_ts="ts",
+                               right_ts="cts", lower_us=-300_000_000, upper_us=0).collect()
+    }
+    assert want, "fixture should produce matches"
+    assert got == want
+
+
 def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     """Append-mode windows must finalize once the watermark passes, and
     a row arriving later with an older event time must NOT reopen them —
