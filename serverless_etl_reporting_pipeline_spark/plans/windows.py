@@ -208,3 +208,41 @@ def w06_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("events"),
         money_sum("value").alias("total_value"),
     )
+
+
+@query(
+    "w07_nation_revenue_quartiles",
+    oracle="""
+    SELECT nation,
+           rev_cents / 100.0 AS revenue,
+           ntile(4) OVER (ORDER BY rev_cents DESC, nation) AS quartile,
+           round(percent_rank() OVER (ORDER BY rev_cents DESC, nation) * 10000) / 10000.0 AS pct_rank
+    FROM (
+        SELECT n_name AS nation,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    """,
+    doc="ranking windows (ntile quartiles + percent_rank) over the per-nation aggregate — "
+    "runs on the 25-row grouped result, never the raw facts (SURVEY.md §2.8)",
+)
+def w07_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    grouped = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("nation"))
+    return grouped.select(
+        "nation",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.ntile(4).over(w).alias("quartile"),
+        (F.round(F.percent_rank().over(w) * 10000) / 10000.0).alias("pct_rank"),
+    )
