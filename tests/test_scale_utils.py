@@ -5,6 +5,7 @@ corpus (the Athena-replacement surface)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
@@ -82,6 +83,27 @@ def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
     back = read_csv_stage(spark, path, nation.schema)
     assert back.schema == nation.schema
     assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
+
+
+def test_events_ns_cache_cold_rebuild(spark, sf_dir):
+    """The ns→µs events rewrite must rebuild from a cold cache (the
+    driver's first run on a fresh box) and yield µs values identical to
+    DuckDB's own ns→µs truncation of the source file."""
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.reader import _normalized_events_path
+
+    dst = _normalized_events_path(sf_dir)
+    os.remove(dst)  # cold path
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    assert os.path.exists(dst), "cache not rebuilt"
+    want_n, want_min, want_max = duckdb.sql(
+        f"SELECT count(*), min(ts), max(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert n == want_n
+    got = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert got[0].replace(tzinfo=None) == want_min and got[1].replace(tzinfo=None) == want_max
 
 
 def test_timestamp_queries_are_session_tz_invariant(spark, sf_dir):
