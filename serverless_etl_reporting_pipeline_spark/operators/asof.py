@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_backward_join(
@@ -46,19 +47,24 @@ def asof_backward_join(
         raise ValueError(f"payload columns clash with left columns: {sorted(clash)}")
     left_only = [c for c in left.columns if c not in on]
 
+    # The payload travels as ONE struct so the latest right row wins
+    # atomically — per-column last(ignorenulls) would skip a legitimately
+    # NULL payload value and stitch together columns from different right
+    # rows (diverging from ASOF semantics).
+    payload_type = T.StructType([right.schema[p] for p in payload_cols])
     l2 = left.select(
         *on,
         *left_only,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload_cols],
+        F.lit(None).cast(payload_type).alias("_p"),
     )
     r2 = right.select(
         *on,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *payload_cols,
+        F.struct(*payload_cols).alias("_p"),
     )
     w = (
         Window.partitionBy(*on)
@@ -69,6 +75,6 @@ def asof_backward_join(
         *on,
         *left_only,
         "_side",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload_cols],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(*on, *left_only, "_p.*")

@@ -38,6 +38,8 @@ def interval_join(
     clash = (set(left.columns) & set(right.columns)) - set(on)
     if clash:
         raise ValueError(f"non-key columns clash between sides: {sorted(clash)}")
+    if int(lower_us) > int(upper_us):
+        raise ValueError(f"empty window: lower_us {lower_us} > upper_us {upper_us}")
     span = max(int(upper_us) - int(lower_us), 1)
 
     l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))

@@ -92,6 +92,29 @@ def quantize_np(a):
     return np.copysign(np.floor(np.abs(v) + 0.5), v)
 
 
+def _stack_quantized(pdf, col: str = "_qv"):
+    """Shared Arrow-kernel preamble: pandas column of float arrays →
+    exact-quantized f64 matrix. Every vector kernel funnels through this
+    so quantization/batch handling has exactly one implementation."""
+    import numpy as np
+
+    return quantize_np(np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col]]))
+
+
+def _collect_quantized_build(df: DataFrame, id_col: str, vec_col: str):
+    """Collect + quantize a broadcast build side: (ids, matrix, norms).
+    Raw floats cross the wire; quantization happens driver-side in numpy
+    (same `quantize_np` the kernels use)."""
+    import numpy as np
+
+    rows = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
+    return ids, B, np.sqrt((B * B).sum(axis=1))
+
+
 def quantized_dot(a: Column, b: Column) -> Column:
     """Left-fold dot over quantized (integer-valued double) arrays —
     exact, so identical to DuckDB's list_sum in any order."""
@@ -128,67 +151,41 @@ def ivf_topk(
     `quantized()`/`quantize_np` so the rounding mode matches HALF_UP —
     Python's round() is half-to-even and would drift at .5 boundaries).
 
-    Physical shape: (1) centroids as a map-side partial-sum Arrow kernel
-    — each partition emits one (cell, count, sumvec) row per cell it
-    holds, the driver combines the ≤ partitions×cells partials (exact
-    integer sums < 2^53, so any combine order is the oracle's answer);
-    (2) probe choice on the driver over n_cells rows; (3) an `isin`
-    filter (partition-prunable when the table is laid out by cell) and
-    one cosine kernel over the probed cells only.
+    Physical shape (fully LAZY — building the plan runs no jobs):
+    (1) centroids via posexplode + per-scalar `round(x*1e6)` (a plain
+    codegen expression, not an interpreted array HOF) and a two-level
+    hash aggregate — exact integer sums, any combine order agrees with
+    the oracle; (2) probe choice as a tiny top-nprobe over n_cells rows;
+    (3) a broadcast left-semi join prunes to the probed cells
+    (partition-prunable when the table is laid out by cell) and one
+    Arrow cosine kernel ranks the candidates.
     """
     import numpy as np
 
-    qq = np.asarray([float(x) for x in query_vec_quantized], dtype=np.float64)
-    src = df.select(
-        F.col(id_col).cast("long").alias("_id"),
-        F.col(cell_col).alias("_cell"),
-        F.col(vec_col).alias("_qv"),
-    )
-
-    def partials(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        acc: dict = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
-            cells = pdf["_cell"].to_numpy()
-            for cell in _np.unique(cells):
-                m = cells == cell
-                cnt, s = acc.get(cell, (0, 0.0))
-                acc[cell] = (cnt + int(m.sum()), s + A[m].sum(axis=0))
-        if acc:
-            yield _pd.DataFrame(
-                {
-                    "_cell": list(acc),
-                    "_cnt": [c for c, _ in acc.values()],
-                    "_sum": [list(s) for _, s in acc.values()],
-                }
-            )
-
-    part_schema = T.StructType(
-        [
-            T.StructField("_cell", T.IntegerType()),
-            T.StructField("_cnt", T.LongType()),
-            T.StructField("_sum", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    combined: dict = {}
-    for r in src.select("_cell", "_qv").mapInPandas(partials, schema=part_schema).collect():
-        cnt, s = combined.get(r["_cell"], (0, 0.0))
-        combined[r["_cell"]] = (cnt + r["_cnt"], s + np.asarray(r["_sum"], dtype=np.float64))
-
+    qq_list = [float(x) for x in query_vec_quantized]
+    qq = np.asarray(qq_list, dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
 
-    def _ccos(cell):
-        cnt, s = combined[cell]
-        m = s / cnt
-        cv = np.copysign(np.floor(np.abs(m) + 0.5), m)  # ROUND(avg) half-away
-        return float((cv @ qq) / (np.sqrt(cv @ cv) * qn))
-
-    probed = sorted(combined, key=lambda c: (-_ccos(c), c))[:nprobe]
+    ex = df.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
+        cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
+    )
+    centroids = (
+        ex.groupBy(cell_col, "dim")
+        .agg(F.round(F.avg("q")).alias("c"))
+        .groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    # n_cells rows: the interpreted HOF cosine is fine at this cardinality
+    probed = (
+        centroids.select(cell_col, quantized_cosine(F.col("cv"), F.lit(qq_list)).alias("ccos"))
+        .orderBy(F.desc("ccos"), cell_col)
+        .limit(nprobe)
+        .select(cell_col)
+    )
 
     def cos_kernel(batches):
         import numpy as _np
@@ -197,15 +194,19 @@ def ivf_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            A = _stack_quantized(pdf)
             cos = (A @ qq) / (_np.sqrt((A * A).sum(axis=1)) * qn)
             yield _pd.DataFrame({id_col: pdf["_id"].to_numpy(dtype=_np.int64), "_raw": cos})
 
-    out = src.filter(F.col("_cell").isin([int(c) for c in probed])).mapInPandas(
-        cos_kernel,
-        schema=T.StructType(
-            [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
-        ),
+    out = (
+        df.join(F.broadcast(probed), cell_col, "left_semi")
+        .select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
+        .mapInPandas(
+            cos_kernel,
+            schema=T.StructType(
+                [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
+            ),
+        )
     )
     return (
         out.orderBy(F.desc("_raw"), F.asc(id_col))
@@ -248,14 +249,8 @@ def top_similar_pairs(
     """
     spark = df.sparkSession
     q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
-    rows = q.collect()  # build side only — the probe side never collects
-
-    import numpy as np
-
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
-    bnorm = np.sqrt((B * B).sum(axis=1))  # exact integer sums < 2^53
-    bc = spark.sparkContext.broadcast((ids, B, bnorm))
+    # build side only — the probe side never collects
+    bc = spark.sparkContext.broadcast(_collect_quantized_build(df, id_col, vec_col))
     kk = int(k)
 
     def kernel(batches):
@@ -266,7 +261,7 @@ def top_similar_pairs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            A = _stack_quantized(pdf)
             aid = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             S = (A @ Bm.T) / (an[:, None] * bn[None, :])
@@ -304,14 +299,7 @@ def neardup_map(
     """
     spark = df.sparkSession
     q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
-    rows = q.collect()  # build side only
-
-    import numpy as np
-
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
-    bnorm = np.sqrt((B * B).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, B, bnorm))
+    bc = spark.sparkContext.broadcast(_collect_quantized_build(df, id_col, vec_col))
     tau = float(threshold)
 
     def kernel(batches):
@@ -322,7 +310,7 @@ def neardup_map(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            A = _stack_quantized(pdf)
             aid = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             S = (A @ Bm.T) / (an[:, None] * bn[None, :])
@@ -394,7 +382,7 @@ def ann_topk_rp(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = quantize_np(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]]))
+            A = _stack_quantized(pdf)
             codes = (A @ Pm.T) >= 0
             mask = (codes != qb[None, :]).sum(axis=1) <= r
             if not mask.any():

@@ -36,23 +36,29 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
         {
             "k": [k for k, _ in right],
             "rts": [BASE + timedelta(seconds=s) for _, s in right],
-            "payload": [100 + i for i in range(len(right))],
+            # every 3rd payload NULL: the latest right row must win
+            # atomically even when its payload is NULL (no stitching
+            # older non-null values in)
+            "payload": [None if i % 3 == 0 else 100 + i for i in range(len(right))],
+            "other": [200 + i for i in range(len(right))],
         }
     )
+    rschema = "k string, rts timestamp, payload bigint, other bigint"
     ldf = spark.createDataFrame(lpdf, "lid bigint, k string, ts timestamp")
     rdf = (
-        spark.createDataFrame(rpdf, "k string, rts timestamp, payload bigint")
+        spark.createDataFrame(rpdf.astype(object).where(rpdf.notna(), None), rschema)
         if len(rpdf)
-        else spark.createDataFrame([], "k string, rts timestamp, payload bigint")
+        else spark.createDataFrame([], rschema)
     )
     got = {
-        r["lid"]: r["payload"]
+        r["lid"]: (r["payload"], r["other"])
         for r in asof_backward_join(
-            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts", payload_cols=["payload"]
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            payload_cols=["payload", "other"],
         ).collect()
     }
     if len(rpdf) == 0:
-        want = {int(i): None for i in lpdf["lid"]}
+        want = {int(i): (None, None) for i in lpdf["lid"]}
     else:
         want_df = pd.merge_asof(
             lpdf.sort_values("ts", kind="stable"),
@@ -64,7 +70,10 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
             allow_exact_matches=True,
         )
         want = {
-            int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            int(r.lid): (
+                None if pd.isna(r.payload) else int(r.payload),
+                None if pd.isna(r.other) else int(r.other),
+            )
             for r in want_df.itertuples()
         }
     assert got == want

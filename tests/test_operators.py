@@ -148,6 +148,9 @@ def test_interval_join_edges(spark):
     with _pytest.raises(ValueError):
         interval_join(left, right.withColumnRenamed("rts", "ts"),
                       on=["k"], left_ts="ts", right_ts="ts", lower_us=-1, upper_us=0)
+    with _pytest.raises(ValueError):  # inverted bounds = empty window
+        interval_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                      lower_us=0, upper_us=-300_000_000)
 
 
 def test_embedding_neardup_map_properties(spark, sf_dir):
