@@ -16,7 +16,6 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
     as_double,
     ivf_topk,
     knn_bruteforce,
-    quantized,
     top_similar_pairs,
 )
 from serverless_etl_reporting_pipeline_spark.plans.base import query
