@@ -332,3 +332,33 @@ def t09_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", (F.round(F.col("jaccard") * 1000000) / 1000000.0).alias("jaccard")
     )
+
+
+@query(
+    "t10_stable_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS sampled_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="deterministic content-hash sampling: md5(doc_id) prefix < 1/8 keeps a stable, "
+    "engine-portable, rerun-reproducible corpus sample (the curation pattern for stable "
+    "eval/holdout splits at 100 TB — no seeded RNG, no sort, map-only filter), then "
+    "per-language profile of the sample",
+)
+def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
