@@ -30,25 +30,41 @@ from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tok
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
     """Distinct (id, shingle) rows — map-side only, no shuffle until the
-    distinct (which co-partitions by row hash)."""
+    distinct (which co-partitions by row hash).
+
+    Tokenize+explode is the CPU-heavy map stage; its parallelism is the
+    SCAN's, not the shuffle's. A small corpus in one parquet file would
+    run it on a single core, so when the scan has fewer partitions than
+    the cluster we first spread the (narrow) doc rows — at real scale
+    the input already has thousands of splits and no repartition fires.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(id_col, F.col(text_col).alias("_t"))
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, F.col(id_col))
     return (
-        df.select(id_col, tokens(text_col).alias("toks"))
+        narrow.select(id_col, tokens("_t").alias("toks"))
         .select(id_col, F.explode(shingles("toks", shingle_k)).alias("s"))
         .distinct()
     )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """One row per doc with `num_hashes` min-hash columns mh0..mhN-1.
+    """One row per doc with `num_hashes` min-hash columns mh0..mhN-1,
+    plus the shingle-set size `n` (free in the same aggregate; the
+    verify stage needs it for |A|+|B|-|A∩B|).
 
-    Single partial+final hash aggregate: each shingle row evaluates
-    `num_hashes` xxhash64 calls (whole-stage codegen), map-side combine
-    reduces to one row per doc before the shuffle.
+    Single partial+final hash aggregate with map-side combine. The
+    string shingle is hashed ONCE to a 64-bit base; the `num_hashes`
+    permutation hashes are xxhash64 over (seed, base) — an 8-byte input,
+    ~4× cheaper than re-hashing the string per permutation, same
+    determinism and the same independence the banding analysis assumes.
     """
+    base = sh.select(id_col, F.xxhash64("s").alias("_h"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh{i}") for i in range(num_hashes)
+    ] + [F.count("*").alias("n")]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def minhash_neardup_pairs(
@@ -67,13 +83,21 @@ def minhash_neardup_pairs(
     bucket self-join (1 shuffle keyed by (band, band-signature) — bucket
     sizes are near-dup cluster sizes, no global skew), then the verify
     joins touch only candidate docs' shingle sets.
+
+    The tokenize→explode→distinct shingle subtree feeds three consumers
+    (signatures+counts, verify side A, verify side B), so it is
+    persisted for the duration of the query — without the cache Spark
+    recomputes the most expensive map stage once per consumer. Set sizes
+    ride along in the signature aggregate instead of a second groupBy.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sh = _shingle_sets(df, id_col, text_col, shingle_k)
-    sigs = minhash_signatures(sh, id_col, num_hashes)
+    sh = _shingle_sets(df, id_col, text_col, shingle_k).persist()
+    # sigs feeds the band buckets AND the set-size lookups: persist the
+    # one-row-per-doc aggregate too so the 64-hash agg runs once.
+    sigs = minhash_signatures(sh, id_col, num_hashes).persist()
 
     band_structs = [
         F.struct(
@@ -99,8 +123,9 @@ def minhash_neardup_pairs(
         .distinct()
     )
 
-    # exact-jaccard verification on candidates only
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    # exact-jaccard verification on candidates only; set sizes come from
+    # the (cached) signature aggregate, not a second scan of sh
+    counts = sigs.select(id_col, "n")
     sha = sh.select(F.col(id_col).alias("id_a"), "s")
     shb = sh.select(F.col(id_col).alias("id_b"), "s")
     common = (
