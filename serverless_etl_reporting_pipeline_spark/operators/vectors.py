@@ -1,19 +1,24 @@
 """Vector similarity operators over `array<float>` embedding columns
 (SURVEY.md §2.11 north-star set).
 
-Cosine is computed JVM-side with array higher-order functions
-(`zip_with` + `aggregate` left fold) in DOUBLE — no Python UDF, stays in
-codegen, and the float→double promotion is exact so the DuckDB oracle
-can reproduce results bit-for-bit (DuckDB's built-in
-`list_cosine_similarity` accumulates in float32 — ~1e-8 off — so oracles
-use the explicit double formulation instead).
+Numeric discipline: components are quantized to 1e-6 integers (carried
+as float64), so every dot product / norm is EXACT integer arithmetic
+below 2^53 — associative, order-independent, and bit-identical between
+a numpy BLAS matmul, a JVM fold, and DuckDB's list_sum. That is what
+makes the similarity operators (even the ANN ones) oracle-checkable.
+The hot path is an Arrow-batched numpy kernel (`_stack_quantized` →
+matmul) — Spark's array higher-order functions are interpreted
+(~µs/element) and are used only on tiny frames (cell centroids).
 
 Scale paths:
-- brute-force top-k: one map + TakeOrderedAndProject — linear scan,
-  embarrassingly parallel, the right baseline even at 100 TB when k is
-  small and queries are few;
-- `ann_topk_lsh`: BucketedRandomProjectionLSH bucketing for repeated /
-  batched queries — prunes the scan to matching buckets.
+- brute-force top-k: one map kernel + TakeOrderedAndProject — linear
+  scan, embarrassingly parallel, the right baseline even at 100 TB when
+  k is small and queries are few;
+- `ivf_topk` / `ann_topk_rp` / `ann_topk_lsh`: bucket-pruned variants
+  for repeated queries — scan only the probed cells/buckets;
+- all-pairs ops (`top_similar_pairs`, `neardup_map`): unordered
+  block-pair grid join by default (no driver collect, arbitrary n);
+  broadcast build only as an opt-in small-N fast path.
 """
 
 from __future__ import annotations
@@ -54,23 +59,54 @@ def cosine(a: Column, b: Column) -> Column:
 
 def knn_bruteforce(
     df: DataFrame,
-    query_vec: list[float],
+    query_vec_quantized: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine vs a literal query vector.
+    """Exact top-k by quantized-integer cosine vs a literal query vector.
 
-    Plans as scan → project(cosine) → TakeOrderedAndProject: no shuffle
-    of the vectors, only k rows cross the network per partition.
+    Plans as scan → Arrow cosine kernel → TakeOrderedAndProject: no
+    shuffle of the vectors, only k rows cross the network per partition.
+    The kernel is the same quantized BLAS path as the ANN variants
+    (`_stack_quantized`): exact integer arithmetic in float64, so the
+    result is bit-identical to the DuckDB quantized-double oracle. An
+    earlier formulation used interpreted `zip_with`+`aggregate` folds —
+    correct, but ~µs/element (4 s at sf0.1 vs <1 s for this kernel).
+
+    `query_vec_quantized` must already be 1e-6-quantized (see
+    `quantize_np`; Python round() is half-to-even and would drift).
     """
-    q = F.lit(query_vec)
-    cos = cosine(as_double(vec_col), q)
+    import numpy as np
+
+    qq = np.asarray([float(x) for x in query_vec_quantized], dtype=np.float64)
+    qn = float(np.sqrt(qq @ qq))
+    bc = df.sparkSession.sparkContext.broadcast((qq, qn))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        q, qnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            cos = (A @ q) / (_np.sqrt((A * A).sum(axis=1)) * qnorm)
+            yield _pd.DataFrame({id_col: pdf["_id"].to_numpy(dtype=_np.int64), "_raw": cos})
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
+        ),
+    )
     return (
-        df.select(id_col, (F.round(cos * 1000000) / 1000000.0).alias("cos"), cos.alias("_raw"))
-        .orderBy(F.desc("_raw"), F.asc(id_col))
+        out.orderBy(F.desc("_raw"), F.asc(id_col))
         .limit(k)
-        .drop("_raw")
+        .select(id_col, (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"))
     )
 
 
@@ -224,29 +260,129 @@ _PAIRS_SCHEMA = T.StructType(
 )
 
 
+def _grid_pairs(
+    q: DataFrame,
+    m: int,
+    k: int | None = None,
+    tau: float | None = None,
+) -> DataFrame:
+    """All-pairs cosine over an unordered m×m block grid — the
+    no-driver-collect physical strategy for exact pairwise ops.
+
+    Each row hashes to a block `blk = xxhash64(id) mod m`; every
+    unordered doc pair {x, y} lands in exactly ONE group, keyed by the
+    unordered block pair {blk(x), blk(y)} — so groups partition the
+    pair space with no duplicates and no misses. A row is fanned out to
+    the m groups containing its block (explode over 0..m-1), then one
+    Arrow `applyInPandas` kernel per group runs the quantized BLAS
+    matmul (diagonal groups mask id_a < id_b; off-diagonal groups emit
+    every cross pair, oriented min-id first).
+
+    Per group the kernel keeps only the local top-`k` pairs (exact
+    final comparator) and/or the pairs with cos ≥ `tau`, so output is
+    k·m(m+1)/2 rows worst-case, not O(n²). Shuffle cost is m× the
+    vector data — the inherent price of exact all-pairs without a
+    broadcastable side; beyond that, use the LSH/IVF candidate paths.
+    """
+    fan = (
+        q.withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(m)).cast("int"))
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .withColumn("_lo", F.least("_blk", "_other"))
+        .withColumn("_hi", F.greatest("_blk", "_other"))
+    )
+    kk = None if k is None else int(k)
+    tt = None if tau is None else float(tau)
+
+    def kernel(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame({"id_a": [], "id_b": [], "raw_cos": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "raw_cos": "float64"}
+        )
+        if not len(pdf):
+            return empty
+        lo, hi = int(key[0]), int(key[1])
+        if lo == hi:
+            A = _stack_quantized(pdf)
+            ids = pdf["_id"].to_numpy(dtype=_np.int64)
+            an = _np.sqrt((A * A).sum(axis=1))
+            S = (A @ A.T) / (an[:, None] * an[None, :])
+            ai, bi = _np.nonzero(ids[:, None] < ids[None, :])
+            ida, idb, cos = ids[ai], ids[bi], S[ai, bi]
+        else:
+            pa = pdf[pdf["_blk"] == lo]
+            pb = pdf[pdf["_blk"] == hi]
+            if not len(pa) or not len(pb):
+                return empty
+            A, B = _stack_quantized(pa), _stack_quantized(pb)
+            aids = pa["_id"].to_numpy(dtype=_np.int64)
+            bids = pb["_id"].to_numpy(dtype=_np.int64)
+            an = _np.sqrt((A * A).sum(axis=1))
+            bn = _np.sqrt((B * B).sum(axis=1))
+            S = (A @ B.T) / (an[:, None] * bn[None, :])
+            xa = _np.repeat(aids, len(bids))
+            xb = _np.tile(bids, len(aids))
+            ida, idb = _np.minimum(xa, xb), _np.maximum(xa, xb)
+            cos = S.ravel()
+        if tt is not None:
+            keep = cos >= tt
+            ida, idb, cos = ida[keep], idb[keep], cos[keep]
+        if kk is not None and len(cos) > kk:
+            order = _np.lexsort((idb, ida, -cos))[:kk]
+            ida, idb, cos = ida[order], idb[order], cos[order]
+        return _pd.DataFrame({"id_a": ida, "id_b": idb, "raw_cos": cos})
+
+    return fan.groupBy("_lo", "_hi").applyInPandas(kernel, schema=_PAIRS_SCHEMA)
+
+
+def _grid_size(df: DataFrame, block_rows: int = 256, max_blocks: int = 64) -> int:
+    """Pick the block-grid size from the table's row COUNT (a scalar
+    aggregate — no vector data reaches the driver). `block_rows` sized
+    so a group (two blocks) is a comfortable Arrow batch; `max_blocks`
+    caps the fan-out replication factor."""
+    n = df.count()
+    return max(1, min(max_blocks, -(-n // block_rows)))
+
+
 def top_similar_pairs(
     df: DataFrame,
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grid_blocks: int | None = None,
 ) -> DataFrame:
     """Exact global top-k most-similar pairs by quantized-integer cosine.
 
-    Physical strategy: broadcast the (quantized) full matrix as the
-    build side — the same role as a broadcast-hash-join build — and
-    stream the probe side through an Arrow-batched numpy kernel: each
-    block computes block @ Bᵀ (float64 BLAS over exact integers ⇒ exact,
-    see `quantized`), masks id_a < id_b, and emits only its local top-k
-    under the exact final comparator (-cos, id_a, id_b); the driver-side
-    plan takes the global top-k of ≤ k·numPartitions rows. An earlier
-    all-pairs join with per-pair array folds ran ~25× slower at sf0.1
-    (interpreted higher-order functions, 3× redundant norm work).
+    Physical strategy: unordered block-pair grid (`_grid_pairs`) — every
+    pair is scored by a BLAS matmul in exactly one `applyInPandas`
+    group, each group emits only its local top-k under the exact final
+    comparator (-cos, id_a, id_b), and the plan takes the global top-k
+    of ≤ k·m(m+1)/2 rows. NO driver-side collect of vectors and no
+    broadcast build: memory per task is two blocks, so n is unbounded.
+    (The broadcast variant `top_similar_pairs_broadcast` remains as a
+    small-N fast path; an even earlier all-pairs join with per-pair
+    array folds ran ~25× slower at sf0.1.)
 
-    Scale limit: the build side is n·d·8 bytes of executor memory (like
-    any broadcast build). Beyond that, grid-block both sides into an
-    m×m block join, or switch to the LSH candidate path (ann_topk_lsh) —
-    exact all-pairs top-k at 100 TB is O(n²) work no matter the engine.
+    Exact all-pairs is O(n²) work no matter the engine — at data sizes
+    where that's unpayable, switch to the LSH/IVF candidate paths.
     """
+    q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
+    m = grid_blocks if grid_blocks is not None else _grid_size(df)
+    top = _grid_pairs(q, m, k=int(k))
+    return top.orderBy(F.desc("raw_cos"), "id_a", "id_b").limit(k)
+
+
+def top_similar_pairs_broadcast(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-build variant of `top_similar_pairs`: collect + quantize
+    the full matrix driver-side (n·d·8 bytes — small-N interactive use
+    ONLY), stream the probe side through the same exact kernel. Produces
+    bit-identical results to the grid path."""
     spark = df.sparkSession
     q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
     # build side only — the probe side never collects
@@ -290,36 +426,17 @@ def neardup_map(
     near-dup dedup — the transitive (connected-components) variant lives
     in operators/minhash.py; both keep min-id representatives.
 
-    Physical strategy mirrors `top_similar_pairs`: broadcast the
-    quantized matrix, stream probe blocks through a BLAS kernel, but
-    emit only pairs above threshold — output is |near-dup pairs|, not
-    O(n²). The per-row min reduction is a map-side-combinable groupBy.
-    At 100 TB, swap the broadcast build for RP-bucket blocking
-    (`random_hyperplanes` codes as join key) — same kernel per bucket.
+    Physical strategy mirrors `top_similar_pairs`: unordered block-pair
+    grid (`_grid_pairs`) scoring every pair in exactly one Arrow BLAS
+    group — no driver collect, no broadcast build, n unbounded — but
+    emitting only pairs above threshold, so output is |near-dup pairs|,
+    not O(n²). The per-row min reduction is a map-side-combinable
+    groupBy. For candidate pruning beyond the exact grid, RP-bucket
+    blocking (`random_hyperplanes` codes as join key) runs the same
+    kernel per bucket.
     """
-    spark = df.sparkSession
     q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
-    bc = spark.sparkContext.broadcast(_collect_quantized_build(df, id_col, vec_col))
-    tau = float(threshold)
-
-    def kernel(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        ids_b, Bm, bn = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = _stack_quantized(pdf)
-            aid = pdf["_id"].to_numpy(dtype=_np.int64)
-            an = _np.sqrt((A * A).sum(axis=1))
-            S = (A @ Bm.T) / (an[:, None] * bn[None, :])
-            ai, bi = _np.nonzero((aid[:, None] < ids_b[None, :]) & (S >= tau))
-            yield _pd.DataFrame(
-                {"id_a": aid[ai], "id_b": ids_b[bi], "raw_cos": S[ai, bi]}
-            )
-
-    pairs = q.mapInPandas(kernel, schema=_PAIRS_SCHEMA)
+    pairs = _grid_pairs(q, _grid_size(df), tau=float(threshold))
     kept = pairs.groupBy("id_b").agg(F.min(F.struct("id_a", "raw_cos")).alias("m"))
     return kept.select(
         F.col("id_b").alias("dup_id"),

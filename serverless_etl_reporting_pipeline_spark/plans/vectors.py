@@ -21,13 +21,6 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
-_DUCK_COS = """
-  list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-"""
-
-
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
@@ -35,20 +28,36 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
 
 @query(
     "v01_knn_bruteforce",
-    oracle=f"""
-    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, round(({_DUCK_COS.format(a="embedding", b="q")}) * 1000000) / 1000000.0 AS cos
-    FROM embeddings, qv
-    WHERE vec_id <> 0
-    ORDER BY {_DUCK_COS.format(a="embedding", b="q")} DESC, vec_id
+    oracle="""
+    WITH qv AS (
+        SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+        FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(e.v, q), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q, x -> x * x)))) AS raw_cos
+        FROM e, qv
+    )
+    ORDER BY raw_cos DESC, vec_id
     LIMIT 10
     """,
-    doc="brute-force cosine top-k (query = vec 0) — north star similarity search baseline",
+    doc="brute-force cosine top-k (query = vec 0) — north star similarity search baseline; "
+    "quantized-integer cosine in one Arrow BLAS kernel (exact, oracle-identical; "
+    "operators/vectors.py knn_bruteforce)",
 )
 def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import quantize_np
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    return knn_bruteforce(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return knn_bruteforce(emb.filter(F.col("vec_id") != 0), list(quantize_np(q)), k=10)
 
 
 @query(

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_dedup_survivors, minhash_neardup_pairs
 from serverless_etl_reporting_pipeline_spark.operators.multimodal import attach_binary, frame_sample, resize
-from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, knn_bruteforce
+from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, knn_bruteforce, quantize_np
 from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -42,7 +42,7 @@ def test_ann_lsh_contains_top1(spark, sf_dir):
     cosine neighbor for normalized-ish random data — sanity recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
-    exact = knn_bruteforce(emb.filter("vec_id != 0"), q, k=10).collect()
+    exact = knn_bruteforce(emb.filter("vec_id != 0"), list(quantize_np(q)), k=10).collect()
     approx = {r["vec_id"] for r in ann_topk_lsh(emb.filter("vec_id != 0"), q, k=10).collect()}
     assert len(approx) == 10
     # weak-but-meaningful recall bound: some overlap with exact top-10

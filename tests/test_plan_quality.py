@@ -66,3 +66,19 @@ def test_aggregates_are_partial_final(spark, sf_dir, name):
     """Group-bys must plan map-side partial + final HashAggregate."""
     plan = _plan(spark, REGISTRY[name].builder(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["v02_top_similar_pairs", "v07_embedding_neardup"])
+def test_allpairs_vector_ops_never_collect_vectors(spark, sf_dir, name, monkeypatch):
+    """The exact all-pairs ops must use the block-grid path: building
+    the plan may run scalar actions (count) but must NEVER collect
+    vector rows to the driver — a driver OOM at 100 TB."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError(f"{name} builder collected rows driver-side")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom, raising=False)
+    df = REGISTRY[name].builder(spark, sf_dir)  # must not raise
+    assert df is not None
