@@ -59,6 +59,17 @@ def main() -> None:
         .limit(5)
         .collect()
     )
+    # warm the text/vector paths on tiny slices: xxhash64 banding +
+    # regex tokenize (JVM JIT) and the Arrow python-worker pipeline
+    # (worker spawn, numpy import, mapInPandas/applyInPandas codegen) —
+    # otherwise whichever t-/v-query runs first pays them
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_neardup_pairs
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import top_similar_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    minhash_neardup_pairs(docs.limit(64), "doc_id", "text", jaccard_threshold=0.5).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    top_similar_pairs(emb.limit(128), k=5, grid_blocks=2).collect()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}

@@ -9,7 +9,9 @@ bugs fixed here (SURVEY.md §2.9, §7.3):
   → we use a strictly-greater predicate on the exact stored timestamp
   (microsecond precision), no bump;
 - string interpolation into SQL → the predicate is a Column expression
-  (for JDBC it would ride the pushdown, parameterized).
+  here; the JDBC path (sources/jdbc.py) still renders SQL text — the
+  `query` option has no bind channel — but constrains both injected
+  pieces (strftime timestamp, identifier-validated ts_col).
 
 The principled streaming replacement (checkpointed Structured Streaming
 with `Trigger.AvailableNow`) lives in `streaming/ingest.py`; this module

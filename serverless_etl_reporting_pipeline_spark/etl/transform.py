@@ -13,10 +13,20 @@ codegen):
                                          (transform.py:30-37, D2)
 - drop rows NULL in any critical column  (transform.py:40-42, P4)
 
-One deliberate semantic upgrade (SURVEY.md §7.3): pandas' keep-first
-depends on input order, which doesn't exist in a distributed shuffle —
-we keep the row with the lowest `transaction_id`, which is deterministic
-on any cluster and matches pandas whenever input was id-ordered.
+Two deliberate semantic upgrades (SURVEY.md §7.3):
+
+- pandas' keep-first depends on input order, which doesn't exist in a
+  distributed shuffle — we keep the row with the lowest
+  `transaction_id`, which is deterministic on any cluster and matches
+  pandas whenever input was id-ordered.
+- the NULL-critical drop runs BEFORE the dedup (the reference dedupes
+  first, then drops NULLs — transform.py:37 vs :40). Under the
+  reference's order, a dedup group whose input-order winner happens to
+  have a NULL transaction_id vanishes entirely even when the group
+  contains valid rows; here NULL-critical rows never enter the dedup,
+  so they can neither win a group nor suppress its valid duplicates.
+  The swap only changes outcomes for exactly those groups, and keeps
+  "every surviving key had at least one fully-valid row" true.
 
 Scale note: the dedup is a window over the dedup key — Spark shuffles by
 key once; no global sort. Key cardinality ≈ row count, so skew is not a

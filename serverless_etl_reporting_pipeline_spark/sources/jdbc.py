@@ -3,9 +3,13 @@
 
 Two improvements over the reference:
 
-- the incremental predicate is a parameterized pushdown (the reference
-  string-interpolates the watermark into SQL — injection-prone and
-  second-precision only);
+- the incremental predicate pushes down with microsecond precision and
+  a validated identifier (the reference interpolates a second-precision
+  watermark with a +1s bump — boundary rows can be lost). The predicate
+  text is still assembled by string formatting — JDBC's `query` option
+  has no bind-parameter channel — but the timestamp comes from
+  `datetime.strftime` (shape-safe) and `ts_col` must match a strict
+  identifier regex, so no attacker-controlled text can reach the SQL;
 - reads are partitioned (`partitionColumn`/`numPartitions`) so a large
   extract parallelizes across executors instead of one connection.
 
@@ -16,9 +20,12 @@ anywhere a driver jar is on the classpath.
 
 from __future__ import annotations
 
+import re
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+
+_IDENTIFIER = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
 
 
 def jdbc_table(
@@ -63,9 +70,18 @@ def jdbc_incremental_query(
     join+project SQL executes on the source DB (like extract.py's
     MySQL-side join), with a strictly-greater watermark predicate —
     microsecond precision, no +1s bump, no lost boundary rows.
+
+    The predicate is built by string formatting (the JDBC `query`
+    option offers no bind parameters), so both injected pieces are
+    constrained: the timestamp is rendered by `strftime` from a
+    `datetime` (cannot contain SQL), and `ts_col` must match a strict
+    `[A-Za-z_][A-Za-z0-9_]*` identifier (optionally table-qualified) —
+    anything else raises before any SQL is assembled.
     """
     query = base_query
     if watermark is not None:
+        if not _IDENTIFIER.match(ts_col):
+            raise ValueError(f"ts_col is not a plain column identifier: {ts_col!r}")
         ts = watermark.strftime("%Y-%m-%d %H:%M:%S.%f")
         query = f"SELECT * FROM ({base_query}) _i WHERE {ts_col} > TIMESTAMP '{ts}'"
     reader = spark.read.format("jdbc").option("url", url).option("query", query)

@@ -106,8 +106,14 @@ def compact_partitions(spark: SparkSession, path: str) -> int:
     each directory gets one file) while distinct partitions still spread
     across defaultParallelism tasks. Dynamic partition overwrite
     replaces only partitions present in the rewrite (a date-filtered
-    frame would compact just that range), so concurrent readers never
-    see a half-deleted dataset. Returns the number of rows rewritten.
+    frame would compact just that range), which bounds the blast radius
+    to the partitions being compacted — but plain parquet directories
+    are NOT snapshot-isolated: a reader listing files mid-commit can
+    see a mix of old and new files within a partition, and a mid-job
+    failure can leave some partitions replaced and others not. Run
+    compaction in a maintenance window, or use a transactional table
+    format (Delta/Iceberg) where true reader isolation is required.
+    Returns the number of rows rewritten.
     """
     df = spark.read.parquet(path)
     n = df.count()

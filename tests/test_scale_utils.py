@@ -71,6 +71,17 @@ def test_jdbc_reader_construction(spark):
         jdbc_incremental_query(
             spark, "jdbc:mysql://example/db", "SELECT 1 AS x", "at", None
         )
+    with pytest.raises(ValueError, match="identifier"):
+        # non-identifier ts_col must be rejected BEFORE SQL assembly
+        from datetime import datetime
+
+        jdbc_incremental_query(
+            spark,
+            "jdbc:mysql://example/db",
+            "SELECT 1 AS x",
+            "at; DROP TABLE t --",
+            datetime(2024, 1, 1),
+        )
 
 
 def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
