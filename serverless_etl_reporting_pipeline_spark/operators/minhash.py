@@ -144,15 +144,77 @@ def minhash_neardup_pairs(
     )
 
 
+def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph: (id, lbl) where
+    `lbl` is the SMALLEST doc id reachable through near-dup edges — the
+    component's canonical survivor.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds, which for near-dup clusters (dense,
+    shallow) is a handful. Each round is one key-partitioned join+agg
+    over the EDGE set (candidate pairs only — tiny next to the corpus),
+    with `localCheckpoint` truncating lineage so plans don't snowball;
+    on a cluster with a checkpoint dir, swap in `checkpoint`. The only
+    driver-side values are the per-round changed-row counts.
+    Deterministic: pure min arithmetic, no RNG.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("lbl"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        lbl_by_dst = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("dlbl"))
+        prop = (
+            edges.join(lbl_by_dst, "dst")
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("plbl"))
+            .select(F.col("src").alias("id"), "plbl")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup_survivors(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
-    """Near-dup dedup: drop every doc that has a near-duplicate with a
-    lower id (greedy keep-lowest; one anti-join, no connected components
-    needed for the keep-first policy)."""
+    """Near-dup dedup with two survivor policies:
+
+    - greedy keep-lowest (default): drop every doc that has a DIRECT
+      near-duplicate with a lower id — one anti-join, no iteration;
+    - `transitive=True`: connected-components clustering
+      (`neardup_components`) — exactly one survivor (the min id) per
+      near-dup CLUSTER, so chains A~B~C collapse to A even when A and C
+      are not directly similar. Costs O(diameter) passes over the
+      candidate-pair graph.
+
+    The policies differ only on nodes all of whose direct neighbors are
+    larger but whose component min is smaller (V-shapes / chains).
+    """
     pairs = minhash_neardup_pairs(df, id_col, text_col, jaccard_threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = neardup_components(pairs)
+        losers = comp.filter(F.col("lbl") < F.col("id")).select(F.col("id").alias(id_col))
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

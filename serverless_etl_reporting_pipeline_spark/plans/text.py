@@ -23,7 +23,10 @@ from serverless_etl_reporting_pipeline_spark.operators.text import (
     simhash_bits,
     tokens,
 )
-from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_neardup_pairs
+from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+    minhash_neardup_pairs,
+    neardup_components,
+)
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -331,6 +334,64 @@ def t09_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
     return pairs.select(
         "id_a", "id_b", (F.round(F.col("jaccard") * 1000000) / 1000000.0).alias("jaccard")
+    )
+
+
+@query(
+    "t11_neardup_components",
+    # Same recall argument as t09 (exact-verify on banded candidates ⇒
+    # output = exact-jaccard graph), then connected components: DuckDB
+    # expresses the transitive closure as a recursive CTE; Spark as
+    # iterative min-label propagation. Both are exact.
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS dup_id, min(lbl) AS kept_id
+    FROM reach
+    GROUP BY id
+    HAVING min(lbl) < id
+    ORDER BY dup_id
+    """,
+    doc="transitive near-dup dedup map: connected components over the exact-verified "
+    "MinHash-LSH pair graph, survivor = component-min id — chains A~B~C collapse to A "
+    "(operators/minhash.py neardup_components; SURVEY.md §2.11 clustering variant)",
+)
+def t11_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    comp = neardup_components(pairs)
+    return (
+        comp.filter(F.col("lbl") < F.col("id"))
+        .select(F.col("id").alias("dup_id"), F.col("lbl").alias("kept_id"))
+        .orderBy("dup_id")
     )
 
 

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.operators.minhash import minhash_dedup_survivors, minhash_neardup_pairs
+from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+    minhash_dedup_survivors,
+    minhash_neardup_pairs,
+    neardup_components,
+)
 from serverless_etl_reporting_pipeline_spark.operators.multimodal import attach_binary, frame_sample, resize
 from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_lsh, knn_bruteforce, quantize_np
 from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
@@ -35,6 +39,35 @@ def test_minhash_dedup_survivors(spark, sf_dir):
     assert n_surv < n_docs  # planted near-dups removed
     # keep-lowest policy: the minimum doc_id always survives
     assert survivors.agg(F.min("doc_id")).collect()[0][0] == 0
+
+
+def test_neardup_components_chain_propagation(spark):
+    """Min-label propagation across a 3-node chain needs >1 round —
+    the exact case a single-pass rule gets wrong."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["lbl"] for r in neardup_components(pairs).collect()}
+    assert comp == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_transitive_survivors_collapse_vshapes(spark):
+    """docs 1 and 2 are each near-dups of 3 but not of each other:
+    greedy keep-lowest keeps {1, 2}; connected-components keeps only
+    the component min {1}."""
+    X = [f"x{i}" for i in range(16)]
+    Y = [f"y{i}" for i in range(16)]
+    rows = [(1, " ".join(X)), (2, " ".join(Y)), (3, " ".join(X[:14] + Y[:14]))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    greedy = {
+        r["doc_id"] for r in minhash_dedup_survivors(docs, jaccard_threshold=0.4).collect()
+    }
+    trans = {
+        r["doc_id"]
+        for r in minhash_dedup_survivors(docs, jaccard_threshold=0.4, transitive=True).collect()
+    }
+    assert greedy == {1, 2}
+    assert trans == {1}
 
 
 def test_ann_lsh_contains_top1(spark, sf_dir):
