@@ -209,6 +209,7 @@ _DUCK_ONLY = {
     "t07_ngram_jaccard_pairs",
     "t08_simhash",
     "t09_minhash_lsh_neardup",
+    "t11_neardup_components",
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
     "v03_label_centroids",
