@@ -13,9 +13,12 @@ Two improvements over the reference:
 - reads are partitioned (`partitionColumn`/`numPartitions`) so a large
   extract parallelizes across executors instead of one connection.
 
-No JDBC driver ships in this container, so these builders are exercised
-by construction-only tests; the returned DataFrame plans execute
-anywhere a driver jar is on the classpath.
+These builders are exercised LIVE against embedded Apache Derby (the
+jars Spark bundles for its Hive metastore double as a real JDBC
+database): tests/test_etl.py round-trips write → full read →
+partitioned read → microsecond-watermark incremental read. The same
+plans execute against MySQL/Postgres/etc. with that driver jar on the
+classpath.
 """
 
 from __future__ import annotations
@@ -83,7 +86,13 @@ def jdbc_incremental_query(
         if not _IDENTIFIER.match(ts_col):
             raise ValueError(f"ts_col is not a plain column identifier: {ts_col!r}")
         ts = watermark.strftime("%Y-%m-%d %H:%M:%S.%f")
-        query = f"SELECT * FROM ({base_query}) _i WHERE {ts_col} > TIMESTAMP '{ts}'"
+        # Dialect portability, verified against live embedded Derby:
+        # the alias must start with a letter (leading-underscore
+        # identifiers are rejected, ERROR 42X01), and the watermark is
+        # rendered as the JDBC timestamp escape {ts '...'} — drivers
+        # rewrite it into their own literal syntax, unlike the ANSI
+        # TIMESTAMP '...' form which Derby rejects outright.
+        query = f"SELECT * FROM ({base_query}) incr WHERE {ts_col} > {{ts '{ts}'}}"
     reader = spark.read.format("jdbc").option("url", url).option("query", query)
     if driver:
         reader = reader.option("driver", driver)
