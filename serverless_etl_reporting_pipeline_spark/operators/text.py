@@ -58,6 +58,79 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    pre-training/RAG chunking op: chunk i covers tokens
+    [i·stride+1, i·stride+chunk_size] with stride = chunk_size - overlap.
+
+    Chunk count is `max(1, ceil((n_tokens - overlap) / stride))`, so every
+    token lands in ≥1 chunk, consecutive chunks share `overlap` tokens,
+    and an empty/short document still yields one (possibly short) chunk.
+
+    Map-only at any scale: tokenize, per-row chunk-count arithmetic, an
+    explode bounded by n_tokens/stride, and array `slice` — all JVM
+    codegen, no shuffle, parallelism = input splits.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    # ceil((n - overlap) / stride) in exact integer-over-double math:
+    # the dividend is a small int, so floor((x + stride - 1)/stride) is
+    # exact and identical in Spark and DuckDB.
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.size("_t") - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)),
+    ).cast("int")
+    fan = base.select(
+        id_col, "_t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    chunk = F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, chunk_size)
+    return fan.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the `n_per_stratum` rows
+    of each stratum that rank lowest by md5(id) — a rerun-stable,
+    engine-portable pick (no RNG, no sampleBy fraction drift), the
+    per-language/per-source balancing step of a corpus pipeline.
+
+    Physical shape: one shuffle keyed by the strata columns, then a
+    row_number window. The md5 order makes the within-stratum sort key
+    uniform, so quota selection is unbiased w.r.t. any natural ordering.
+    At 100 TB, a giant stratum still fully sorts inside its partitions;
+    when quotas are small relative to strata, a map-only hash-prefix
+    pre-filter (t10-style md5 threshold sized to over-cover the quota)
+    in front of this window cuts the sorted volume by orders of
+    magnitude without changing the selection.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
 def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document as a '0'/'1' bitstring column `simhash`.
 

@@ -16,11 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.text import (
+    chunk_tokens,
     exact_dedup,
     fingerprint_md5,
     normalize_text,
     shingles,
     simhash_bits,
+    stratified_sample,
     tokens,
 )
 from serverless_etl_reporting_pipeline_spark.operators.minhash import (
@@ -422,4 +424,72 @@ def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "t12_chunking",
+    # Engine-portable construction: same \w+ tokenizer, identical exact
+    # integer chunk-count arithmetic (floor over a small exact double),
+    # Spark slice(start, length) == DuckDB list_slice(start, stop)
+    # inclusive-stop with stop = start + chunk_size - 1, md5 over the
+    # space-joined chunk (identical hex in both engines).
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               list_slice(t, 1 + i * 80, i * 80 + 100) AS c
+        FROM toks,
+             UNNEST(generate_series(
+                 0,
+                 CAST(greatest(1, floor((len(t) - 20 + 79) / 80.0)) AS BIGINT) - 1
+             )) AS u(i)
+    )
+    SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_fp
+    FROM ch
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="overlapping token-window chunking (chunk_size=100, overlap=20) — the standard "
+    "pre-training/RAG document splitting op; map-only JVM slice arithmetic, no shuffle "
+    "(operators/text.py chunk_tokens)",
+)
+def t12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_tokens(docs, "doc_id", "text", chunk_size=100, overlap=20)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "t13_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 25
+    ORDER BY lang, sample_rank
+    """,
+    doc="deterministic per-language quota sample (25 docs/lang, md5-ordered) — the "
+    "corpus balancing step; rerun-stable with no RNG, one shuffle on the stratum key "
+    "(operators/text.py stratified_sample)",
+)
+def t13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, ["lang"], 25, "doc_id")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
     )

@@ -213,3 +213,47 @@ def test_simhash_near_dups_close(spark, sf_dir):
     near = [ham(a, b) for a, b in pairs]
     some_random = [ham(0, d) for d in list(sig)[1:40] if d != 0]
     assert max(near) < sum(some_random) / len(some_random)  # near-dups ≪ random average
+
+
+def test_chunk_tokens_overlap_and_coverage(spark):
+    """Chunks cover every token; consecutive chunks share exactly
+    `overlap` tokens; short/empty docs yield one chunk."""
+    from serverless_etl_reporting_pipeline_spark.operators.text import chunk_tokens, tokens
+
+    import pytest as _pytest
+
+    words_170 = " ".join(f"w{i}" for i in range(170))
+    df = spark.createDataFrame(
+        [(1, words_170), (2, "just three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(df, "doc_id", "text", chunk_size=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 170 tokens, stride 80: ceil((170-20)/80)=2 chunks of 100 and 90
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [100, 90]
+    a, b = c1[0]["chunk_text"].split(), c1[1]["chunk_text"].split()
+    assert a[80:] == b[:20]          # exact overlap region
+    assert a + b[20:] == words_170.split()  # full coverage, in order
+    # short doc: one whole chunk; empty doc: one empty chunk
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [3]
+    assert [r["n_chunk_tokens"] for r in by_doc[3]] == [0]
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", chunk_size=50, overlap=50)
+
+
+def test_stratified_sample_quota_and_determinism(spark, sf_dir):
+    from serverless_etl_reporting_pipeline_spark.operators.text import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, ["lang"], 10, "doc_id")
+    counts = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    pop = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, pop[lang])
+    # rerun-stable: same ids both times
+    ids1 = sorted(r["doc_id"] for r in samp.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, ["lang"], 10, "doc_id").collect())
+    assert ids1 == ids2

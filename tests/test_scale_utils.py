@@ -262,6 +262,7 @@ _DUCK_ONLY = {
     "t08_simhash",
     "t09_minhash_lsh_neardup",
     "t11_neardup_components",
+    "t12_chunking",
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
     "v03_label_centroids",
