@@ -468,6 +468,218 @@ def t12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t14_tfidf_top_terms",
+    # Rational idf (N - df + 0.5)/(df + 0.5) — the BM25 idf core without
+    # the log — keeps every score a ratio/product of exact integers, so
+    # the score doubles (and therefore the per-source ranking) are
+    # bit-identical in Spark and DuckDB; ln() would be libm-dependent.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source, UNNEST(regexp_extract_all(lower(text), '\w+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT source, tf.tok AS term, tf,
+               tf * ((n - df + 0.5) / (df + 0.5)) AS score,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY tf * ((n - df + 0.5) / (df + 0.5)) DESC, tf.tok
+               ) AS rk
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf,
+           round(score * 10000) / 10000.0 AS tfidf,
+           CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    doc="TF-IDF top-5 terms per source (rational BM25-style idf, engine-exact scores) — "
+    "the domain/topic term-extraction op of a corpus pipeline; explode + two hash aggs "
+    "+ broadcast scalar + per-source ranking window",
+)
+def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_e = docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+    tf = toks_e.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks_e.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    # dfreq is |vocabulary| rows, n is one row — both broadcast; the only
+    # big shuffles are the two token aggregates (map-side combined).
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(n))
+        .withColumn("score", F.col("tf") * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            (F.round(F.col("score") * 10000) / 10000.0).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "t15_top_bigrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    )
+    SELECT bigram, count(*) AS occurrences
+    FROM bg
+    GROUP BY bigram
+    ORDER BY occurrences DESC, bigram
+    LIMIT 20
+    """,
+    doc="global top-20 bigram counts — collocation/n-gram frequency analysis; explode + "
+    "one map-side-combined hash agg + TakeOrderedAndProject (no global sort)",
+)
+def t15_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(tokens("text").alias("t")).select(
+        F.explode(shingles("t", 2)).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# Gopher/C4-style rule thresholds, first matching reason wins. Chosen to
+# actually partition the fixture corpus (token counts 10-99, stopword
+# ratio 0-0.22, top-token share 0.05-0.30 at sf0.01).
+_QF_MIN_TOKENS = 25
+_QF_MIN_STOPWORD_RATIO = 0.03
+_QF_MAX_REPETITION = 0.15
+_QF_STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
+
+
+def _token_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop, mx): total tokens, stopword hits, and the
+    top single-token count per document — one explode, one (doc, token)
+    count, one per-doc aggregate; every downstream ratio is a ratio of
+    these exact integers."""
+    toks_e = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    per_tok = toks_e.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    stop_hits = F.sum(F.when(F.col("tok").isin(*_QF_STOPWORDS), F.col("n")).otherwise(0))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        stop_hits.alias("stop"),
+        F.max("n").alias("mx"),
+    )
+
+
+_QF_PROFILE_SQL = r"""
+    WITH per_tok AS (
+        SELECT doc_id, tok, count(*) AS n
+        FROM (
+            SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS tok
+            FROM documents
+        )
+        GROUP BY doc_id, tok
+    ),
+    profile AS (
+        SELECT doc_id,
+               sum(n) AS n_tokens,
+               sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to', 'is', 'in') THEN n ELSE 0 END) AS stop,
+               max(n) AS mx
+        FROM per_tok
+        GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "t16_quality_filter",
+    oracle=_QF_PROFILE_SQL
+    + """
+    SELECT reason, count(*) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens) * 100.0 / count(*)) / 100.0 AS avg_tokens
+    FROM (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 25 THEN 'too_short'
+                    WHEN stop * 1.0 / n_tokens < 0.03 THEN 'low_stopword'
+                    WHEN mx * 1.0 / n_tokens > 0.15 THEN 'high_repetition'
+                    ELSE 'keep' END AS reason
+        FROM profile
+    )
+    GROUP BY reason
+    ORDER BY reason
+    """,
+    doc="composite quality filter (Gopher/C4-style rules: length, stopword ratio, "
+    "token repetition) with first-match drop reasons, aggregated per reason — the "
+    "keep/drop accounting step of a corpus curation pipeline; all rules are ratios "
+    "of exact integers so the routing is engine-identical",
+)
+def t16_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = _token_profile(docs)
+    reason = (
+        F.when(F.col("n_tokens") < _QF_MIN_TOKENS, "too_short")
+        .when(F.col("stop") * 1.0 / F.col("n_tokens") < _QF_MIN_STOPWORD_RATIO, "low_stopword")
+        .when(F.col("mx") * 1.0 / F.col("n_tokens") > _QF_MAX_REPETITION, "high_repetition")
+        .otherwise("keep")
+    )
+    return (
+        prof.select("n_tokens", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.round(F.sum("n_tokens") * 100.0 / F.count("*")) / 100.0).alias("avg_tokens"),
+        )
+        .orderBy("reason")
+    )
+
+
+@query(
+    "t17_repetition_ratio",
+    oracle=_QF_PROFILE_SQL
+    + """
+    SELECT doc_id,
+           CAST(mx AS BIGINT) AS top_token_count,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(mx * 10000.0 / n_tokens) / 10000.0 AS repetition_ratio
+    FROM profile
+    ORDER BY doc_id
+    """,
+    doc="per-document repetition signal: most-frequent-token share of all tokens "
+    "(the Gopher repetition rule's core statistic) — explode + two hash aggregates, "
+    "exact integer ratio",
+)
+def t17_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _token_profile(docs)
+        .select(
+            "doc_id",
+            F.col("mx").cast("bigint").alias("top_token_count"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.round(F.col("mx") * 10000.0 / F.col("n_tokens")) / 10000.0).alias("repetition_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "t13_stratified_sample",
     oracle="""
     SELECT doc_id, lang, sample_rank
