@@ -159,10 +159,12 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     driver-side values are the per-round changed-row counts.
     Deterministic: pure min arithmetic, no RNG.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
+    # materialize the pair graph once — both union branches and every
+    # propagation round read it, and upstream is the whole MinHash
+    # pipeline (recomputing it per branch doubled t11's cost)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("lbl"))
@@ -175,17 +177,18 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .agg(F.min("dlbl").alias("plbl"))
             .select(F.col("src").alias("id"), "plbl")
         )
+        # carry a moved flag through the checkpoint so convergence needs
+        # no second join-over-labels job per round
         new_labels = (
             labels.join(prop, "id", "left")
-            .select("id", F.least("lbl", F.coalesce("plbl", "lbl")).alias("lbl"))
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("plbl", "lbl")).alias("lbl"),
+                (F.coalesce("plbl", "lbl") < F.col("lbl")).cast("int").alias("moved"),
+            )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("moved")).collect()[0][0]
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     return labels

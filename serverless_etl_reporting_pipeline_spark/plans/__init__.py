@@ -16,6 +16,7 @@ from serverless_etl_reporting_pipeline_spark.plans import text  # noqa: F401, E4
 from serverless_etl_reporting_pipeline_spark.plans import vectors  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import multimodal  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import streams  # noqa: F401, E402
+from serverless_etl_reporting_pipeline_spark.plans import lakehouse  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import analytics  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import windows  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import relational  # noqa: F401, E402

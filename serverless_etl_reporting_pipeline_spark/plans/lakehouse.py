@@ -1,0 +1,178 @@
+"""Lakehouse/CDC corpus over the `events` table: SCD2 history building,
+incremental merge-upsert, and histogram profiling.
+
+The reference's whole ETL is the degenerate form of these: its
+watermarked extract + append (`pipeline/ETL/extract.py:36-81`,
+`load.py:50-56`) only ever *adds* rows. A real lake also needs the
+update path — keyed upsert (MERGE INTO semantics) and slowly-changing-
+dimension history — expressed here as pure DataFrame ops so they run on
+plain parquet without a table format. (With Delta/Iceberg the same
+logical plans drive `MERGE INTO`; see sources/lake.py for the
+compaction/atomicity caveats of plain parquet.)
+
+Determinism discipline matches the rest of the corpus: window
+tie-breaks on `event_id`, timestamps compared as exact µs values,
+`value` doubles pass through untouched (no re-aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+# Merge watermarks (events span 2024-01-01 .. 2024-01-30; these split the
+# signup stream so all three change classes actually occur at sf0.01:
+# 44 inserted / 59 updated / 27 unchanged)
+_MERGE_W1 = "2024-01-03"
+_MERGE_W2 = "2024-01-06"
+
+
+@query(
+    "e01_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, valid_from
+    """,
+    doc="SCD2 history build: each purchase event becomes a versioned state row with "
+    "[valid_from, valid_to) derived from the next event per user (lead window), "
+    "open-ended row flagged current — the standard slowly-changing-dimension "
+    "construction. One shuffle keyed by user_id; per-user sort inside partitions; "
+    "no global sort at scale (the ORDER BY here is presentation only)",
+)
+def e01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@query(
+    "e02_merge_upsert",
+    # The oracle states the POST-MERGE invariant directly (latest state
+    # per key as of W2, classified by whether the key existed at W1 /
+    # changed in (W1, W2]); the Spark side actually performs the merge:
+    # base snapshot ⟗ delta batch, newest row wins.
+    oracle=f"""
+    WITH scoped AS (
+        SELECT user_id, event_id, value, ts
+        FROM events
+        WHERE event_type = 'signup' AND ts <= TIMESTAMP '{_MERGE_W2}'
+    ),
+    latest AS (
+        SELECT user_id, event_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM scoped
+    ),
+    flags AS (
+        SELECT user_id,
+               max(CASE WHEN ts <= TIMESTAMP '{_MERGE_W1}' THEN 1 ELSE 0 END) AS has_base,
+               max(CASE WHEN ts > TIMESTAMP '{_MERGE_W1}' THEN 1 ELSE 0 END) AS has_delta
+        FROM scoped
+        GROUP BY user_id
+    )
+    SELECT l.user_id,
+           l.event_id AS last_event_id,
+           l.value AS last_value,
+           l.ts AS last_ts,
+           CASE WHEN has_delta = 0 THEN 'unchanged'
+                WHEN has_base = 1 THEN 'updated'
+                ELSE 'inserted' END AS change_type
+    FROM latest l JOIN flags USING (user_id)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="incremental merge-upsert (MERGE INTO semantics on plain DataFrames): base = "
+    "latest signup state per user at W1, delta = latest in (W1, W2], full-outer join "
+    "on the key, newest row wins, change classified inserted/updated/unchanged — the "
+    "CDC compaction step the reference's append-only load lacks. Scale shape: one "
+    "keyed window per side + one equi-join on the merge key; at 100 TB base and delta "
+    "shuffle once each on user_id and AQE picks broadcast when the delta is small",
+)
+def e02_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w1, w2 = F.lit(_MERGE_W1).cast("timestamp"), F.lit(_MERGE_W2).cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    base = latest(ev.filter(F.col("ts") <= w1)).select(
+        "user_id",
+        F.col("event_id").alias("b_event_id"),
+        F.col("value").alias("b_value"),
+        F.col("ts").alias("b_ts"),
+    )
+    delta = latest(ev.filter((F.col("ts") > w1) & (F.col("ts") <= w2))).select(
+        "user_id",
+        F.col("event_id").alias("d_event_id"),
+        F.col("value").alias("d_value"),
+        F.col("ts").alias("d_ts"),
+    )
+    merged = base.join(delta, "user_id", "full_outer")
+    take_delta = F.col("d_event_id").isNotNull()
+    change = (
+        F.when(~take_delta, "unchanged")
+        .when(F.col("b_event_id").isNotNull(), "updated")
+        .otherwise("inserted")
+    )
+    return merged.select(
+        "user_id",
+        F.when(take_delta, F.col("d_event_id")).otherwise(F.col("b_event_id")).alias("last_event_id"),
+        F.when(take_delta, F.col("d_value")).otherwise(F.col("b_value")).alias("last_value"),
+        F.when(take_delta, F.col("d_ts")).otherwise(F.col("b_ts")).alias("last_ts"),
+        change.alias("change_type"),
+    ).orderBy("user_id")
+
+
+@query(
+    "e03_value_histogram",
+    # bucket = least(floor(value / 25), 19): a double divide of exact
+    # parquet doubles + floor — IEEE-identical in both engines; counts
+    # and min/max pass the raw doubles through with no re-aggregation.
+    oracle="""
+    SELECT CAST(least(floor(value / 25), 19) AS INT) AS bucket,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="fixed-width histogram of event values (20 buckets of width 25, top bucket "
+    "open) — the dashboard/profiling primitive; single map-side-combined hash "
+    "aggregate, no sort until the 20-row result",
+)
+def e03_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )

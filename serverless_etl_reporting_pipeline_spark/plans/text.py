@@ -507,12 +507,16 @@ def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks_e.select("doc_id", "tok").distinct().groupBy("tok").agg(
         F.count("*").alias("df")
     )
-    n = docs.agg(F.count("*").alias("n"))
-    # dfreq is |vocabulary| rows, n is one row — both broadcast; the only
-    # big shuffles are the two token aggregates (map-side combined).
+    # dfreq is |vocabulary| rows — broadcast; the only big shuffles are
+    # the two token aggregates (map-side combined). The corpus size N is
+    # a one-number driver-side aggregate folded in as a literal (same
+    # two-phase pattern as the v01/v05 query-vector fetch): a lazy
+    # cross-join alternative constant-folds into a nested-loop plan,
+    # which the plan lint forbids registry-wide.
+    n = docs.count()
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(n))
+        .withColumn("n", F.lit(n))
         .withColumn("score", F.col("tf") * ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
     )
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))

@@ -263,3 +263,71 @@ def v06_ann_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     raw = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ann_topk_rp(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10)
+
+
+@query(
+    "v08_label_cohesion",
+    # Every number is derived from exact-integer sums: components quantize
+    # to 1e-6 ints, centroid components round(avg(int)) (exact int sums on
+    # both engines), and the per-vector cosine's dot/norms are sums of
+    # integer-valued doubles bounded by 64 * 1e12 < 2^53 — every partial
+    # sum is exactly representable, so any summation order gives the same
+    # double and the per-label stats are engine-identical.
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.pos - 1 AS dim,
+               CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+    ),
+    cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
+    per_vec AS (
+        SELECT vec_id, ex.label,
+               CAST(round(sum(q * c) / (sqrt(sum(q * q)) * sqrt(sum(c * c))) * 1000000) AS BIGINT) AS qcos
+        FROM ex JOIN cd ON ex.label = cd.label AND ex.dim = cd.dim
+        GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(qcos) * 1.0 / count(*)) / 1000000.0 AS mean_cos,
+           min(qcos) / 1000000.0 AS min_cos,
+           max(qcos) / 1000000.0 AS max_cos
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="per-label embedding cohesion: cosine of every vector to its own label centroid, "
+    "aggregated to mean/min/max per label — the cluster-quality / mislabeled-outlier "
+    "screen of an embedding pipeline. Physical shape: one linear explode, a tiny "
+    "(labels x dims) centroid aggregate broadcast back, two map-side-combined hash "
+    "aggregates — no all-pairs work at any scale",
+)
+def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "x")
+    ).select("vec_id", "label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
+    cent = ex.groupBy("label", "dim").agg(F.round(F.avg("q")).alias("c"))
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("c")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("q2"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+        .select(
+            "label",
+            F.round(F.col("dot") / (F.sqrt("q2") * F.sqrt("c2")) * 1000000)
+            .cast("bigint")
+            .alias("qcos"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            (F.round(F.sum("qcos") * 1.0 / F.count("*")) / 1000000.0).alias("mean_cos"),
+            (F.min("qcos") / 1000000.0).alias("min_cos"),
+            (F.max("qcos") / 1000000.0).alias("max_cos"),
+        )
+        .orderBy("label")
+    )

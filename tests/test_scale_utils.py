@@ -263,12 +263,17 @@ _DUCK_ONLY = {
     "t09_minhash_lsh_neardup",
     "t11_neardup_components",
     "t12_chunking",
+    "t14_tfidf_top_terms",
+    "t15_top_bigrams",
+    "t16_quality_filter",
+    "t17_repetition_ratio",
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
     "v03_label_centroids",
     "v05_ann_ivf_topk",
     "v06_ann_rplsh_topk",
     "v07_embedding_neardup",
+    "v08_label_cohesion",
     "w05_running_total_by_month",
     "w06_sessionization",
 }
