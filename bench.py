@@ -59,6 +59,20 @@ def main() -> None:
         .limit(5)
         .collect()
     )
+    # warm WindowExec codegen (the e-/w-group window queries run after
+    # only join/agg warmups alphabetically, so they'd pay it otherwise)
+    from pyspark.sql import Window
+
+    (
+        orders.limit(512)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderdate")),
+        )
+        .filter("rn = 1")
+        .agg(F.count("*"))
+        .collect()
+    )
     # warm the text/vector paths on tiny slices: xxhash64 banding +
     # regex tokenize (JVM JIT) and the Arrow python-worker pipeline
     # (worker spawn, numpy import, mapInPandas/applyInPandas codegen) —

@@ -176,3 +176,88 @@ def e03_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "e04_dq_checks",
+    # One conditional-aggregate pass over orders ⟕ customer, unpivoted to
+    # (check_name, metric) rows — the deequ/dbt-style data-quality gate a
+    # lake pipeline runs before publishing a partition. Every metric is
+    # an exact integer count.
+    oracle="""
+    WITH j AS (
+        SELECT o.o_custkey, o.o_orderstatus, o.o_totalprice, c.c_custkey
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT 'distinct_statuses' AS check_name, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS metric FROM j
+    UNION ALL
+    SELECT 'negative_totalprice', CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM j
+    UNION ALL
+    SELECT 'null_custkey', CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j
+    UNION ALL
+    SELECT 'orphan_orders', CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j
+    UNION ALL
+    SELECT 'row_count', CAST(count(*) AS BIGINT) FROM j
+    ORDER BY check_name
+    """,
+    doc="data-quality constraint checks (row count, null keys, referential orphans via "
+    "left join, domain cardinality, value bounds) as one conditional-aggregate pass + "
+    "stack() unpivot — the pre-publish validation gate; dims broadcast, single fact scan",
+)
+def e04_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left"
+    )
+    agg = j.agg(
+        F.count("*").alias("row_count"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("orphan_orders"),
+        F.countDistinct("o_orderstatus").alias("distinct_statuses"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("negative_totalprice"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            'distinct_statuses', CAST(distinct_statuses AS BIGINT),
+            'negative_totalprice', CAST(negative_totalprice AS BIGINT),
+            'null_custkey', CAST(null_custkey AS BIGINT),
+            'orphan_orders', CAST(orphan_orders AS BIGINT),
+            'row_count', CAST(row_count AS BIGINT)
+        ) AS (check_name, metric)"""
+    ).orderBy("check_name")
+
+
+@query(
+    "e05_order_percentiles",
+    # Spark `percentile` and DuckDB `quantile_cont` implement the same
+    # linear-interpolation definition ((1-g)·a + g·b on the sorted
+    # values); inputs are the raw parquet doubles, so the interpolated
+    # values agree to the last bit and the 1e-4 round is belt-and-braces.
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5) * 10000) / 10000.0 AS p50,
+           round(quantile_cont(o_totalprice, 0.9) * 10000) / 10000.0 AS p90,
+           round(quantile_cont(o_totalprice, 0.99) * 10000) / 10000.0 AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="exact per-group percentiles (p50/p90/p99 of order value by priority) — the "
+    "latency/value distribution profiling primitive; exact sort-based percentile here, "
+    "approx_percentile is the documented 100 TB fallback (single-pass sketch, no sort)",
+)
+def e05_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderpriority",
+            (F.round(F.col("p")[0] * 10000) / 10000.0).alias("p50"),
+            (F.round(F.col("p")[1] * 10000) / 10000.0).alias("p90"),
+            (F.round(F.col("p")[2] * 10000) / 10000.0).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

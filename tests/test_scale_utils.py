@@ -246,6 +246,7 @@ def test_catalog_ddl(spark, sf_dir):
 # parse AND agree.
 _DUCK_ONLY = {
     "a06_day_of_week",
+    "e05_order_percentiles",
     "j06_asof_prior_view",
     "m01_binary_metadata",
     "m03_frame_sample",
