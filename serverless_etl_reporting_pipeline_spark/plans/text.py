@@ -684,6 +684,92 @@ def t17_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t18_corpus_manifest",
+    oracle="""
+    SELECT lang, source, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
+           round(count(*) * 1000000.0 / sum(count(*)) OVER ()) / 10000.0 AS doc_pct
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="corpus manifest / dataset card: per (lang, source) doc counts, char and "
+    "BPE-token estimates, and share of corpus — the mixture-accounting table every "
+    "training-data pipeline publishes. Share-of-total window runs over the already-"
+    "aggregated (langs x sources) frame, not raw rows (w02 pattern)",
+)
+def t18_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0).cast("bigint")).cast("bigint").alias("est_bpe_tokens"),
+    )
+    total = F.sum("docs").over(Window.partitionBy())
+    return (
+        agg.select(
+            "lang",
+            "source",
+            "docs",
+            "chars",
+            "est_bpe_tokens",
+            (F.round(F.col("docs") * 1000000.0 / total) / 10000.0).alias("doc_pct"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "t19_decontamination",
+    # Contamination rule: a training doc sharing any 8-token shingle
+    # with the held-out eval split (the t10 md5-prefix split). 8-grams
+    # are long enough to be near-unique, so hits mean real overlap.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    hold_sh AS (
+        SELECT DISTINCT s FROM sh
+        WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')
+    )
+    SELECT doc_id, count(*) AS shared_8grams
+    FROM sh JOIN hold_sh USING (s)
+    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) NOT IN ('0', '1')
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="benchmark decontamination: flag training docs sharing an 8-token shingle with "
+    "the held-out eval split (t10's stable md5-prefix split) — the standard n-gram "
+    "overlap contamination check before pre-training. Scale shape: distinct shingles "
+    "per side, one equi-join keyed by shingle (the eval side is benchmark-sized — "
+    "broadcastable), one hash agg; never all-pairs",
+)
+def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
+        .distinct()
+    )
+    is_hold = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    hold_sh = sh.filter(is_hold).select("s").distinct()
+    return (
+        sh.filter(~is_hold)
+        .join(F.broadcast(hold_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_8grams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "t13_stratified_sample",
     oracle="""
     SELECT doc_id, lang, sample_rank

@@ -268,6 +268,7 @@ _DUCK_ONLY = {
     "t15_top_bigrams",
     "t16_quality_filter",
     "t17_repetition_ratio",
+    "t19_decontamination",
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
     "v03_label_centroids",
