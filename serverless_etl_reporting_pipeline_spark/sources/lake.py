@@ -95,6 +95,27 @@ def read_csv_stage(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.option("header", "true").schema(schema).csv(path)
 
 
+def write_interchange(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Columnar/line interchange sink for external consumers beyond
+    parquet: `orc` (Spark-native columnar, vectorized reader, predicate
+    pushdown like parquet) or `json` (JSON-lines for row-oriented
+    consumers — no pushdown, text-size cost; keep it at the edge, not
+    between stages). The lake's canonical format stays parquet."""
+    if fmt not in ("orc", "json"):
+        raise ValueError(f"unsupported interchange format: {fmt!r}")
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def read_interchange(spark: SparkSession, path: str, fmt: str, schema) -> DataFrame:
+    """Interchange source with a declared schema — like read_csv_stage,
+    no inference scan (JSON inference would read the whole dataset
+    twice at scale; ORC carries types but the declared schema pins the
+    contract and enables pruned reads)."""
+    if fmt not in ("orc", "json"):
+        raise ValueError(f"unsupported interchange format: {fmt!r}")
+    return spark.read.format(fmt).schema(schema).load(path)
+
+
 def compact_partitions(spark: SparkSession, path: str) -> int:
     """Rewrite a Hive-partitioned dataset down to ONE file per partition
     — the small-files maintenance pass.

@@ -148,6 +148,37 @@ def test_csv_stage_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
 
 
+@pytest.mark.parametrize("fmt", ["orc", "json"])
+def test_interchange_roundtrip(spark, sf_dir, tmp_path, fmt):
+    """ORC / JSON-lines interchange: declared-schema read, values
+    preserved exactly."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import read_interchange, write_interchange
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / f"stage_{fmt}")
+    write_interchange(nation, path, fmt)
+    back = read_interchange(spark, path, fmt, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    """ORC is a first-class pruned/pushdown scan, same as parquet."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import read_interchange, write_interchange
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_interchange(orders, path, "orc")
+    df = (
+        read_interchange(spark, path, "orc", orders.schema)
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan
+    assert "o_orderdate" not in plan.split("ReadSchema:")[1]
+
+
 def test_events_ns_cache_cold_rebuild(spark, sf_dir):
     """The ns→µs events rewrite must rebuild from a cold cache (the
     driver's first run on a fresh box) and yield µs values identical to
