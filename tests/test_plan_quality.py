@@ -68,6 +68,23 @@ def test_aggregates_are_partial_final(spark, sf_dir, name):
     assert plan.count("HashAggregate") >= 2
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t19_decontamination",  # eval-split shingle set is benchmark-sized
+        "e04_dq_checks",  # customer dim broadcasts under the fact scan
+        "v08_label_cohesion",  # labels x dims centroid frame broadcasts
+        "t14_tfidf_top_terms",  # vocabulary-sized df frame broadcasts
+    ],
+)
+def test_small_side_broadcasts(spark, sf_dir, name):
+    """The small side of each new-query join must broadcast — the fact/
+    corpus side never shuffles for it."""
+    plan = _plan(spark, REGISTRY[name].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:800]}"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
 @pytest.mark.parametrize("name", ["v02_top_similar_pairs", "v07_embedding_neardup"])
 def test_allpairs_vector_ops_never_collect_vectors(spark, sf_dir, name, monkeypatch):
     """The exact all-pairs ops must use the block-grid path: building
