@@ -96,18 +96,28 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
+    # Full-name per-query map goes to stderr (human/judge record); stdout
+    # carries ONLY the compact headline line. The driver captures the last
+    # ~2000 chars of stdout and json-parses them — with 85 long query names
+    # the line blows past that window (rounds 1-2 recorded parsed=null), so
+    # per-query keys are the unique id prefix ("t09" for
+    # "t09_minhash_lsh_neardup") and separators are compact.
+    print(json.dumps({"metric": "registry_total_seconds", "queries_full": timings}), file=sys.stderr)
+    short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
+    assert len(short) == len(timings), "query id prefixes must stay unique"
+    line = json.dumps(
+        {
+            "metric": "registry_total_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench line too long for driver capture: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
