@@ -1,12 +1,443 @@
-"""Round-3 corpus-curation queries (c-group).
-
-Large-scale training-data curation operators beyond the round-2 surface:
+"""Corpus-curation queries (c-group): the high-frequency operators of a
+large-scale training-data pipeline, beyond the t-group text analysis —
 PII/URL scrubbing, Bloom-style decontamination, entropy-based quality,
-domain-level corpus stats, weighted sampling, char-n-gram LM scoring.
-Each query is oracle-checked against DuckDB on the same parquet inputs
-(SURVEY.md §2.11 extension surface).
+domain-level corpus stats, weighted domain sampling, and char-n-gram LM
+scoring (SURVEY.md §2.11 extension surface).
+
+Every query is oracle-checked against DuckDB on the same parquet inputs.
+Engine-portability discipline (FIXTURES.md §3): hashes are md5 (identical
+hex in both engines; 4/8-hex-char slices convert exactly to ints via
+Spark `conv` / DuckDB `('0x'||h)::BIGINT` — verified bit-identical),
+log2-based scores are quantized to 1e-6 integers per TERM so the
+aggregating sums are exact integer arithmetic (order-independent), and
+final rounding happens at 1e-4 where a last-ulp libm difference cannot
+flip the value.
+
+Scale notes are per-query. The synthetic fixtures contain no real PII,
+so c01 uses the standard known-answer design for scrubbers: deterministic
+PII is injected from doc_id IDENTICALLY in both engines, then scrubbed by
+the generic patterns — which makes the oracle comparison a real test of
+regex-dialect parity and replacement behavior, not a vacuous no-op.
 """
 
 from __future__ import annotations
 
-__all__: list[str] = []
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+# Generic scrub patterns — valid and equivalent in Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backrefs.
+_RE_URL = r"https?://\S+"
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\+\d[\d-]{6,}\d"
+
+
+@query(
+    "c01_pii_scrub",
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || ' see https://example.org/d/' || CAST(doc_id AS STRING)
+                  || '?ref=' || substr(md5(CAST(doc_id AS STRING)), 1, 6)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS STRING)
+                            || '.0.' || CAST((doc_id * 7) % 256 AS STRING)
+                       ELSE '' END
+               AS t
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_RE_URL}')) AS INT) AS n_urls,
+               CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_RE_IP}')) AS INT) AS n_ips,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '{_RE_URL}', '<URL>', 'g'),
+                           '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                       '{_RE_IP}', '<IP>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g') AS clean
+        FROM aug
+    )
+    SELECT doc_id, n_urls, n_emails, n_phones, n_ips,
+           md5(clean) AS scrub_fp,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    doc="PII/URL scrubbing (emails, URLs, phones, IPs → typed placeholders) with "
+    "per-class redaction counts — the privacy pass every corpus pipeline runs "
+    "before training. Known-answer design: deterministic PII synthesized from "
+    "doc_id identically in both engines (fixtures carry none), so the hash "
+    "compare exercises real regex/replacement parity. Map-only at any scale: "
+    "regexp_count + a regexp_replace chain, all JVM codegen, no shuffle",
+)
+def c01_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://example.org/d/"),
+        sid,
+        F.lit("?ref="),
+        F.substring(F.md5(sid.cast("binary")), 1, 6),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    base = docs.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _RE_URL, "<URL>"),
+                _RE_EMAIL,
+                "<EMAIL>",
+            ),
+            _RE_IP,
+            "<IP>",
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.regexp_count("t", F.lit(_RE_URL)).alias("n_urls"),
+            F.regexp_count("t", F.lit(_RE_EMAIL)).alias("n_emails"),
+            F.regexp_count("t", F.lit(_RE_PHONE)).alias("n_phones"),
+            F.regexp_count("t", F.lit(_RE_IP)).alias("n_ips"),
+            clean.alias("clean"),
+        )
+        .select(
+            "doc_id",
+            "n_urls",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            F.md5(F.col("clean").cast("binary")).alias("scrub_fp"),
+            F.length("clean").cast("bigint").alias("n_chars_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Bloom geometry for c02: m = 2^16 bits, k = 2 md5-derived hash functions.
+# At eval-set sizes within ~m/4 set bits, per-shingle FP rate is density²
+# — the classic space/FP trade a real pipeline sizes m against.
+_BLOOM_HEX = 4  # 4 hex chars = 16 bits = positions in [0, 65536)
+
+
+@query(
+    "c02_bloom_decontamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 4))::BIGINT AS h1,
+               ('0x' || substr(md5(s), 5, 4))::BIGINT AS h2
+        FROM sh
+    ),
+    bits AS (
+        SELECT DISTINCT bit
+        FROM (SELECT UNNEST([h1, h2]) AS bit
+              FROM h
+              WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1'))
+    )
+    SELECT doc_id, count(*) AS n_hit_shingles
+    FROM h
+    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) NOT IN ('0', '1')
+      AND h1 IN (SELECT bit FROM bits)
+      AND h2 IN (SELECT bit FROM bits)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Bloom-style decontamination: the held-out split's 8-gram shingles set "
+    "k=2 md5-derived bit positions in an m=2^16 filter; a training doc is "
+    "flagged per shingle whose BOTH positions are set (true overlaps + the "
+    "filter's false positives — the semantics a real Bloom gate has, unlike "
+    "t19's exact join). Scale shape: the filter is ≤m distinct bit rows, "
+    "broadcast to two semi-joins; the training side is map + broadcast-probe "
+    "only — at 100 TB the corpus never shuffles until the per-doc count",
+)
+def c02_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one md5 per shingle; both hash slices come from it. The shingle
+    # subtree feeds the filter build AND the probe side — persist it.
+    hashed = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
+        .distinct()
+        .withColumn("_h", F.md5(F.col("s").cast("binary")))
+        .select(
+            "doc_id",
+            F.conv(F.substring("_h", 1, _BLOOM_HEX), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("_h", _BLOOM_HEX + 1, _BLOOM_HEX), 16, 10).cast("long").alias("h2"),
+        )
+        .persist()
+    )
+    is_hold = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1).isin("0", "1")
+    bits = (
+        hashed.filter(is_hold)
+        .select(F.explode(F.array("h1", "h2")).alias("bit"))
+        .distinct()
+    )
+    b1 = bits.withColumnRenamed("bit", "h1")
+    b2 = bits.withColumnRenamed("bit", "h2")
+    return (
+        hashed.filter(~is_hold)
+        .join(F.broadcast(b1), "h1", "left_semi")
+        .join(F.broadcast(b2), "h2", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "c03_entropy_quality",
+    # Per-term quantization keeps the aggregate exact: round(log2(c)*1e6)
+    # is one libm call on the same integer in both engines (a last-ulp
+    # difference would have to land within 1e-15 of a .5 boundary to
+    # diverge), and after quantization the weighted sum is pure integer
+    # arithmetic — order-independent, engine-identical.
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    agg AS (
+        SELECT doc_id,
+               sum(c) AS n,
+               CAST(count(*) AS BIGINT) AS distinct_chars,
+               sum(c * CAST(round(log2(c) * 1000000) AS BIGINT)) AS s
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_seen,
+           distinct_chars,
+           round((log2(n) - s / 1000000.0 / n) * 10000) / 10000.0 AS entropy
+    FROM agg
+    ORDER BY doc_id
+    """,
+    doc="entropy-based quality score: per-doc Shannon entropy of the character "
+    "distribution (H = log2(n) - Σc·log2(c)/n over exact integer counts) — the "
+    "cheap gibberish/boilerplate screen of a curation pipeline (low-entropy = "
+    "repetitive filler, high-entropy = random noise). One explode + two "
+    "map-side-combined hash aggregates keyed by doc — linear, no skew "
+    "(per-doc fan-out is bounded by text length)",
+)
+def c03_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("c") * F.round(F.log2("c") * 1000000).cast("bigint")).alias("s"),
+    )
+    entropy = F.log2("n") - F.col("s") / 1000000.0 / F.col("n")
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_seen"),
+        "distinct_chars",
+        (F.round(entropy * 10000) / 10000.0).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "c04_domain_stats",
+    oracle=r"""
+    SELECT source,
+           count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+           CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_fp,
+           round((count(*) - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))))
+                 * 10000.0 / count(*)) / 10000.0 AS dup_ratio,
+           round(sum(n_chars) * 100.0 / count(*)) / 100.0 AS mean_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="domain-level corpus stats: per-source doc/char volume, language spread, "
+    "distinct normalized fingerprints and the implied duplication ratio, mean "
+    "doc length — the per-domain scorecard that drives c05's sampling weights. "
+    "Single hash aggregate keyed by source (the fingerprint is t02/t06's md5 "
+    "normalization); every output is a ratio of exact integers",
+)
+def c04_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", "lang", "n_chars", fingerprint_md5("text").alias("fp"))
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.countDistinct("lang").cast("bigint").alias("langs"),
+            F.countDistinct("fp").cast("bigint").alias("distinct_fp"),
+        )
+        .select(
+            "source",
+            "docs",
+            "chars",
+            "langs",
+            "distinct_fp",
+            (F.round((F.col("docs") - F.col("distinct_fp")) * 10000.0 / F.col("docs")) / 10000.0).alias(
+                "dup_ratio"
+            ),
+            (F.round(F.col("chars") * 100.0 / F.col("docs")) / 100.0).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "c05_weighted_sample",
+    # Acceptance test u < w over exact values: u = first 32 md5 bits / 2^32
+    # (an exact dyadic rational), w = (src_num+1)/21 (identical double in
+    # both engines) — so the accept/reject decision is bit-identical and
+    # the sample is rerun-stable with no RNG.
+    oracle="""
+    SELECT doc_id, source,
+           round(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
+                 / 4294967296.0 * 1000000) / 1000000.0 AS u
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT / 4294967296.0
+          < (CAST(substr(source, 4) AS INT) + 1) / 21.0
+    ORDER BY doc_id
+    """,
+    doc="weighted domain sampling: per-source acceptance rate w(source) applied "
+    "via a deterministic md5-uniform draw per doc (u < w) — the mixture "
+    "re-weighting step that up/down-samples domains for a training run. "
+    "Map-only at any scale (filter over a hash of the id): no shuffle, no RNG, "
+    "identical sample on rerun and across engines; weights here derive from "
+    "the source id, in production from c04's quality scorecard",
+)
+def c05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = (F.expr("substring(source, 4)").cast("int") + 1) / 21.0
+    return (
+        docs.filter(u < w)
+        .select("doc_id", "source", (F.round(u * 1000000) / 1000000.0).alias("u"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "c06_chargram_lm_score",
+    # logp per bigram TYPE is quantized to a 1e-6 integer before the
+    # per-doc weighted sum, so the aggregation is exact integer math in
+    # any order (same discipline as c03).
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, substr(text, i, 2) AS b
+        FROM documents, UNNEST(generate_series(1, length(text) - 1)) AS u(i)
+        WHERE length(text) >= 2
+    ),
+    perdoc AS (
+        SELECT doc_id, b, count(*) AS m FROM bg GROUP BY doc_id, b
+    ),
+    corpus AS (
+        SELECT b, sum(m) AS cb FROM perdoc GROUP BY b
+    ),
+    ctx AS (
+        SELECT substr(b, 1, 1) AS c1, sum(cb) AS cc FROM corpus GROUP BY 1
+    ),
+    lm AS (
+        SELECT b, CAST(round((log2(cb) - log2(cc)) * 1000000) AS BIGINT) AS qlogp
+        FROM corpus JOIN ctx ON substr(corpus.b, 1, 1) = ctx.c1
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * qlogp) / sum(m) / 100.0) / 10000.0 AS lm_score
+    FROM perdoc JOIN lm USING (b)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="char-n-gram LM scoring: average log2 P(c2|c1) of a doc's character "
+    "bigrams under the corpus's own bigram model (self-scored MLE — the "
+    "KenLM-style fluency/quality filter of curation pipelines; outliers are "
+    "gibberish or out-of-domain). Scale shape: the LM is a charset²-sized "
+    "aggregate broadcast back to the per-doc counts — two linear hash "
+    "aggregates plus one broadcast join, no all-pairs work",
+)
+def c06_chargram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("b"),
+    )
+    # per-doc counts feed BOTH the corpus LM build and the scoring join
+    perdoc = bg.groupBy("doc_id", "b").agg(F.count("*").alias("m")).persist()
+    corpus = perdoc.groupBy("b").agg(F.sum("m").alias("cb"))
+    ctx = corpus.groupBy(F.substring("b", 1, 1).alias("c1")).agg(F.sum("cb").alias("cc"))
+    lm = (
+        corpus.join(ctx, F.substring(corpus["b"], 1, 1) == ctx["c1"])
+        .select(
+            "b",
+            F.round((F.log2("cb") - F.log2("cc")) * 1000000).cast("bigint").alias("qlogp"),
+        )
+    )
+    return (
+        perdoc.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            (F.round(F.sum(F.col("m") * F.col("qlogp")) / F.sum("m") / 100.0) / 10000.0).alias(
+                "lm_score"
+            ),
+        )
+        .orderBy("doc_id")
+    )

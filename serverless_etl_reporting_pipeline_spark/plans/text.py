@@ -753,10 +753,14 @@ def t18_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # the tokenize→explode→distinct subtree feeds BOTH the held-out and
+    # training sides below — persist it or the most expensive map stage
+    # runs twice (same rationale as operators/minhash.py:97)
     sh = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
         .distinct()
+        .persist()
     )
     is_hold = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
     hold_sh = sh.filter(is_hold).select("s").distinct()

@@ -277,6 +277,12 @@ def test_catalog_ddl(spark, sf_dir):
 # parse AND agree.
 _DUCK_ONLY = {
     "a06_day_of_week",
+    "c01_pii_scrub",
+    "c02_bloom_decontamination",
+    "c03_entropy_quality",
+    "c04_domain_stats",
+    "c05_weighted_sample",
+    "c06_chargram_lm_score",
     "e05_order_percentiles",
     "j06_asof_prior_view",
     "m01_binary_metadata",
