@@ -1,8 +1,13 @@
 """Benchmark harness (driver contract, TESTDATA.md).
 
 Runs the full registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line on stdout:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {short_id: sec},
+     "sf": ..., "n_queries": N}
+where `queries` keys are the unique id PREFIX of each query name ("t09"
+for "t09_minhash_lsh_neardup") so the line stays inside the driver's
+~2000-char stdout capture window. The full-name per-query map goes to
+stderr as a second JSON record ("queries_full") for the human/judge log.
 
 Per-query time = plan build + execution + collect of the (small) result,
 best of SPARK_GRAFT_BENCH_RUNS (default 2) back-to-back runs: the min is
@@ -84,6 +89,17 @@ def main() -> None:
     minhash_neardup_pairs(docs.limit(64), "doc_id", "text", jaccard_threshold=0.5).collect()
     emb = load_table(spark, sf_dir, "embeddings")
     top_similar_pairs(emb.limit(128), k=5, grid_blocks=2).collect()
+    # mapInPandas + IVF centroid codegen (applyInPandas above is a
+    # DIFFERENT physical node — v01/v05/v06 pay ~1.5 s cold otherwise)
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import ivf_topk, knn_bruteforce, quantize_np
+
+    qv = list(quantize_np(emb.limit(1).select("embedding").collect()[0][0]))
+    knn_bruteforce(emb.limit(128), qv, k=3).collect()
+    ivf_topk(emb.limit(128), qv, k=3, nprobe=1).collect()
+    # full-outer-join codegen (the e02 MERGE shape runs it first otherwise)
+    fo_a = orders.limit(256).select("o_orderkey", "o_totalprice")
+    fo_b = orders.limit(256).select("o_orderkey", "o_orderdate")
+    fo_a.join(fo_b, "o_orderkey", "full_outer").agg(F.count("*")).collect()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
@@ -104,7 +120,10 @@ def main() -> None:
     # "t09_minhash_lsh_neardup") and separators are compact.
     print(json.dumps({"metric": "registry_total_seconds", "queries_full": timings}), file=sys.stderr)
     short = {name.split("_", 1)[0]: secs for name, secs in timings.items()}
-    assert len(short) == len(timings), "query id prefixes must stay unique"
+    # hard checks (not asserts: python -O must not strip them — a silent
+    # collision would drop timings via dict last-write-wins)
+    if len(short) != len(timings):
+        raise RuntimeError("query id prefixes must stay unique")
     line = json.dumps(
         {
             "metric": "registry_total_seconds",
@@ -116,7 +135,8 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1900, f"bench line too long for driver capture: {len(line)}"
+    if len(line) >= 1900:
+        raise RuntimeError(f"bench line too long for driver capture: {len(line)}")
     print(line)
 
 

@@ -523,6 +523,91 @@ def ann_topk_rp(
     )
 
 
+def ann_topk_e2lsh(
+    df: DataFrame,
+    query_vec_quantized: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    rows_per_table: int = 2,
+    bucket_width: float = 1.0e12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 777,
+) -> DataFrame:
+    """Approximate euclidean top-k via classic E2LSH bucket tables —
+    the oracle-CHECKABLE replacement for the pyspark.ml
+    BucketedRandomProjectionLSH path (`ann_topk_lsh` below), same
+    hash-family idea (Datar et al. p-stable LSH) but deterministic and
+    exact in both engines:
+
+    - `n_tables` tables of `rows_per_table` seeded quantized projections
+      (`random_hyperplanes` — integer-valued, inlined as literals into
+      the oracle SQL);
+    - bucket = floor(dot(v, w) / bucket_width): the dot is EXACT integer
+      arithmetic in float64 (see `quantized`), the divide is one
+      correctly-rounded IEEE op on identical inputs — so bucket ids are
+      bit-identical across numpy, the JVM and DuckDB;
+    - candidate iff ALL buckets of some table match the query's (AND
+      within a table, OR across tables — the standard amplification);
+    - candidates ranked by exact squared euclidean distance over the
+      quantized components (integer sums < 2^53 — exact any order).
+
+    100 TB shape: codes are map-only and storable as cluster keys; a
+    query scans only its matching buckets (~1/4 of this fixture set at
+    the default geometry, tunable via bucket_width); one Arrow kernel
+    computes codes + distances, and only ≤k survivors per partition feed
+    TakeOrderedAndProject.
+    """
+    import numpy as np
+
+    dim = len(query_vec_quantized)
+    P = np.array(
+        random_hyperplanes(n_tables * rows_per_table, dim, seed), dtype=np.float64
+    )
+    qq = np.asarray(query_vec_quantized, dtype=np.float64)
+    W = float(bucket_width)
+    q_buckets = np.floor((P @ qq) / W)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (P, qq, q_buckets, W, int(n_tables), int(rows_per_table))
+    )
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Pm, q, qb, w, L, g = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            B = _np.floor((A @ Pm.T) / w)
+            match = _np.zeros(len(A), dtype=bool)
+            for t in range(L):
+                sl = slice(t * g, (t + 1) * g)
+                match |= (B[:, sl] == qb[sl][None, :]).all(axis=1)
+            if not match.any():
+                continue
+            Am = A[match]
+            s2 = ((Am - q) ** 2).sum(axis=1)
+            yield _pd.DataFrame(
+                {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[match], "_s2": s2}
+            )
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [T.StructField(id_col, T.LongType()), T.StructField("_s2", T.DoubleType())]
+        ),
+    )
+    return (
+        out.orderBy(F.asc("_s2"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, (F.round(F.sqrt("_s2")) / QUANT).alias("dist"))
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -26,6 +26,14 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
     return emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
 
 
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _duck_plane(p: list[float]) -> str:
+    return "[" + ", ".join(str(int(v)) + ".0" for v in p) + "]"
+
+
 @query(
     "v01_knn_bruteforce",
     oracle="""
@@ -163,17 +171,74 @@ def v05_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10, nprobe=2)
 
 
+_V04_TABLES = 4
+_V04_ROWS = 2
+_V04_W = "1000000000000.0"  # E2LSH bucket width over 1e-6-quantized dots
+_V04_SEED = 777
+
+
+def _v04_oracle() -> str:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(_V04_TABLES * _V04_ROWS, 64, seed=_V04_SEED)
+
+    def bucket(vec: str, p: list[float]) -> str:
+        return f"floor({_duck_dot(vec, _duck_plane(p))} / {_V04_W})"
+
+    tables = " OR ".join(
+        "("
+        + " AND ".join(
+            f"{bucket('e.v', planes[t * _V04_ROWS + r])} = {bucket('q', planes[t * _V04_ROWS + r])}"
+            for r in range(_V04_ROWS)
+        )
+        + ")"
+        for t in range(_V04_TABLES)
+    )
+    return f"""
+    WITH qv AS (
+        SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
+        FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, round(sqrt(s2)) / 1000000.0 AS dist
+    FROM (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(e.v, q), z -> (z[1] - z[2]) * (z[1] - z[2]))) AS s2,
+               ({tables}) AS hit
+        FROM e, qv
+    )
+    WHERE hit
+    ORDER BY s2, vec_id
+    LIMIT 10
+    """
+
+
 @query(
     "v04_ann_lsh_topk",
-    oracle=None,  # LSH bucketing not SQL-expressible; tests check recall vs v01
-    doc="approximate top-k via BucketedRandomProjectionLSH (seed=42) — the repeated-query scale path",
+    oracle=_v04_oracle(),
+    doc="approximate euclidean top-k via E2LSH bucket tables (4 tables × 2 seeded "
+    "quantized projections, AND-within/OR-across amplification) — the repeated-query "
+    "scale path for euclidean metric; fully oracle-checkable because buckets and "
+    "distances are exact integer arithmetic in both engines (operators/vectors.py "
+    "ann_topk_e2lsh; the pyspark.ml BucketedRandomProjectionLSH variant remains as "
+    "the library alternative ann_topk_lsh)",
 )
 def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_e2lsh, quantize_np
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    out = ann_topk_lsh(emb.filter(F.col("vec_id") != 0), q, k=10)
-    return out.select("vec_id", (F.round(F.col("dist") * 1000000) / 1000000.0).alias("dist")).orderBy(
-        "dist", "vec_id"
+    return ann_topk_e2lsh(
+        emb.filter(F.col("vec_id") != 0),
+        list(quantize_np(q)),
+        k=10,
+        n_tables=_V04_TABLES,
+        rows_per_table=_V04_ROWS,
+        bucket_width=float(_V04_W),
+        seed=_V04_SEED,
     )
 
 
@@ -208,14 +273,6 @@ def v07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_map(emb, threshold=0.44)
-
-
-def _duck_dot(a: str, b: str) -> str:
-    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-
-
-def _duck_plane(p: list[float]) -> str:
-    return "[" + ", ".join(str(int(v)) + ".0" for v in p) + "]"
 
 
 def _v06_oracle() -> str:

@@ -82,6 +82,23 @@ def test_ann_lsh_contains_top1(spark, sf_dir):
     assert approx & {r["vec_id"] for r in exact}
 
 
+def test_ann_e2lsh_prunes_and_recalls(spark, sf_dir):
+    """E2LSH approx top-k must (a) actually prune — fewer candidates than
+    the full set — and (b) overlap the exact euclidean top-10."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_e2lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(quantize_np(emb.filter("vec_id = 0").select("embedding").collect()[0][0]))
+    rest = emb.filter("vec_id != 0")
+    # k larger than the fixture so the result size IS the candidate count
+    n = rest.count()
+    cands = ann_topk_e2lsh(rest, q, k=n).count()
+    assert 0 < cands < n, f"no pruning: {cands}/{n} candidates"
+    approx = {r["vec_id"] for r in ann_topk_e2lsh(rest, q, k=10).collect()}
+    exact = {r["vec_id"] for r in knn_bruteforce(rest, q, k=10).collect()}
+    assert approx & exact
+
+
 def test_frame_sample_fanout(spark, sf_dir):
     """1→N kernel fan-out: every doc yields 2–6 even-indexed frames
     (stub probe gives 4–11 frames, sampled every 2)."""

@@ -75,6 +75,8 @@ def test_aggregates_are_partial_final(spark, sf_dir, name):
         "e04_dq_checks",  # customer dim broadcasts under the fact scan
         "v08_label_cohesion",  # labels x dims centroid frame broadcasts
         "t14_tfidf_top_terms",  # vocabulary-sized df frame broadcasts
+        "c02_bloom_decontamination",  # the Bloom bit-set broadcasts to both semi-joins
+        "c06_chargram_lm_score",  # the charset²-sized LM broadcasts
     ],
 )
 def test_small_side_broadcasts(spark, sf_dir, name):
@@ -83,6 +85,37 @@ def test_small_side_broadcasts(spark, sf_dir, name):
     plan = _plan(spark, REGISTRY[name].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:800]}"
     assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_e02_merge_plan_shape(spark, sf_dir):
+    """The MERGE-shaped e02 must plan exactly two row_number windows (one
+    per side) and ONE join — a regression gate for the r2→r3 slowdown
+    investigation: more windows or joins means a subtree is recomputed."""
+    plan = _plan(spark, REGISTRY["e02_merge_upsert"].builder(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window(?!GroupLimit)", plan)) == 2, plan[:800]
+    assert len(re.findall(r"\(\d+\) SortMergeJoin|\(\d+\) BroadcastHashJoin|\(\d+\) ShuffledHashJoin", plan)) == 1
+
+
+def test_t19_shingle_subtree_cached(spark, sf_dir):
+    """t19 feeds its tokenize→shingle→distinct subtree to both the
+    held-out and training sides; the persist must stay (r3 regression:
+    dropping it recomputed the most expensive map stage twice)."""
+    df = REGISTRY["t19_decontamination"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "InMemoryTableScan" in plan, "t19 lost its persisted shingle subtree"
+    # builder persists lazily; drop the cache so tests stay hermetic
+    spark.catalog.clearCache()
+
+
+def test_salted_queries_plan_salt_exchange(spark, sf_dir):
+    """k01/k02 must actually execute the salted strategy: the salt column
+    appears in the aggregate/join keys, and k01 plans the two-phase
+    aggregate (partial+final on (key, salt), then partial+final on key)."""
+    plan1 = _plan(spark, REGISTRY["k01_salted_user_rollup"].builder(spark, sf_dir))
+    assert "_salt" in plan1, "k01: salt column optimized away"
+    assert plan1.count("HashAggregate") >= 4, "k01: missing two-phase salted aggregate"
+    plan2 = _plan(spark, REGISTRY["k02_salted_nation_activity"].builder(spark, sf_dir))
+    assert "_salt" in plan2, "k02: salt column optimized away"
 
 
 @pytest.mark.parametrize("name", ["v02_top_similar_pairs", "v07_embedding_neardup"])

@@ -308,6 +308,7 @@ _DUCK_ONLY = {
     "t19_decontamination",
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
+    "v04_ann_lsh_topk",
     "v03_label_centroids",
     "v05_ann_ivf_topk",
     "v06_ann_rplsh_topk",
