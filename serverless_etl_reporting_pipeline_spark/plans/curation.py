@@ -374,6 +374,61 @@ def c05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c07_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(greatest(len(regexp_extract_all(lower(text), '\w+')), 1) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, shard_offset,
+           CAST(shard_offset // 2048 AS BIGINT) AS first_pack,
+           CAST((shard_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_pack
+    FROM packed
+    ORDER BY lang, doc_id
+    """,
+    doc="sequence packing: concatenate each language shard's token stream in "
+    "deterministic doc order and slice it into 2048-token training sequences — "
+    "each doc reports its shard offset and the [first_pack, last_pack] range it "
+    "lands in (the concat-then-chunk packing used to build pretraining batches "
+    "without padding waste). One running-sum window per shard key: shards are "
+    "independent, so at 100 TB the only shuffle is partitioning by shard "
+    "(refine the key to (lang, bucket) to bound shard size); all arithmetic is "
+    "exact integers",
+)
+def c07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.size(tokens("text")), F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn("shard_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "shard_offset",
+        F.floor(F.col("shard_offset") / 2048).cast("bigint").alias("first_pack"),
+        F.floor((F.col("shard_offset") + F.col("n_tokens") - 1) / 2048).cast("bigint").alias("last_pack"),
+    ).orderBy("lang", "doc_id")
+
+
+@query(
     "c06_chargram_lm_score",
     # logp per bigram TYPE is quantized to a 1e-6 integer before the
     # per-doc weighted sum, so the aggregation is exact integer math in

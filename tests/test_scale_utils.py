@@ -283,6 +283,7 @@ _DUCK_ONLY = {
     "c04_domain_stats",
     "c05_weighted_sample",
     "c06_chargram_lm_score",
+    "c07_sequence_packing",
     "e05_order_percentiles",
     "j06_asof_prior_view",
     "m01_binary_metadata",
