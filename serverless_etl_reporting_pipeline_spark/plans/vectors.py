@@ -322,6 +322,76 @@ def v06_ann_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_rp(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10)
 
 
+_V09_BITS = 16
+_V09_BANDS = 4
+_V09_TAU = "0.44"
+_V09_SEED = 4242
+
+
+def _v09_oracle() -> str:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(_V09_BITS, 64, seed=_V09_SEED)
+    g = _V09_BITS // _V09_BANDS
+
+    def band_code(vec: str, b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_duck_dot(vec, _duck_plane(planes[b * g + i]))} >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i in range(g)
+        )
+
+    codes = ",\n               ".join(
+        f"({band_code('qv', b)}) AS b{b}" for b in range(_V09_BANDS)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_V09_BANDS))
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id, qv,
+               sqrt({_duck_dot('qv', 'qv')}) AS nrm,
+               {codes}
+        FROM q
+    )
+    SELECT id_a, id_b, round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_duck_dot('a.qv', 'b.qv')} / (a.nrm * b.nrm) AS raw_cos
+        FROM coded a JOIN coded b
+          ON a.vec_id < b.vec_id AND ({band_match})
+    )
+    WHERE raw_cos >= {_V09_TAU}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "v09_embedding_neardup_lsh",
+    oracle=_v09_oracle(),
+    doc="embedding near-dup via banded sign-LSH blocking (16 seeded quantized "
+    "hyperplane bits in 4 bands; candidates share a band code, verified by exact "
+    "quantized cosine >= 0.44) — the candidate-pruned 100 TB path for v07's exact "
+    "grid, same banding-plus-verify relationship t09 has to t07. Oracle mirrors "
+    "the banding 1:1 (planes inlined), so the approximation itself is what gets "
+    "hash-checked (operators/vectors.py neardup_pairs_lsh_banded)",
+)
+def v09_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import neardup_pairs_lsh_banded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_lsh_banded(
+        emb,
+        threshold=float(_V09_TAU),
+        n_bits=_V09_BITS,
+        bands=_V09_BANDS,
+        seed=_V09_SEED,
+    )
+
+
 @query(
     "v08_label_cohesion",
     # Every number is derived from exact-integer sums: components quantize

@@ -99,6 +99,35 @@ def test_ann_e2lsh_prunes_and_recalls(spark, sf_dir):
     assert approx & exact
 
 
+def test_lsh_banded_neardup_subset_of_exact(spark, sf_dir):
+    """Banded-LSH near-dup pairs must be a nonempty SUBSET of the exact
+    all-pairs result at the same threshold (blocking can only lose
+    pairs, never invent them), with identical cosines on the overlap."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        neardup_map,
+        neardup_pairs_lsh_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in neardup_pairs_lsh_banded(emb, threshold=0.44, seed=4242).collect()
+    }
+    # neardup_map emits (dup, kept-min, cos); rebuild the full exact pair
+    # set from the grid kernel directly for a fair comparison
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import _grid_pairs, _grid_size
+
+    q = emb.select(F.col("vec_id").cast("long").alias("_id"), F.col("embedding").alias("_qv"))
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["raw_cos"] * 1e6) / 1e6
+        for r in _grid_pairs(q, _grid_size(emb), tau=0.44).collect()
+    }
+    assert lsh, "banded LSH found no pairs at all"
+    assert set(lsh) <= set(exact), "LSH invented pairs the exact op lacks"
+    for k, v in lsh.items():
+        assert v == exact[k], f"cosine mismatch on {k}"
+
+
 def test_frame_sample_fanout(spark, sf_dir):
     """1→N kernel fan-out: every doc yields 2–6 even-indexed frames
     (stub probe gives 4–11 frames, sampled every 2)."""

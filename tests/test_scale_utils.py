@@ -310,6 +310,7 @@ _DUCK_ONLY = {
     "v01_knn_bruteforce",
     "v02_top_similar_pairs",
     "v04_ann_lsh_topk",
+    "v09_embedding_neardup_lsh",
     "v03_label_centroids",
     "v05_ann_ivf_topk",
     "v06_ann_rplsh_topk",
