@@ -429,6 +429,87 @@ def c07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c08_leakage_safe_split",
+    # Components come from the same exact-verified MinHash graph as t11
+    # (recall ≈ 1-1e-14, so the recursive-CTE transitive closure is a
+    # valid oracle); the split hash is md5 over the COMPONENT canonical
+    # id, not the doc id — that is the whole point.
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    canon AS (SELECT id, min(lbl) AS kept FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.kept, d.doc_id) AS canonical_id,
+           CASE WHEN substr(md5(CAST(coalesce(c.kept, d.doc_id) AS STRING)), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                WHEN substr(md5(CAST(coalesce(c.kept, d.doc_id) AS STRING)), 1, 1)
+                     IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents d LEFT JOIN canon c ON c.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="leakage-safe train/val/test split: every doc is assigned by an md5 hash "
+    "of its near-dup COMPONENT's canonical id (t11's connected components over "
+    "the exact-verified MinHash graph), so near-duplicates can never straddle "
+    "splits — the split-assignment step that prevents eval contamination "
+    "through duplicated content (12/2/2 sixteenths train/val/test). Scale "
+    "shape: t11's banded-LSH + label propagation, then one broadcast-sized "
+    "join of the (components-only) label map back to the corpus — singleton "
+    "docs never enter the component machinery",
+)
+def c08_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+        minhash_neardup_pairs,
+        neardup_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+    comp = neardup_components(pairs).withColumnRenamed("id", "doc_id")
+    canon = F.coalesce(F.col("lbl"), F.col("doc_id"))
+    h = F.substring(F.md5(canon.cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select("doc_id", canon.alias("canonical_id"), split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "c06_chargram_lm_score",
     # logp per bigram TYPE is quantized to a 1e-6 integer before the
     # per-doc weighted sum, so the aggregation is exact integer math in

@@ -284,6 +284,7 @@ _DUCK_ONLY = {
     "c05_weighted_sample",
     "c06_chargram_lm_score",
     "c07_sequence_packing",
+    "c08_leakage_safe_split",
     "e05_order_percentiles",
     "j06_asof_prior_view",
     "m01_binary_metadata",
