@@ -510,6 +510,59 @@ def c08_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c09_domain_outliers",
+    # Variance is written EXPLICITLY as sumsq/n - (sum/n)² on both
+    # engines (never var_pop/stddev: implementations differ — Welford vs
+    # textbook — in last-ulp ways): inputs are exact integer sums, so
+    # every intermediate double is identical and z is engine-exact
+    # before the 1e-4 round.
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               count(*) AS n,
+               sum(n_chars) AS s,
+               sum(n_chars * n_chars) AS sq
+        FROM documents
+        GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round((d.n_chars - s * 1.0 / n)
+                 / sqrt(sq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) * 10000) / 10000.0 AS z
+    FROM documents d JOIN stats USING (source)
+    WHERE abs((d.n_chars - s * 1.0 / n)
+              / sqrt(sq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))) > 2.0
+    ORDER BY d.doc_id
+    """,
+    doc="per-domain length-outlier screen: flag docs whose char count sits more "
+    "than 2 population-z from their source's mean — the cheap truncation/"
+    "boilerplate/concatenation-artifact detector curation pipelines run per "
+    "domain before quality modeling. Scale shape: one map-side-combined stats "
+    "aggregate per source (exact integer sums) broadcast back over the corpus "
+    "scan — no second shuffle of the fact side",
+)
+def c09_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
+    )
+    joined = docs.select("doc_id", "source", "n_chars").join(F.broadcast(stats), "source")
+    mean = F.col("s") * 1.0 / F.col("n")
+    z = (F.col("n_chars") - mean) / F.sqrt(F.col("sq") * 1.0 / F.col("n") - mean * mean)
+    return (
+        joined.filter(F.abs(z) > 2.0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.round(z * 10000) / 10000.0).alias("z"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "c06_chargram_lm_score",
     # logp per bigram TYPE is quantized to a 1e-6 integer before the
     # per-doc weighted sum, so the aggregation is exact integer math in
