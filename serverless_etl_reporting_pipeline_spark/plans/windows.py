@@ -211,6 +211,78 @@ def w06_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w08_event_debounce",
+    # Timestamps compare as exact microsecond values in both engines;
+    # the 300-second threshold is integer arithmetic on epoch µs.
+    oracle="""
+    SELECT user_id, event_type, ts, event_id
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+    ORDER BY user_id, event_type, ts, event_id
+    """,
+    doc="time-windowed event dedup (debounce): keep an event only if the same "
+    "user's previous event of the same type is more than 5 minutes older — the "
+    "double-click / retry / at-least-once-delivery compaction every event "
+    "pipeline runs (streaming form: dropDuplicatesWithinWatermark, tested in "
+    "streaming/). One lag window keyed by (user, type): a single shuffle, "
+    "per-key ordering inside partitions, no global sort at scale",
+)
+def w08_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))
+        # interval arithmetic (not unix_micros: ts is TIMESTAMP_NTZ) —
+        # exact µs comparison, identical to the oracle's epoch_us gap
+        .filter(F.col("prev_ts").isNull() | F.expr("ts > prev_ts + INTERVAL 300 SECONDS"))
+        .select("user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    )
+
+
+@query(
+    "w09_diversified_topk",
+    oracle="""
+    SELECT orderkey, custkey, totalprice
+    FROM (
+        SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 2
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 20
+    """,
+    doc="diversified top-k: global top-20 orders by value with at most 2 per "
+    "customer — the per-source/per-domain result diversification rule of search "
+    "and sampling pipelines (same shape caps per-domain docs in a corpus "
+    "sample). One window shuffle keyed by the diversity key, then a global "
+    "top-k over the per-key survivors (TakeOrderedAndProject, never a full "
+    "sort); WindowGroupLimit prunes rn > 2 before the window sort at scale",
+)
+def w09_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+@query(
     "w07_nation_revenue_quartiles",
     oracle="""
     SELECT nation,

@@ -319,6 +319,7 @@ _DUCK_ONLY = {
     "v08_label_cohesion",
     "w05_running_total_by_month",
     "w06_sessionization",
+    "w08_event_debounce",
 }
 
 
