@@ -101,7 +101,11 @@ def main() -> None:
     fo_b = orders.limit(256).select("o_orderkey", "o_orderdate")
     fo_a.join(fo_b, "o_orderkey", "full_outer").agg(F.count("*")).collect()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # best-of-3 by default: this box shows 5-10x scheduler/GC swings that
+    # occasionally hit BOTH of 2 runs on trivial plans (observed a02
+    # 0.8s->3.6s best-of-2); a third sample reliably recovers the
+    # steady-state cost for ~50% more bench wall time
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
         best = float("inf")
