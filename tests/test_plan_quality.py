@@ -118,6 +118,23 @@ def test_salted_queries_plan_salt_exchange(spark, sf_dir):
     assert "_salt" in plan2, "k02: salt column optimized away"
 
 
+def test_w09_prunes_before_window_sort(spark, sf_dir):
+    """The diversified top-k must plan WindowGroupLimit (per-key top-2
+    pruned before the window sort) and a TakeOrderedAndProject global
+    top-k — never a full sort of the fact table."""
+    plan = _plan(spark, REGISTRY["w09_diversified_topk"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_c09_stats_broadcast_back(spark, sf_dir):
+    """c09's per-source stats aggregate must broadcast back over the
+    corpus scan — the fact side never shuffles for the join."""
+    plan = _plan(spark, REGISTRY["c09_domain_outliers"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 @pytest.mark.parametrize("name", ["v02_top_similar_pairs", "v07_embedding_neardup"])
 def test_allpairs_vector_ops_never_collect_vectors(spark, sf_dir, name, monkeypatch):
     """The exact all-pairs ops must use the block-grid path: building
