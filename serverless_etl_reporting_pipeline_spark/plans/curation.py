@@ -383,9 +383,9 @@ def c05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
         SELECT doc_id, lang, n_tokens,
-               coalesce(sum(n_tokens) OVER (
+               CAST(coalesce(sum(n_tokens) OVER (
                    PARTITION BY lang ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
         FROM toks
     )
     SELECT doc_id, lang, n_tokens, shard_offset,

@@ -30,7 +30,7 @@ from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
     "k01_salted_user_rollup",
     oracle="""
     SELECT user_id,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
            CAST(count(event_id) AS BIGINT) AS count_event_id,
            max(ts) AS max_ts
     FROM events
@@ -71,7 +71,7 @@ def k01_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_nationkey AS nationkey,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     ORDER BY nationkey

@@ -64,6 +64,63 @@ def _sort_key(row):
     return out
 
 
+# DuckDB result type (upper, parametrized stripped) → Spark dtypes the driver's
+# value-hash treats as equivalent. A pair outside this table on a numeric /
+# temporal column is a driver hash mismatch even when every value compares
+# equal — DuckDB widens sum(BIGINT) to HUGEINT and avg-of-DECIMAL to DECIMAL,
+# and the driver hashes the arrow type alongside the value (r4: c07/k01/k02
+# were value-identical yet hash-red purely on HUGEINT vs BIGINT).
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_TYPE_OK = {
+    # Integer WIDTH differences are driver-green (r4: t13 duck BIGINT vs spark
+    # int, hash_match=true) — the driver compares converted values, and every
+    # duck width ≤64 bits converts losslessly. HUGEINT does not (pandas →
+    # float64/object), hence its absence below.
+    "TINYINT": _INTEGRAL,
+    "SMALLINT": _INTEGRAL,
+    "INTEGER": _INTEGRAL,
+    "BIGINT": _INTEGRAL,
+    "FLOAT": {"float", "double"},
+    "DOUBLE": {"float", "double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BLOB": {"binary"},
+    # HUGEINT / DECIMAL deliberately absent: DuckDB only produces them by
+    # widening, and Spark never emits them — always CAST the oracle instead.
+}
+
+
+def _duck_base_type(t: str) -> str:
+    t = str(t).upper()
+    return t.split("(", 1)[0].strip()
+
+
+def type_check(spark_dtypes, duck_cols, duck_types):
+    """Flag oracle result types the driver would hash differently from Spark's.
+
+    Returns a list of 'col: duck_type vs spark_type' strings (empty = clean).
+    List/struct columns are skipped (compared value-wise elsewhere).
+    """
+    spark_by_col = dict(spark_dtypes)
+    bad = []
+    for col, dt in zip(duck_cols, duck_types):
+        st = spark_by_col.get(col)
+        if st is None:
+            continue
+        base = _duck_base_type(dt)
+        if base.endswith("[]") or base.startswith(("STRUCT", "MAP", "UNION", "LIST")):
+            continue
+        if st.startswith(("array", "struct", "map")):
+            continue
+        ok = _TYPE_OK.get(base)
+        if ok is None or st not in ok:
+            bad.append(f"{col}: duck {dt} vs spark {st}")
+    return bad
+
+
 def compare(spark_rows, duck_rows, spark_cols, duck_cols):
     """Returns (ok, message, max_float_dev)."""
     if sorted(spark_cols) != sorted(duck_cols):
@@ -123,6 +180,7 @@ def main() -> int:
         try:
             sdf = q.builder(spark, sf_dir)
             spark_cols = sdf.columns
+            spark_dtypes = sdf.dtypes
             spark_rows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
@@ -133,14 +191,19 @@ def main() -> int:
             n_nooracle += 1
             continue
         try:
-            rel = con.execute(q.oracle)
-            duck_cols = [d[0] for d in rel.description]
+            rel = con.sql(q.oracle)
+            duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
             duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok, msg, max_dev = compare(spark_rows, duck_rows, spark_cols, duck_cols)
+        if ok:
+            type_bad = type_check(spark_dtypes, duck_cols, duck_types)
+            if type_bad:
+                ok, msg = False, f"type divergence (driver hashes types): {'; '.join(type_bad)}"
         status = "ok  " if ok else "FAIL"
         devnote = f" maxreldev={max_dev:.1e}" if max_dev else ""
         print(f"{status} {name}: {msg}{devnote} ({time.time()-t0:.1f}s)")
