@@ -3,14 +3,14 @@
 Runs the full registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line on stdout:
     {"metric": ..., "value": N, "unit": "sec", "queries": {short_id: sec},
-     "sf": ..., "n_queries": N}
+     "sf": ..., "n_queries": N, "regressions": [short_id, ...]}
 where `queries` keys are the unique id PREFIX of each query name ("t09"
 for "t09_minhash_lsh_neardup") so the line stays inside the driver's
 ~2000-char stdout capture window. The full-name per-query map goes to
 stderr as a second JSON record ("queries_full") for the human/judge log.
 
 Per-query time = plan build + execution + collect of the (small) result,
-best of SPARK_GRAFT_BENCH_RUNS (default 2) back-to-back runs: the min is
+best of SPARK_GRAFT_BENCH_RUNS (default 3) back-to-back runs: the min is
 the steady-state engine cost of the plan; the spread between runs on this
 box is JIT/GC/VM-scheduler noise (observed 5-10x swings on identical
 plans), not query work. A JVM/session warmup action runs first so the
@@ -128,6 +128,28 @@ def main() -> None:
     # collision would drop timings via dict last-write-wins)
     if len(short) != len(timings):
         raise RuntimeError("query id prefixes must stay unique")
+    # Per-query regression gate: compare against the recorded baseline
+    # (bench_baseline.json, refreshed each round from the driver's BENCH
+    # record) and flag queries >2x their baseline best AND >0.5s absolute
+    # — the t19-style double-compute detector (those are multi-second).
+    # The 0.5s floor is deliberate: sub-second queries on this box move
+    # >2x between identical-code runs even best-of-3 (r5 calibration:
+    # d05 0.26->0.61s with zero code change), so a tighter floor only
+    # produces false alarms. Only meaningful at the baseline's sf.
+    regressions: list[str] = []
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == sf:
+            for qid, secs in short.items():
+                ref = base.get("queries", {}).get(qid)
+                if ref is not None and secs > 2.0 * ref and secs - ref > 0.5:
+                    regressions.append(qid)
+            regressions.sort()
+    if os.environ.get("SPARK_GRAFT_BENCH_WRITE_BASELINE") == "1":
+        with open(base_path, "w") as fh:
+            json.dump({"sf": sf, "source": "local", "queries": short}, fh, indent=1, sort_keys=True)
     line = json.dumps(
         {
             "metric": "registry_total_seconds",
@@ -136,6 +158,7 @@ def main() -> None:
             "queries": short,
             "sf": sf,
             "n_queries": len(timings),
+            "regressions": regressions,
         },
         separators=(",", ":"),
     )

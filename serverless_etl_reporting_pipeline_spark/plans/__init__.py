@@ -18,31 +18,39 @@ from serverless_etl_reporting_pipeline_spark.plans import curation  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import skewed  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy: queries with
-# no driver-verified row from the most recent correctness run float to
-# the front. CORRECTNESS_r03 covered the a12-a18/w/j/p/o/d block plus
-# t01-t12/t14-t16 — so this round floats the r2-only-checked block
-# (t13, t17-t19, e, m, s, v, a01-a11) and everything newly added
-# (c-group, k-group, the reworked v04) into the first 50. The
-# rotated-out r03-green block stays covered by the local mirror
-# (tools/oracle_check.py) plus tests/test_oracle_corpus.py.
-_R03_CHECKED = frozenset(
-    [f"a{i:02d}" for i in range(12, 19)]
-    + [f"w{i:02d}" for i in range(1, 8)]
-    + [f"j{i:02d}" for i in range(1, 8)]
-    + [f"p{i:02d}" for i in range(1, 7)]
-    + [f"o{i:02d}" for i in range(1, 4)]
-    + [f"d{i:02d}" for i in range(1, 6)]
-    + [f"t{i:02d}" for i in range(1, 13) ]
-    + ["t14", "t15", "t16"]
-)
+# the first 50 registry entries per round. Rotation policy for round 5:
+#   1. _PRIORITY first — the three r4 hash-fails whose oracles were fixed
+#      this round (c07/k01/k02), c08 (its join shape changed this round),
+#      and any query added this round: changed code MUST be re-driver-checked.
+#   2. Then everything NOT driver-green in r4 (the 49 r3-era queries the
+#      judge asked to rotate back in: a12-a18, d, j, o, p, t02-t12,
+#      t14-t16, w01-w07).
+#   3. Then the r4-green remainder.
+# Priority + the 49 overflow the 50-slot window, so the tail of group 2
+# (in registration order) defers to round 6; deferred queries stay covered
+# every round by tools/oracle_check.py and tests/test_oracle_corpus.py.
+_R04_GREEN = frozenset(
+    [f"a{i:02d}" for i in range(1, 12)]
+    + [f"c{i:02d}" for i in range(1, 10)]
+    + [f"e{i:02d}" for i in range(1, 6)]
+    + [f"m{i:02d}" for i in range(1, 5)]
+    + [f"s{i:02d}" for i in range(1, 4)]
+    + [f"v{i:02d}" for i in range(1, 10)]
+    + ["t01", "t13", "t17", "t18", "t19", "w08", "w09"]
+) - {"c07"}  # c07 was red in r4 (as were k01/k02, never listed here)
+
+_PRIORITY = ("c07", "k01", "k02", "c08")
 
 
 def _rotate() -> None:
     entries = list(REGISTRY.items())
     REGISTRY.clear()
+    for want in _PRIORITY:
+        for name, q in entries:
+            if name.split("_", 1)[0] == want:
+                REGISTRY[name] = q
     for name, q in entries:
-        if name.split("_", 1)[0] not in _R03_CHECKED:
+        if name not in REGISTRY and name.split("_", 1)[0] not in _R04_GREEN:
             REGISTRY[name] = q
     for name, q in entries:
         if name not in REGISTRY:

@@ -481,8 +481,11 @@ def c07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact-verified MinHash graph), so near-duplicates can never straddle "
     "splits — the split-assignment step that prevents eval contamination "
     "through duplicated content (12/2/2 sixteenths train/val/test). Scale "
-    "shape: t11's banded-LSH + label propagation, then one broadcast-sized "
-    "join of the (components-only) label map back to the corpus — singleton "
+    "shape: t11's banded-LSH + label propagation, then a plain left join of "
+    "the (components-only) label map back to the corpus keyed on doc_id — "
+    "deliberately NOT broadcast: at 100 TB with 20-50%% dup rates the label "
+    "map is corpus-scale, so the safe default is a shuffled join and AQE "
+    "upgrades it to broadcast only when runtime stats say it fits. Singleton "
     "docs never enter the component machinery",
 )
 def c08_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +506,7 @@ def c08_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select("doc_id", canon.alias("canonical_id"), split.alias("split"))
         .orderBy("doc_id")
     )

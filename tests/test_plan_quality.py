@@ -135,6 +135,16 @@ def test_c09_stats_broadcast_back(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_c08_label_map_join_not_hint_forced(spark, sf_dir):
+    """c08's component-label map is NOT broadcast-bounded at 100 TB (a
+    20-50%% dup-rate corpus makes it corpus-scale), so the join back to
+    the corpus must carry no broadcast hint — shuffled join is the safe
+    default and AQE may upgrade it only from runtime stats."""
+    df = REGISTRY["c08_leakage_safe_split"].builder(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), "c08 must not force a join strategy"
+
+
 @pytest.mark.parametrize("name", ["v02_top_similar_pairs", "v07_embedding_neardup"])
 def test_allpairs_vector_ops_never_collect_vectors(spark, sf_dir, name, monkeypatch):
     """The exact all-pairs ops must use the block-grid path: building
