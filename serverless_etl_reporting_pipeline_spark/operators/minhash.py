@@ -67,6 +67,123 @@ def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame
     return base.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, sig) LSH bucket rows from a signature frame — the band
+    index. One xxhash64 over each band's r signature columns; exploding
+    `bands` structs per doc is map-side only."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]).alias(
+                "sig"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
+def neardup_index_probe(
+    index_shingles: DataFrame,
+    index_sigs: DataFrame,
+    snap_shingles: DataFrame,
+    snap_sigs: DataFrame,
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    snapshot_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a prebuilt MinHash band index with a snapshot batch: flag
+    each snapshot doc that has an exact-jaccard ≥ threshold near-dup in
+    the indexed corpus.
+
+    Returns (id_col, is_dup boolean, dup_src = smallest matching corpus
+    id, NULL when none) — one row per snapshot doc.
+
+    The index is the pair (distinct shingle rows, signature frame) from
+    `_shingle_sets` + `minhash_signatures` — the persisted artifact a
+    continuously-fed corpus stores and reuses across batches instead of
+    re-running near-dup over the union. The candidate join is
+    snapshot-buckets × index-buckets keyed on (band, sig): work is
+    proportional to the SNAPSHOT plus its collision buckets — never
+    corpus × corpus. Exact-Jaccard verification of candidates only (same
+    recall analysis as minhash_neardup_pairs) keeps precision 1.0.
+    """
+    cbk = _band_buckets(index_sigs, id_col, bands, rows_per_band).withColumnRenamed(
+        id_col, "corp_id"
+    )
+    sbk = _band_buckets(snap_sigs, id_col, bands, rows_per_band).withColumnRenamed(
+        id_col, "snap_id"
+    )
+    cand = sbk.join(cbk, ["band", "sig"]).select("snap_id", "corp_id").distinct()
+
+    common = (
+        cand.join(snap_shingles.select(F.col(id_col).alias("snap_id"), "s"), "snap_id")
+        .join(index_shingles.select(F.col(id_col).alias("corp_id"), "s"), ["corp_id", "s"])
+        .groupBy("snap_id", "corp_id")
+        .agg(F.count("*").alias("c"))
+    )
+    ca = snap_sigs.select(F.col(id_col).alias("snap_id"), F.col("n").alias("na"))
+    cb = index_sigs.select(F.col(id_col).alias("corp_id"), F.col("n").alias("nb"))
+    jaccard = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    dups = (
+        common.join(ca, "snap_id")
+        .join(cb, "corp_id")
+        .filter(jaccard >= jaccard_threshold)
+        .groupBy("snap_id")
+        .agg(F.min("corp_id").alias("dup_src"))
+    )
+    # docs with <shingle_k tokens have no shingle/signature rows but must
+    # still report is_dup=false — callers with such docs pass the full id
+    # frame via snapshot_ids
+    left = snapshot_ids.select(F.col(id_col)) if snapshot_ids is not None else snap_sigs.select(
+        F.col(id_col)
+    )
+    return (
+        left.join(dups.withColumnRenamed("snap_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_src").isNotNull().alias("is_dup"),
+            "dup_src",
+        )
+    )
+
+
+def incremental_neardup_flags(
+    corpus: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup screen over raw text frames: build the band
+    index for `corpus` (persisted — the reusable artifact), the batch
+    frames for `snapshot`, and probe (`neardup_index_probe`)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    csh = _shingle_sets(corpus, id_col, text_col, shingle_k).persist()
+    csigs = minhash_signatures(csh, id_col, num_hashes).persist()
+    ssh = _shingle_sets(snapshot, id_col, text_col, shingle_k)
+    ssigs = minhash_signatures(ssh, id_col, num_hashes)
+    return neardup_index_probe(
+        csh,
+        csigs,
+        ssh,
+        ssigs,
+        id_col,
+        jaccard_threshold,
+        bands,
+        num_hashes // bands,
+        snapshot_ids=snapshot,
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,18 +216,7 @@ def minhash_neardup_pairs(
     # one-row-per-doc aggregate too so the 64-hash agg runs once.
     sigs = minhash_signatures(sh, id_col, num_hashes).persist()
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]).alias(
-                "sig"
-            ),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

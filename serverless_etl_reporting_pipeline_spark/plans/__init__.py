@@ -39,7 +39,7 @@ _R04_GREEN = frozenset(
     + ["t01", "t13", "t17", "t18", "t19", "w08", "w09"]
 ) - {"c07"}  # c07 was red in r4 (as were k01/k02, never listed here)
 
-_PRIORITY = ("c07", "k01", "k02", "c08")
+_PRIORITY = ("c07", "k01", "k02", "c08", "t20")
 
 
 def _rotate() -> None:

@@ -799,3 +799,80 @@ def t13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "sample_rank")
         .orderBy("lang", "sample_rank")
     )
+
+
+@query(
+    "t20_incremental_neardup",
+    # Same recall argument as t09/c08 (banded candidates + exact verify
+    # ⇒ output = exact-jaccard screen), restricted to snapshot×corpus
+    # pairs. The watermark split is exact integer math on both engines:
+    # floor(0.8 * (max_id + 1)).
+    oracle=r"""
+    WITH wm AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS w FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS snap_id, b.doc_id AS corp_id, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s CROSS JOIN wm
+        WHERE a.doc_id >= wm.w AND b.doc_id < wm.w
+        GROUP BY 1, 2
+    ),
+    matches AS (
+        SELECT snap_id, min(corp_id) AS dup_src
+        FROM common
+        JOIN counts ca ON ca.doc_id = snap_id
+        JOIN counts cb ON cb.doc_id = corp_id
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+        GROUP BY snap_id
+    )
+    SELECT d.doc_id, m.dup_src IS NOT NULL AS is_dup, m.dup_src
+    FROM (SELECT doc_id FROM documents CROSS JOIN wm WHERE doc_id >= wm.w) d
+    LEFT JOIN matches m ON m.snap_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="incremental near-dup screen: the newest 20%% of docs (ids past a "
+    "watermark — the freshly-ingested snapshot) are checked for jaccard≥0.5 "
+    "near-duplicates in the EXISTING corpus via the persisted MinHash band "
+    "index, the query a continuously-fed training corpus runs per batch "
+    "instead of re-deduping the union. Work ∝ snapshot + collision buckets, "
+    "never corpus×corpus (operators/minhash.py incremental_neardup_flags); "
+    "oracle = exact snapshot×corpus jaccard recompute",
+)
+def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+        _shingle_sets,
+        minhash_signatures,
+        neardup_index_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # scalar watermark: parquet max statistic, one tiny job (the same
+    # 1-row-scalar idiom as the v-group query-vector lookups)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    wm = int(0.8 * (max_id + 1))
+    # Both probe sides come from ONE persisted tokenize→shingle→distinct
+    # pass and ONE 64-hash signature aggregate, split by narrow watermark
+    # filters — here corpus and snapshot live in the same table, so a
+    # second scan would recompute identical subtrees. On a real feed the
+    # corpus half arrives PREBUILT (the stored index) and only the
+    # snapshot half is computed: neardup_index_probe takes either shape.
+    sh = _shingle_sets(docs, "doc_id", "text", 3).persist()
+    sigs = minhash_signatures(sh, "doc_id", 64).persist()
+    is_snap = F.col("doc_id") >= wm
+    return neardup_index_probe(
+        sh.filter(~is_snap),
+        sigs.filter(~is_snap),
+        sh.filter(is_snap),
+        sigs.filter(is_snap),
+        "doc_id",
+        jaccard_threshold=0.5,
+        snapshot_ids=docs.filter(is_snap),
+    ).orderBy("doc_id")

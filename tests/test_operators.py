@@ -41,6 +41,30 @@ def test_minhash_dedup_survivors(spark, sf_dir):
     assert survivors.agg(F.min("doc_id")).collect()[0][0] == 0
 
 
+def test_incremental_neardup_flags_synthetic(spark):
+    """Snapshot docs are flagged iff they have a corpus near-dup, with
+    dup_src = the SMALLEST matching corpus id; corpus-internal dups and
+    snapshot-internal dups must not flag anything."""
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import incremental_neardup_flags
+
+    X = [f"x{i}" for i in range(16)]
+    Y = [f"y{i}" for i in range(16)]
+    corpus = spark.createDataFrame(
+        [(1, " ".join(X)), (2, " ".join(X)), (3, " ".join(Y))],  # 1~2 internal dup
+        "doc_id long, text string",
+    )
+    snapshot = spark.createDataFrame(
+        [(10, " ".join(X)), (11, " ".join(f"z{i}" for i in range(16))),
+         (12, " ".join(f"w{i}" for i in range(16))), (13, " ".join(f"w{i}" for i in range(16)))],
+        "doc_id long, text string",  # 12~13 snapshot-internal dup: NOT flagged
+    )
+    out = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in incremental_neardup_flags(corpus, snapshot, jaccard_threshold=0.5).collect()
+    }
+    assert out == {10: (True, 1), 11: (False, None), 12: (False, None), 13: (False, None)}
+
+
 def test_neardup_components_chain_propagation(spark):
     """Min-label propagation across a 3-node chain needs >1 round —
     the exact case a single-pass rule gets wrong."""

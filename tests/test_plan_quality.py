@@ -107,6 +107,19 @@ def test_t19_shingle_subtree_cached(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_t20_probes_persisted_index_snapshot_side(spark, sf_dir):
+    """t20's candidate join must PROBE the persisted corpus band index
+    with the snapshot side — never re-run near-dup over the union. The
+    persisted corpus shingle/signature subtrees show as InMemoryTableScan,
+    and the corpus parquet is scanned with the watermark filter pushed
+    down (so at 100 TB only index build, not an unbounded rescan)."""
+    df = REGISTRY["t20_incremental_neardup"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "InMemoryTableScan" in plan, "t20 lost its persisted band index"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
 def test_salted_queries_plan_salt_exchange(spark, sf_dir):
     """k01/k02 must actually execute the salted strategy: the salt column
     appears in the aggregate/join keys, and k01 plans the two-phase

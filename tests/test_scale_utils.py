@@ -303,6 +303,7 @@ _DUCK_ONLY = {
     "t09_minhash_lsh_neardup",
     "t11_neardup_components",
     "t12_chunking",
+    "t20_incremental_neardup",
     "t14_tfidf_top_terms",
     "t15_top_bigrams",
     "t16_quality_filter",
