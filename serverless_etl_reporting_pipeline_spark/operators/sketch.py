@@ -1,0 +1,153 @@
+"""Distributed sketch operators: KMV distinct-count and frequent-items
+candidate pruning.
+
+The reference has no approximate machinery at all — its only
+cardinality answer is Athena's exact `COUNT(DISTINCT …)`
+(`pipeline/athena_queries.sql:27`, `dashboard.py:188`), which at 100 TB
+means shuffling every distinct key. These two operators are the
+scale-path replacements, built so their OUTPUT is still deterministic
+and oracle-checkable (no RNG, no engine-private hash):
+
+- **KMV (k-minimum-values) distinct estimator.** Hash every key to a
+  48-bit integer via an md5 prefix (portable: DuckDB computes the very
+  same value), keep the k smallest *distinct* hash values, estimate
+  D ≈ (k-1) · 2^48 / h_(k). All integer arithmetic → the estimate is
+  bit-identical across engines and partitionings. The Arrow partial
+  pass prunes each input split to ≤k candidate hashes, so the final
+  exact merge (distinct → top-k) moves ≤ splits·k rows instead of one
+  row per distinct key — that is the entire point at 100 TB.
+
+- **Frequent-items candidate pruning (Misra-Gries-style bound).** For a
+  threshold "freq > n/T", any qualifying key must have per-split
+  frequency > n_s/(m+1) in at least one split when m ≥ T (pigeonhole
+  over splits). The Arrow pass emits exactly those per-split frequent
+  keys as candidates; a broadcast semi-join + exact recount then
+  filters to the TRUE heavy hitters. Output is exact and deterministic
+  — only the amount of shuffled data is approximate (candidate keys
+  instead of the full key space).
+
+Both partial passes are Arrow-batched `mapInPandas` (vectorized
+`pandas.value_counts` / `nsmallest`), never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 12 hex chars of md5 → 48-bit hash space. Small enough that
+# (k-1) · SPACE stays inside BIGINT for k ≤ 2^15, large enough that
+# collisions are negligible at fixture scale (and identical in both
+# engines when they do happen, since the hash function is shared).
+HASH_HEX_CHARS = 12
+HASH_SPACE = 16**HASH_HEX_CHARS  # 2^48
+
+
+def md5_hash48(col: Column) -> Column:
+    """Portable 48-bit key hash: first 12 hex chars of md5 as BIGINT.
+
+    DuckDB twin: ``('0x' || substr(md5(key), 1, 12))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, HASH_HEX_CHARS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
+    """One-row distinct-count estimate of `key` over `df`.
+
+    Returns columns: ``n_rows`` (exact row count), ``k_used`` (hashes
+    retained; < k means the sketch saw every distinct key and the
+    estimate is exact), ``kth_hash`` (the largest retained hash),
+    ``est_distinct``.
+
+    Plan shape: map-only hash projection → Arrow per-split top-k
+    partial (≤ splits·k rows survive) → exact distinct+top-k merge on
+    the pruned set → 1-row aggregate. No full-cardinality shuffle.
+    """
+    hashed = df.select(key.alias("_k")).select(md5_hash48(F.col("_k")).alias("h"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield pd.DataFrame({"h": b["h"].drop_duplicates().nsmallest(k)})
+
+    pruned = hashed.mapInPandas(partial, schema="h long")
+    topk = pruned.distinct().orderBy("h").limit(k)
+    sketch = topk.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = (
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
+        .cast("bigint")
+    )
+    # combine the two 1-row aggregates by union + max — a join on a
+    # constant key constant-folds into a nested-loop shape the corpus
+    # lint (rightly) bans, so don't join at all
+    n = df.agg(F.count("*").cast("bigint").alias("n_rows")).select(
+        "n_rows",
+        F.lit(None).cast("bigint").alias("k_used"),
+        F.lit(None).cast("bigint").alias("kth_hash"),
+    )
+    merged = n.unionByName(
+        sketch.select(F.lit(None).cast("bigint").alias("n_rows"), "k_used", "kth_hash")
+    ).agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("k_used").alias("k_used"),
+        F.max("kth_hash").alias("kth_hash"),
+    )
+    return merged.select("n_rows", "k_used", "kth_hash", est.alias("est_distinct"))
+
+
+def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: int) -> DataFrame:
+    """Exact keys with ``count > n / threshold_denom`` via candidate pruning.
+
+    ``capacity`` (m) must be ≥ ``threshold_denom`` (T) for the
+    superset guarantee: freq > n/T ⇒ per-split freq > n_s/(m+1)
+    somewhere ⇒ the key reaches the candidate set. The recount pass is
+    exact, so the output equals the plain groupBy answer — verified by
+    the oracle stating the plain form.
+
+    Returns ``key_value, cnt`` (unsorted; caller orders/annotates).
+    """
+    if capacity < threshold_denom:
+        raise ValueError(f"capacity {capacity} must be >= threshold_denom {threshold_denom}")
+    keyed = df.select(key.cast("string").alias("key_value"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                vc = b["key_value"].value_counts()
+                keep = vc[vc * (capacity + 1) > len(b)]
+                yield pd.DataFrame({"key_value": keep.index})
+
+    candidates = keyed.mapInPandas(partial, schema="key_value string").distinct()
+    n = keyed.agg(F.count("*").cast("bigint").alias("n_rows"))
+    counts = (
+        keyed.join(F.broadcast(candidates), "key_value", "left_semi")
+        .groupBy("key_value")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # attach the scalar total without a constant-key join (which would
+    # constant-fold into a nested-loop shape): union a NULL-key total
+    # row, spread it with a whole-frame window — the frame is candidate-
+    # sized, so the single-partition window is bounded (w02 idiom)
+    from pyspark.sql import Window
+
+    u = counts.withColumn("_nr", F.lit(None).cast("bigint")).unionByName(
+        n.select(
+            F.lit(None).cast("string").alias("key_value"),
+            F.lit(None).cast("bigint").alias("cnt"),
+            F.col("n_rows").alias("_nr"),
+        )
+    )
+    u = u.withColumn("n_rows", F.max("_nr").over(Window.partitionBy())).drop("_nr")
+    return u.filter(
+        F.col("key_value").isNotNull() & (F.col("cnt") * threshold_denom > F.col("n_rows"))
+    )

@@ -16,6 +16,7 @@ from serverless_etl_reporting_pipeline_spark.plans import windows  # noqa: F401,
 from serverless_etl_reporting_pipeline_spark.plans import relational  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import curation  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import skewed  # noqa: F401, E402
+from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
 # the first 50 registry entries per round. Rotation policy for round 5:
@@ -39,7 +40,12 @@ _R04_GREEN = frozenset(
     + ["t01", "t13", "t17", "t18", "t19", "w08", "w09"]
 ) - {"c07"}  # c07 was red in r4 (as were k01/k02, never listed here)
 
-_PRIORITY = ("c07", "k01", "k02", "c08", "t20")
+_PRIORITY = (
+    # r4 hash-fails whose oracles were fixed + c08's changed join shape
+    "c07", "k01", "k02", "c08",
+    # queries added in round 5 (new code must be driver-checked first)
+    "t20", "x01", "x02", "c10", "e06", "v10",
+)
 
 
 def _rotate() -> None:

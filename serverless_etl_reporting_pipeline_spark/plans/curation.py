@@ -633,3 +633,70 @@ def c06_chargram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MIX_BUDGET = 100000  # docs to draw across all (source, lang) domains
+
+
+@query(
+    "c10_temperature_mixture",
+    # Every step is integer arithmetic once sqrt(n) is quantized to
+    # 1e-6 micro-units (sqrt is IEEE-correctly-rounded in both engines,
+    # so the quantized weights agree bit-for-bit), which makes the
+    # largest-remainder apportionment — floor division, modulo, rank —
+    # deterministic and hash-stable.
+    oracle=f"""
+    WITH dom AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w_micro
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT dom.*, (SELECT sum(w_micro) FROM dom) AS s FROM dom
+    ),
+    b AS (
+        SELECT *, ({_MIX_BUDGET} * w_micro) // s AS base_t,
+                  ({_MIX_BUDGET} * w_micro) % s AS rem
+        FROM t
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk,
+               (SELECT {_MIX_BUDGET} - sum(base_t) FROM b) AS deficit
+        FROM b
+    )
+    SELECT source, lang, n_docs, w_micro,
+           CAST(base_t + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+    FROM r
+    ORDER BY source, lang
+    """,
+    doc="temperature-scaled mixture apportionment (alpha = 0.5): per-(source, lang) "
+    "domain weights proportional to sqrt(n_docs) — the multilingual/domain "
+    "rebalancing used to set sampling targets for a training mix — turned into "
+    "exact integer doc budgets by largest-remainder rounding, so the targets sum "
+    "to the budget exactly. Scale shape: ONE map-side-combined domain aggregate "
+    "(domains number in the hundreds at any corpus size); the windows/apportionment "
+    "run on that tiny frame, and the emitted targets drive a c05-style map-only "
+    "accept filter over the corpus — no second fact shuffle",
+)
+def c10_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    dom = dom.withColumn(
+        "w_micro", F.round(F.sqrt(F.col("n_docs")) * 1000000).cast("bigint")
+    )
+    # the domain frame is aggregate-sized (hundreds of rows at 100 TB), so
+    # whole-frame windows here are deliberate, not a scale hazard
+    wall = Window.partitionBy()
+    dom = dom.withColumn("s", F.sum("w_micro").over(wall))
+    dom = dom.withColumn(
+        "base_t", F.expr(f"CAST(({_MIX_BUDGET}L * w_micro) DIV s AS BIGINT)")
+    ).withColumn("rem", F.expr(f"({_MIX_BUDGET}L * w_micro) % s"))
+    dom = dom.withColumn(
+        "rk", F.row_number().over(Window.partitionBy().orderBy(F.desc("rem"), "source", "lang"))
+    ).withColumn("deficit", F.lit(_MIX_BUDGET) - F.sum("base_t").over(wall))
+    target = F.col("base_t") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+    return dom.select(
+        "source", "lang", "n_docs", "w_micro", target.cast("bigint").alias("target_docs")
+    ).orderBy("source", "lang")

@@ -261,3 +261,67 @@ def e05_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "e06_point_in_time_version",
+    # DuckDB's native ASOF LEFT JOIN is the oracle for the library's
+    # union+window as-of operator; arg_max/max_by break the (user, ts)
+    # tie identically on both sides, and `value` doubles are carried
+    # untouched (no re-aggregation), so the hash compare is exact.
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, ts AS valid_from,
+               arg_max(value, event_id) AS state_value,
+               max(event_id) AS state_event_id
+        FROM events WHERE event_type = 'signup'
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS INT) AS version
+        FROM s0
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           s.version, s.state_event_id, s.state_value, s.valid_from
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.valid_from <= p.ts
+    ORDER BY p.event_id
+    """,
+    doc="point-in-time SCD2 read (time travel on a versioned dimension): each "
+    "purchase is resolved against the signup-state VERSION that was current at "
+    "its event time — e01 builds the history, this query reads it as of a fact "
+    "timestamp, which is the lakehouse `FOR TIMESTAMP AS OF` lookup a plain "
+    "equi-join gets wrong (it would see future versions). One key shuffle via "
+    "the union+window as-of operator (operators/asof.py), no range-join blowup; "
+    "facts before the first version keep NULL state (left semantics)",
+)
+def e06_point_in_time_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.asof import asof_backward_join
+
+    ev = load_table(spark, sf_dir, "events")
+    states = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(
+            F.max_by("value", "event_id").alias("state_value"),
+            F.max("event_id").alias("state_event_id"),
+        )
+        .withColumn(
+            "version",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("valid_from")),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    joined = asof_backward_join(
+        purchases,
+        states,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        payload_cols=["version", "state_event_id", "state_value", "valid_from"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "version", "state_event_id", "state_value", "valid_from"
+    ).orderBy("event_id")

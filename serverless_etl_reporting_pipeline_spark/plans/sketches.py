@@ -1,0 +1,98 @@
+"""Sketch corpus queries (x-group): deterministic approximate
+cardinality and candidate-pruned heavy hitters (operators/sketch.py).
+
+The reference answers both questions with exact full-shuffle SQL
+(`pipeline/athena_queries.sql:27` COUNT(DISTINCT ip),
+`dashboard.py:188` value_counts) — fine at GB scale, the dominant
+shuffle at 100 TB. These queries run the sketch forms whose outputs are
+still exact integers, so the driver hash-checks them like any other
+query: the approximation lives in how little data moves, not in
+nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.sketch import (
+    HASH_SPACE,
+    frequent_keys,
+    kmv_sketch,
+)
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+_KMV_K = 256
+
+
+@query(
+    "x01_kmv_distinct_users_days",
+    # The oracle restates the sketch definition itself (k smallest
+    # distinct 48-bit md5-prefix hashes), not the plain COUNT(DISTINCT):
+    # both engines hash identical strings through md5, so kth_hash and
+    # the integer-division estimate match bit-for-bit.
+    oracle=f"""
+    WITH keys AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' ||
+                                   CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM events
+    ),
+    topk AS (
+        SELECT DISTINCT h FROM keys ORDER BY h LIMIT {_KMV_K}
+    ),
+    sk AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash FROM topk
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+           k_used,
+           kth_hash,
+           CAST(CASE WHEN k_used < {_KMV_K} THEN k_used
+                     ELSE ({_KMV_K - 1} * {HASH_SPACE}) // kth_hash END AS BIGINT) AS est_distinct
+    FROM sk
+    """,
+    doc="KMV distinct estimator over (user_id, activity day): k=256 minimum md5-prefix "
+    "hashes → D ≈ (k-1)·2^48/h_(k), all integer math. Scale shape: map-only hash, "
+    "Arrow per-split top-k partial (≤ splits·k survivors), tiny exact merge — replaces "
+    "the exact COUNT(DISTINCT) full-key shuffle of athena_queries.sql:27 at 100 TB "
+    "(operators/sketch.py kmv_sketch)",
+)
+def x01_kmv_distinct_users_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws("|", F.col("user_id").cast("string"), F.col("ts").cast("date").cast("string"))
+    return kmv_sketch(ev, key, k=_KMV_K)
+
+
+@query(
+    "x02_frequent_users",
+    # The oracle states the PLAIN exact form — the sketch only prunes
+    # what gets shuffled; its answer is the true heavy-hitter set.
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM events)
+    SELECT CAST(key_value AS BIGINT) AS user_id,
+           cnt,
+           round(cnt * 1000000.0 / n_rows) / 1000000.0 AS share
+    FROM (
+        SELECT CAST(user_id AS STRING) AS key_value, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), n
+    WHERE cnt * 150 > n_rows
+    ORDER BY cnt DESC, user_id
+    """,
+    doc="exact heavy hitters (users with > n/150 of all events) via Misra-Gries-style "
+    "candidate pruning: Arrow per-split frequent-keys pass (capacity 512 ≥ T=150 gives "
+    "the pigeonhole superset guarantee) → broadcast semi-join → exact recount+filter. "
+    "Only candidate keys shuffle; the answer equals the plain groupBy, which is what "
+    "the oracle asserts (operators/sketch.py frequent_keys)",
+)
+def x02_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hh = frequent_keys(ev, F.col("user_id"), threshold_denom=150, capacity=512)
+    return (
+        hh.select(
+            F.col("key_value").cast("bigint").alias("user_id"),
+            "cnt",
+            (F.round(F.col("cnt") * 1000000.0 / F.col("n_rows")) / 1000000.0).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+    )

@@ -327,3 +327,78 @@ def test_stratified_sample_quota_and_determinism(spark, sf_dir):
     ids1 = sorted(r["doc_id"] for r in samp.collect())
     ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, ["lang"], 10, "doc_id").collect())
     assert ids1 == ids2
+
+
+def test_kmv_sketch_exact_when_under_k(spark):
+    """Fewer distinct keys than k → the sketch holds them all and the
+    estimate IS the exact distinct count."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    row = kmv_sketch(df, F.col("k"), k=256).collect()[0]
+    assert row["n_rows"] == 1000
+    assert row["k_used"] == 37
+    assert row["est_distinct"] == 37
+
+
+def test_kmv_sketch_partition_invariant_and_close(spark):
+    """The k-th minimum (and hence the estimate) must not depend on how
+    the input is split; the estimate should land within ~3/sqrt(k)."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch
+
+    base = spark.range(20000).select(F.col("id").alias("k"))
+    a = kmv_sketch(base.repartition(3), F.col("k"), k=128).collect()[0]
+    b = kmv_sketch(base.repartition(17), F.col("k"), k=128).collect()[0]
+    assert a == b
+    assert abs(a["est_distinct"] - 20000) < 20000 * 0.3
+
+
+def test_frequent_keys_equals_plain_groupby(spark):
+    """Candidate pruning must not change the answer: compare against the
+    plain groupBy heavy-hitter set on a skewed synthetic."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import frequent_keys
+
+    # key i appears i^2 times, i in 1..40 → n = 22140, heavy tail
+    df = spark.range(1, 41).select(
+        F.explode(F.expr("sequence(1, CAST(id * id AS INT))")).alias("_"),
+        F.col("id").alias("k"),
+    )
+    got = {
+        (r["key_value"], r["cnt"])
+        for r in frequent_keys(df.repartition(5), F.col("k"), threshold_denom=50, capacity=64).collect()
+    }
+    n = df.count()
+    want = {
+        (str(r["k"]), r["c"])
+        for r in df.groupBy("k").agg(F.count("*").alias("c")).filter(F.col("c") * 50 > n).collect()
+    }
+    assert got == want and want
+
+
+def test_frequent_keys_capacity_contract(spark):
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import frequent_keys
+    import pytest as _pytest
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        frequent_keys(df, F.col("k"), threshold_denom=100, capacity=50)
+
+
+def test_sq8_rerank_matches_bruteforce_head(spark, sf_dir):
+    """SQ8's reranked top-k comes from int8-score candidates; with 50
+    candidates over the fixture the exact top-1 must survive the cut,
+    and the cosines it reports must equal the exact kernel's."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import sq8_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"]: r["cos"] for r in knn_bruteforce(rest, list(quantize_np(q)), k=10).collect()}
+    sq = sq8_rerank_topk(rest, list(q), k=10, n_candidates=50).collect()
+    assert abs(sq[0]["score_i8"]) <= 127 * 127 * 64
+    top_exact = max(exact, key=exact.get)
+    sq_ids = [r["vec_id"] for r in sq]
+    assert top_exact in sq_ids
+    for r in sq:
+        if r["vec_id"] in exact:
+            assert r["cos"] == exact[r["vec_id"]]

@@ -77,6 +77,7 @@ def test_aggregates_are_partial_final(spark, sf_dir, name):
         "t14_tfidf_top_terms",  # vocabulary-sized df frame broadcasts
         "c02_bloom_decontamination",  # the Bloom bit-set broadcasts to both semi-joins
         "c06_chargram_lm_score",  # the charset²-sized LM broadcasts
+        "x02_frequent_users",  # the pruned candidate set broadcasts for the recount
     ],
 )
 def test_small_side_broadcasts(spark, sf_dir, name):
@@ -172,3 +173,24 @@ def test_allpairs_vector_ops_never_collect_vectors(spark, sf_dir, name, monkeypa
     monkeypatch.setattr(DataFrame, "toPandas", _boom, raising=False)
     df = REGISTRY[name].builder(spark, sf_dir)  # must not raise
     assert df is not None
+
+
+def test_x01_kmv_merges_via_topk_not_global_sort(spark, sf_dir):
+    """The KMV merge over the Arrow-pruned hashes must plan a top-k
+    (TakeOrderedAndProject), never a full global sort of the hash
+    column, and the partial pass must be an Arrow map (no shuffle of
+    the raw keys before pruning)."""
+    plan = _plan(spark, REGISTRY["x01_kmv_distinct_users_days"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "MapInPandas" in plan, plan[:800]
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_v10_sq8_two_stage_topk(spark, sf_dir):
+    """Both SQ8 stages (int8 candidate cut, exact rerank) must plan as
+    TakeOrderedAndProject over the Arrow scoring kernel — no global
+    sort, no shuffle of the vectors."""
+    plan = _plan(spark, REGISTRY["v10_sq8_rerank"].builder(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 2, plan[:800]
+    assert "MapInPandas" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -321,6 +321,10 @@ _DUCK_ONLY = {
     "w05_running_total_by_month",
     "w06_sessionization",
     "w08_event_debounce",
+    "c10_temperature_mixture",  # // integer division
+    "e06_point_in_time_version",  # ASOF LEFT JOIN
+    "v10_sq8_rerank",  # list_transform/list_zip
+    "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
 }
 
 
