@@ -105,6 +105,48 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     return merged.select("n_rows", "k_used", "kth_hash", est.alias("est_distinct"))
 
 
+def kmv_sketch_grouped(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 256
+) -> DataFrame:
+    """Per-group KMV distinct estimate — the mergeable form that matters
+    at 100 TB: each split prunes to ≤k candidate hashes *per group it
+    sees*, the per-group merge (distinct → rank ≤ k) runs on pruned
+    data, and only group-cardinality-sized aggregates ever join.
+
+    Returns ``*group_cols, n_rows, k_used, kth_hash, est_distinct``
+    (one row per group; ``k_used < k`` ⇒ the estimate is exact).
+    """
+    hashed = df.select(*group_cols, md5_hash48(key).alias("h"))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                d = b.drop_duplicates()
+                yield d.sort_values("h", kind="mergesort").groupby(group_cols, sort=False).head(k)
+
+    from pyspark.sql import Window
+
+    pruned = hashed.mapInPandas(partial, schema=hashed.schema)
+    ranked = (
+        pruned.distinct()
+        .withColumn("rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")))
+        .filter(F.col("rk") <= k)
+    )
+    sk = ranked.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    n = df.groupBy(*group_cols).agg(F.count("*").cast("bigint").alias("n_rows"))
+    est = (
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
+        .cast("bigint")
+    )
+    return n.join(sk, list(group_cols)).select(
+        *group_cols, "n_rows", "k_used", "kth_hash", est.alias("est_distinct")
+    )
+
+
 def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: int) -> DataFrame:
     """Exact keys with ``count > n / threshold_denom`` via candidate pruning.
 

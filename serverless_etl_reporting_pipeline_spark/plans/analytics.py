@@ -545,3 +545,69 @@ def a18_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "a19_funnel_cohorts",
+    # Pure ANSI (also Spark-SQL-conformant): min-aggregates, an
+    # equi-join with an inequality residual, interval arithmetic, and a
+    # micro-quantized rate — no engine-private functions.
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(CASE WHEN first_purchase IS NOT NULL
+                          AND first_purchase <= signup_ts + INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           round(sum(CASE WHEN first_purchase IS NOT NULL
+                           AND first_purchase <= signup_ts + INTERVAL 7 DAY
+                          THEN 1 ELSE 0 END) * 1000000.0 / count(*)) / 1000000.0
+               AS conv_rate
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="conversion funnel by signup cohort week: first signup per user, first "
+    "purchase at-or-after it, converted = within 7 days; weekly cohort counts and "
+    "micro-quantized conversion rate. Scale shape: two map-side-combined min-"
+    "aggregates keyed on user_id, one user-key equi-join (inequality stays a "
+    "residual filter, not a range join), then a low-cardinality cohort aggregate "
+    "— the product-analytics staple the reference's Athena SQL cannot express "
+    "without a self-join per funnel step",
+)
+def a19_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s.select("user_id", "signup_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    conv = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")
+    )
+    converted = F.sum(F.when(conv, 1).otherwise(0)).cast("bigint")
+    return (
+        s.join(p, "user_id", "left")
+        .groupBy(F.date_trunc("week", "signup_ts").cast("date").alias("cohort_week"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_signups"),
+            converted.alias("n_converted"),
+            (F.round(converted * 1000000.0 / F.count("*")) / 1000000.0).alias("conv_rate"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -19,6 +19,7 @@ from serverless_etl_reporting_pipeline_spark.operators.sketch import (
     HASH_SPACE,
     frequent_keys,
     kmv_sketch,
+    kmv_sketch_grouped,
 )
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
@@ -61,6 +62,48 @@ def x01_kmv_distinct_users_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     key = F.concat_ws("|", F.col("user_id").cast("string"), F.col("ts").cast("date").cast("string"))
     return kmv_sketch(ev, key, k=_KMV_K)
+
+
+@query(
+    "x03_kmv_distinct_by_type",
+    # Same sketch definition as x01, partitioned by group: the oracle
+    # ranks each group's distinct hashes and keeps rank ≤ k, so kth_hash
+    # and the integer estimate agree bit-for-bit per group.
+    oracle=f"""
+    WITH keys AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 12))::BIGINT AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM (SELECT DISTINCT event_type, h FROM keys)
+    ),
+    sk AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash
+        FROM ranked WHERE rk <= {_KMV_K} GROUP BY 1
+    ),
+    n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1
+    )
+    SELECT n.event_type, n_rows, k_used, kth_hash,
+           CAST(CASE WHEN k_used < {_KMV_K} THEN k_used
+                     ELSE ({_KMV_K - 1} * {HASH_SPACE}) // kth_hash END AS BIGINT) AS est_distinct
+    FROM n JOIN sk USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="per-group KMV: distinct users per event_type, one mergeable k=256 sketch per "
+    "group. Scale shape: Arrow partial prunes each split to ≤k hashes per group "
+    "BEFORE the shuffle, the rank/merge runs on pruned data, and only group-"
+    "cardinality aggregates join — per-group COUNT(DISTINCT) without shuffling the "
+    "key space (operators/sketch.py kmv_sketch_grouped)",
+)
+def x03_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_sketch_grouped(ev, ["event_type"], F.col("user_id"), k=_KMV_K).orderBy(
+        "event_type"
+    )
 
 
 @query(

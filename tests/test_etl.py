@@ -192,3 +192,43 @@ def test_compact_partitions_one_file_each(spark, sf_dir, tmp_path):
     assert checksum_after == checksum_before
     for d in glob.glob(os.path.join(lake, "year=*", "month=*", "day=*")):
         assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, f"not compacted: {d}"
+
+
+def test_zorder_write_shrinks_per_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """Z-order clustering must make each output file cover a compact
+    rectangle in (user_id, value) space: the mean normalized bbox area
+    over z-ordered files must be far below the random layout's (~1.0),
+    so parquet min/max stats can prune 2-D predicates."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value").dropna()
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+    ev.repartition(8).write.parquet(rpath)
+
+    def mean_bbox_area(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+            )
+            .collect()
+        )
+        lo_u = min(r["ulo"] for r in per_file); hi_u = max(r["uhi"] for r in per_file)
+        lo_v = min(r["vlo"] for r in per_file); hi_v = max(r["vhi"] for r in per_file)
+        areas = [
+            ((r["uhi"] - r["ulo"]) / max(hi_u - lo_u, 1))
+            * ((r["vhi"] - r["vlo"]) / max(hi_v - lo_v, 1e-9))
+            for r in per_file
+        ]
+        return sum(areas) / len(areas), len(per_file)
+
+    z_area, z_files = mean_bbox_area(zpath)
+    r_area, _ = mean_bbox_area(rpath)
+    assert z_files >= 4  # range partitioner actually spread the keyspace
+    assert r_area > 0.5  # random layout: every file spans ~the full space
+    assert z_area < r_area / 3, (z_area, r_area)
+    # the write must not leak the derived key
+    assert spark.read.parquet(zpath).columns == ["user_id", "value"]

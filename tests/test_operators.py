@@ -402,3 +402,28 @@ def test_sq8_rerank_matches_bruteforce_head(spark, sf_dir):
     for r in sq:
         if r["vec_id"] in exact:
             assert r["cos"] == exact[r["vec_id"]]
+
+
+def test_kmv_grouped_exact_under_k_and_partition_invariant(spark):
+    """Per-group sketches: groups with < k distinct keys report the
+    exact distinct count; results must not depend on input split."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
+
+    # group g in {0,1,2}: g=0 has 10 distinct keys, g=1 has 300, g=2 has 50
+    df = spark.range(6000).select(
+        (F.col("id") % 3).alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 30)
+        .when(F.col("id") % 3 == 1, F.col("id") % 900)
+        .otherwise(F.col("id") % 150)
+        .alias("k"),
+    )
+    a = sorted(kmv_sketch_grouped(df.repartition(2), ["g"], F.col("k"), k=128).collect())
+    b = sorted(kmv_sketch_grouped(df.repartition(13), ["g"], F.col("k"), k=128).collect())
+    assert a == b
+    by_g = {r["g"]: r for r in a}
+    assert by_g[0]["k_used"] == 10 and by_g[0]["est_distinct"] == 10
+    assert by_g[2]["k_used"] == 50 and by_g[2]["est_distinct"] == 50
+    # g=1 has 300 distinct (> k): estimate within 3/sqrt(128) ≈ 27%
+    assert by_g[1]["k_used"] == 128
+    assert abs(by_g[1]["est_distinct"] - 300) < 300 * 0.3
+    assert all(r["n_rows"] == 2000 for r in a)

@@ -325,6 +325,7 @@ _DUCK_ONLY = {
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
+    "x03_kmv_distinct_by_type",  # ::BIGINT and // integer division
 }
 
 
