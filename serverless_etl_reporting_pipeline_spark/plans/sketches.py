@@ -139,3 +139,98 @@ def x02_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "user_id")
     )
+
+
+_HIST_B = 4096
+_QUANTILES_MICRO = (500000, 900000, 990000)  # p50 / p90 / p99
+
+
+@query(
+    "x04_histogram_quantiles",
+    # Bucket = floor((v-lo)/(hi-lo)*B) with identical left-assoc double
+    # arithmetic in both engines; thresholds are exact integer
+    # ceil(q*n); bucket bounds re-derive from (lo, hi) with the same
+    # expression shape, micro-rounded — every emitted column is integer.
+    oracle=f"""
+    WITH st AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT least({_HIST_B - 1},
+                     CAST(floor((value - lo) / (hi - lo) * {_HIST_B}) AS INT)) AS bucket
+        FROM events, st WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket
+    ),
+    c AS (
+        SELECT bucket, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+        FROM h
+    ),
+    q AS (
+        SELECT unnest([{", ".join(str(q) for q in _QUANTILES_MICRO)}]) AS q_micro
+    )
+    SELECT q_micro,
+           st.n AS n_rows,
+           c.bucket,
+           c.cum AS cum_count,
+           CAST(round((st.lo + c.bucket * ((st.hi - st.lo) / {_HIST_B}.0)) * 1000000) AS BIGINT) AS est_lo_micro,
+           CAST(round((st.lo + (c.bucket + 1) * ((st.hi - st.lo) / {_HIST_B}.0)) * 1000000) AS BIGINT) AS est_hi_micro
+    FROM c, q, st
+    WHERE c.cum >= (q.q_micro * st.n + 999999) // 1000000
+      AND c.cum - c.cnt < (q.q_micro * st.n + 999999) // 1000000
+    ORDER BY q_micro
+    """,
+    doc=f"equi-width histogram quantile sketch (B={_HIST_B} buckets): p50/p90/p99 of "
+    "event value located to a bucket interval — the mergeable approximate-quantile "
+    "path next to e05's exact window percentiles. Scale shape: one 1-row min/max/"
+    "count aggregate (driver sees 3 scalars, v01-style), then ONE map-side-combined "
+    f"{_HIST_B}-key aggregate — no global sort, no per-key shuffle; the cumulative "
+    "scan and threshold probe run on the bucket frame (bounded ≤B rows, w02 idiom). "
+    "Error bound is the bucket width, reported explicitly as [est_lo, est_hi)",
+)
+def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    B = _HIST_B
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lo, hi, n = ev.agg(
+        F.min("value"), F.max("value"), F.count("*").cast("bigint")
+    ).collect()[0]
+    bucket = F.least(
+        F.lit(B - 1),
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo) * B).cast("int"),
+    )
+    h = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    c = h.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy().orderBy("bucket")).cast("bigint"),
+    )
+    width = (hi - lo) / float(B)
+    exploded = c.select(
+        "bucket", "cnt", "cum",
+        F.explode(F.array(*[F.lit(q).cast("bigint") for q in _QUANTILES_MICRO])).alias("q_micro"),
+    )
+    thresh = (F.col("q_micro") * F.lit(n) + 999999) / F.lit(1000000)
+    t = F.floor(thresh).cast("bigint")
+    return (
+        exploded.filter((F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t))
+        .select(
+            "q_micro",
+            F.lit(n).cast("bigint").alias("n_rows"),
+            "bucket",
+            F.col("cum").alias("cum_count"),
+            F.round((F.lit(lo) + F.col("bucket") * F.lit(width)) * 1000000)
+            .cast("bigint")
+            .alias("est_lo_micro"),
+            F.round((F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)) * 1000000)
+            .cast("bigint")
+            .alias("est_hi_micro"),
+        )
+        .orderBy("q_micro")
+    )

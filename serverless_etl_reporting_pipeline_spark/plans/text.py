@@ -876,3 +876,58 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5,
         snapshot_ids=docs.filter(is_snap),
     ).orderBy("doc_id")
+
+
+@query(
+    "t21_passage_dedup_stats",
+    # Same engine-portable chunk construction as t12 (chunk_size=16,
+    # overlap=0), md5 passage fingerprints, exact integer dup counts —
+    # the cross-doc duplication profile is hash-stable by construction.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, md5(array_to_string(list_slice(t, 1 + i * 16, i * 16 + 16), ' ')) AS fp
+        FROM toks,
+             UNNEST(generate_series(
+                 0,
+                 CAST(greatest(1, ceil(len(t) / 16.0)) AS BIGINT) - 1
+             )) AS u(i)
+    ),
+    cnts AS (
+        SELECT fp, count(*) AS cnt FROM ch GROUP BY fp
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+           round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) * 1000000.0 / count(*))
+               / 1000000.0 AS dup_ratio
+    FROM ch JOIN cnts USING (fp)
+    GROUP BY ch.doc_id
+    ORDER BY ch.doc_id
+    """,
+    doc="passage-level duplication profile (RefinedWeb/MassiveText-style sub-document "
+    "dedup): each doc split into non-overlapping 16-token passages (t12's chunker, "
+    "overlap=0), md5 passage fingerprints counted corpus-wide, per-doc share of "
+    "passages that occur ≥2 times anywhere — the granularity at which boilerplate "
+    "and templated text survive document-level dedup. Scale shape: map-only chunk "
+    "explode, ONE count aggregate keyed on the fingerprint, a same-key join that "
+    "reuses the fingerprint shuffle, then a doc-keyed aggregate — no all-pairs work",
+)
+def t21_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_tokens(docs, "doc_id", "text", chunk_size=16, overlap=0)
+    fp = ch.select("doc_id", F.md5("chunk_text").alias("fp"))
+    cnts = fp.groupBy("fp").agg(F.count("*").alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        fp.join(cnts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            dup.alias("n_dup_passages"),
+            (F.round(dup * 1000000.0 / F.count("*")) / 1000000.0).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

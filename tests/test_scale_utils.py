@@ -326,6 +326,7 @@ _DUCK_ONLY = {
     "v10_sq8_rerank",  # list_transform/list_zip
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
     "x03_kmv_distinct_by_type",  # ::BIGINT and // integer division
+    "x04_histogram_quantiles",  # unnest([...]) and // integer division
 }
 
 

@@ -254,3 +254,43 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     # the 10:00 window was emitted with exactly the 2 on-time rows; the
     # late row (id 4) was dropped, not double-counted
     assert rows[t] == 2
+
+
+def test_streaming_kmv_equals_batch(spark, events_src):
+    """The stateful streaming KMV, drained over two file micro-batches,
+    must land on EXACTLY the batch sketch of the union — same k-min
+    state, same integer estimate."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
+    from serverless_etl_reporting_pipeline_spark.streaming.sketches import streaming_kmv_by_group
+
+    events, src, tmp = events_src
+    # second arrival batch → at least two micro-batch state merges
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"]).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_kmv_by_group(stream, "event_type", F.col("user_id"), k=64)
+        .writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM kmv_out").collect()
+    assert len(rows) > len({r["group_key"] for r in rows}), "expected >1 micro-batch of updates"
+    latest = {}
+    for r in rows:  # update mode: last emission per group wins
+        if r["group_key"] not in latest or r["n_rows"] > latest[r["group_key"]]["n_rows"]:
+            latest[r["group_key"]] = r
+    got = {
+        g: (r["n_rows"], r["k_used"], r["kth_hash"], r["est_distinct"])
+        for g, r in latest.items()
+    }
+    want = {
+        r["event_type"]: (r["n_rows"], r["k_used"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_sketch_grouped(events, ["event_type"], F.col("user_id"), k=64).collect()
+    }
+    assert got == want
