@@ -638,6 +638,31 @@ def c06_chargram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BUDGET = 100000  # docs to draw across all (source, lang) domains
 
 
+def _mixture_targets(docs: DataFrame) -> DataFrame:
+    """The c10 target frame (source, lang, n_docs, w_micro, target_docs)
+    as a reusable builder — c11 joins it back over the corpus."""
+    from pyspark.sql import Window
+
+    dom = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    dom = dom.withColumn(
+        "w_micro", F.round(F.sqrt(F.col("n_docs")) * 1000000).cast("bigint")
+    )
+    # the domain frame is aggregate-sized (hundreds of rows at 100 TB), so
+    # whole-frame windows here are deliberate, not a scale hazard
+    wall = Window.partitionBy()
+    dom = dom.withColumn("s", F.sum("w_micro").over(wall))
+    dom = dom.withColumn(
+        "base_t", F.expr(f"CAST(({_MIX_BUDGET}L * w_micro) DIV s AS BIGINT)")
+    ).withColumn("rem", F.expr(f"({_MIX_BUDGET}L * w_micro) % s"))
+    dom = dom.withColumn(
+        "rk", F.row_number().over(Window.partitionBy().orderBy(F.desc("rem"), "source", "lang"))
+    ).withColumn("deficit", F.lit(_MIX_BUDGET) - F.sum("base_t").over(wall))
+    target = F.col("base_t") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+    return dom.select(
+        "source", "lang", "n_docs", "w_micro", target.cast("bigint").alias("target_docs")
+    )
+
+
 @query(
     "c10_temperature_mixture",
     # Every step is integer arithmetic once sqrt(n) is quantized to
@@ -679,24 +704,69 @@ _MIX_BUDGET = 100000  # docs to draw across all (source, lang) domains
     "accept filter over the corpus — no second fact shuffle",
 )
 def c10_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    dom = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
-    dom = dom.withColumn(
-        "w_micro", F.round(F.sqrt(F.col("n_docs")) * 1000000).cast("bigint")
+    return _mixture_targets(docs).orderBy("source", "lang")
+
+
+@query(
+    "c11_mixture_sample",
+    # The accept test u < target/n compares exact dyadic u (first 32 md5
+    # bits / 2^32) against the same IEEE bigint/bigint division in both
+    # engines, so the accepted set — and therefore the exact integer
+    # accepted counts — are bit-identical.
+    oracle=f"""
+    WITH dom AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w_micro
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT dom.*, (SELECT sum(w_micro) FROM dom) AS s FROM dom
+    ),
+    b AS (
+        SELECT *, ({_MIX_BUDGET} * w_micro) // s AS base_t,
+                  ({_MIX_BUDGET} * w_micro) % s AS rem
+        FROM t
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk,
+               (SELECT {_MIX_BUDGET} - sum(base_t) FROM b) AS deficit
+        FROM b
+    ),
+    tgt AS (
+        SELECT source, lang, n_docs,
+               CAST(base_t + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+        FROM r
     )
-    # the domain frame is aggregate-sized (hundreds of rows at 100 TB), so
-    # whole-frame windows here are deliberate, not a scale hazard
-    wall = Window.partitionBy()
-    dom = dom.withColumn("s", F.sum("w_micro").over(wall))
-    dom = dom.withColumn(
-        "base_t", F.expr(f"CAST(({_MIX_BUDGET}L * w_micro) DIV s AS BIGINT)")
-    ).withColumn("rem", F.expr(f"({_MIX_BUDGET}L * w_micro) % s"))
-    dom = dom.withColumn(
-        "rk", F.row_number().over(Window.partitionBy().orderBy(F.desc("rem"), "source", "lang"))
-    ).withColumn("deficit", F.lit(_MIX_BUDGET) - F.sum("base_t").over(wall))
-    target = F.col("base_t") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
-    return dom.select(
-        "source", "lang", "n_docs", "w_micro", target.cast("bigint").alias("target_docs")
-    ).orderBy("source", "lang")
+    SELECT d.source, d.lang, tgt.n_docs, tgt.target_docs,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 8))::BIGINT
+                              / 4294967296.0 < tgt.target_docs / CAST(tgt.n_docs AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS accepted
+    FROM documents d JOIN tgt ON d.source = tgt.source AND d.lang = tgt.lang
+    GROUP BY d.source, d.lang, tgt.n_docs, tgt.target_docs
+    ORDER BY d.source, d.lang
+    """,
+    doc="temperature-mixture APPLY step: c10's integer targets joined back over the "
+    "corpus (aggregate-sized frame broadcast, the c09 pattern) and enforced by the "
+    "c05 deterministic md5-uniform accept u < target/n — computing the mix and "
+    "drawing it are one pipeline. Scale shape: one domain aggregate + one "
+    "broadcast join + a map-only accept filter; the only corpus-keyed shuffle is "
+    "the final per-domain count. Output = per-domain planned target vs exact "
+    "accepted count (rate-accurate, not quota-exact — quota-exact selection is "
+    "t13's ranked stratified sampler)",
+)
+def c11_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = _mixture_targets(docs).select("source", "lang", "n_docs", "target_docs")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    accept = u < F.col("target_docs") / F.col("n_docs").cast("double")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(F.broadcast(tgt), ["source", "lang"])
+        .groupBy("source", "lang", "n_docs", "target_docs")
+        .agg(F.sum(F.when(accept, 1).otherwise(0)).cast("bigint").alias("accepted"))
+        .orderBy("source", "lang")
+    )

@@ -427,3 +427,22 @@ def test_kmv_grouped_exact_under_k_and_partition_invariant(spark):
     assert by_g[1]["k_used"] == 128
     assert abs(by_g[1]["est_distinct"] - 300) < 300 * 0.3
     assert all(r["n_rows"] == 2000 for r in a)
+
+
+def test_x04_interval_brackets_true_quantile(spark, sf_dir):
+    """The histogram sketch's [est_lo, est_hi) bucket interval must
+    contain the TRUE order-statistic quantile (ceil(q*n)-th smallest),
+    and the interval width must be exactly one bucket."""
+    rows = REGISTRY["x04_histogram_quantiles"].builder(spark, sf_dir).collect()
+    vals = sorted(
+        r["value"]
+        for r in load_table(spark, sf_dir, "events").select("value").dropna().collect()
+    )
+    assert len(rows) == 3
+    for r in rows:
+        t = -(-(r["q_micro"] * r["n_rows"]) // 1000000)  # exact ceil
+        true_v = vals[t - 1]
+        true_micro = round(true_v * 1000000)
+        # ±1 micro slack for the rounded bound representation
+        assert r["est_lo_micro"] - 1 <= true_micro <= r["est_hi_micro"] + 1, (r, true_v)
+        assert r["cum_count"] >= t > r["cum_count"] - r["n_rows"]

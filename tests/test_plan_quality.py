@@ -78,6 +78,7 @@ def test_aggregates_are_partial_final(spark, sf_dir, name):
         "c02_bloom_decontamination",  # the Bloom bit-set broadcasts to both semi-joins
         "c06_chargram_lm_score",  # the charset²-sized LM broadcasts
         "x02_frequent_users",  # the pruned candidate set broadcasts for the recount
+        "c11_mixture_sample",  # the domain target frame broadcasts over the corpus
     ],
 )
 def test_small_side_broadcasts(spark, sf_dir, name):
@@ -194,3 +195,43 @@ def test_v10_sq8_two_stage_topk(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) == 2, plan[:800]
     assert "MapInPandas" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_x03_grouped_kmv_prunes_before_exchange(spark, sf_dir):
+    """The grouped KMV must (a) run the Arrow prune with NOTHING but
+    map-side ops (Project/Filter/Scan) beneath it — the raw key frame
+    never crosses an Exchange un-pruned — and (b) plan the rank<=k
+    filter as WindowGroupLimit partial+final, so at most k rows per
+    group survive the per-group shuffle."""
+    plan = _plan(spark, REGISTRY["x03_kmv_distinct_by_type"].builder(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) == 2, plan[:800]
+    tree = plan.split("\n\n")[0].splitlines()
+    (mp_i,) = [i for i, line in enumerate(tree) if "MapInPandas" in line]
+    indent = len(tree[mp_i]) - len(tree[mp_i].lstrip(" :+-"))
+    below = []
+    for line in tree[mp_i + 1:]:
+        if len(line) - len(line.lstrip(" :+-")) <= indent:
+            break
+        below.append(line)
+    assert below, plan[:400]
+    assert all(("Project" in l) or ("Filter" in l) or ("Scan" in l) for l in below), below
+
+
+def test_x04_histogram_corpus_work_is_one_aggregate(spark, sf_dir):
+    """x04's only corpus-wide work must be the partial+final bucket
+    aggregate; the cumulative Window and the quantile explode (Generate)
+    must sit ABOVE it in the tree — i.e. they run on the bounded ≤B-row
+    bucket frame, never over raw values."""
+    tree = _plan(spark, REGISTRY["x04_histogram_quantiles"].builder(spark, sf_dir)).split("\n\n")[0]
+
+    def node_line(pat):
+        for i, line in enumerate(tree.splitlines()):
+            if pat in line:
+                return i
+        raise AssertionError(f"{pat} not in plan\n{tree}")
+
+    # tree prints top-down: operators higher in the tree appear EARLIER
+    assert node_line("Generate") < node_line("Window") < node_line("HashAggregate"), tree
+    # exactly one partial+final aggregate pair touches the scan
+    assert tree.count("HashAggregate") == 2, tree
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree

@@ -304,6 +304,7 @@ _DUCK_ONLY = {
     "t11_neardup_components",
     "t12_chunking",
     "t20_incremental_neardup",
+    "t21_passage_dedup_stats",  # list_slice/array_to_string/len
     "t14_tfidf_top_terms",
     "t15_top_bigrams",
     "t16_quality_filter",
@@ -322,6 +323,7 @@ _DUCK_ONLY = {
     "w06_sessionization",
     "w08_event_debounce",
     "c10_temperature_mixture",  # // integer division
+    "c11_mixture_sample",  # // integer division and ::BIGINT
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
