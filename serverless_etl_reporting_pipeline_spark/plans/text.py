@@ -918,7 +918,10 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t21_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = chunk_tokens(docs, "doc_id", "text", chunk_size=16, overlap=0)
-    fp = ch.select("doc_id", F.md5("chunk_text").alias("fp"))
+    # the tokenize→chunk→hash explode feeds BOTH the corpus count and the
+    # scoring join — persist it or the most expensive map stage runs twice
+    # (the t19 lesson, asserted in tests/test_plan_quality.py)
+    fp = ch.select("doc_id", F.md5("chunk_text").alias("fp")).persist()
     cnts = fp.groupBy("fp").agg(F.count("*").alias("cnt"))
     dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("bigint")
     return (

@@ -235,3 +235,18 @@ def test_x04_histogram_corpus_work_is_one_aggregate(spark, sf_dir):
     # exactly one partial+final aggregate pair touches the scan
     assert tree.count("HashAggregate") == 2, tree
     assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+
+
+def test_t21_fingerprint_subtree_cached(spark, sf_dir):
+    """t21's passage explode feeds both the corpus count and the scoring
+    join; the persist must stay or the tokenize→chunk→md5 map stage (the
+    dominant cost) runs twice."""
+    plan = _plan(spark, REGISTRY["t21_passage_dedup_stats"].builder(spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "t21 lost its persisted fingerprint subtree"
+    # both consumers must read the SAME cached relation: the explode may
+    # appear under each InMemoryTableScan in the printout, but with one
+    # shared node id — two distinct Generate ids means two real executions
+    tree = plan.split("\n\n")[0]
+    gen_ids = set(re.findall(r"Generate \((\d+)\)", tree))
+    assert len(gen_ids) == 1, tree
+    spark.catalog.clearCache()
