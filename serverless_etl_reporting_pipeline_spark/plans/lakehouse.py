@@ -325,3 +325,70 @@ def e06_point_in_time_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "ts", "version", "state_event_id", "state_value", "valid_from"
     ).orderBy("event_id")
+
+
+@query(
+    "e07_snapshot_diff",
+    # Pure ANSI (also Spark-SQL-conformant). Both snapshots derive from
+    # the orders table with deterministic modular filters, and payloads
+    # compare as exact integer cents — no float comparison anywhere.
+    oracle="""
+    WITH prev AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 7 THEN 500 ELSE 0 END AS price_cents
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    cur AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 10 <> 5
+    )
+    SELECT coalesce(prev.o_orderkey, cur.o_orderkey) AS o_orderkey,
+           CASE WHEN prev.o_orderkey IS NULL THEN 'added'
+                WHEN cur.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           prev.price_cents AS prev_cents,
+           cur.price_cents AS cur_cents
+    FROM prev FULL JOIN cur ON prev.o_orderkey = cur.o_orderkey
+    WHERE prev.o_orderkey IS NULL OR cur.o_orderkey IS NULL
+          OR prev.price_cents <> cur.price_cents
+    ORDER BY o_orderkey
+    """,
+    doc="snapshot diff / change data feed: two keyed snapshots (previous simulated by "
+    "modular filters + an integer-cents price bump) full-outer merged into "
+    "added/removed/changed rows, unchanged dropped — the table_changes()/CDF read "
+    "that turns plain parquet snapshots into an incremental downstream feed, "
+    "complementing e02's merge (which APPLIES changes) and e01's SCD2 (which "
+    "HISTORIZES them). Scale shape: ONE primary-key shuffle for the full-outer "
+    "join; the change filter is computed inline, no second pass",
+)
+def e07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    prev = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("pk"),
+        (cents + F.when(F.col("o_orderkey") % 10 == 7, 500).otherwise(0)).alias("prev_cents"),
+    )
+    cur = orders.filter(F.col("o_orderkey") % 10 != 5).select(
+        F.col("o_orderkey").alias("ck"), cents.alias("cur_cents")
+    )
+    j = prev.join(cur, prev.pk == cur.ck, "full_outer")
+    change = (
+        F.when(F.col("pk").isNull(), "added")
+        .when(F.col("ck").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(
+            F.col("pk").isNull()
+            | F.col("ck").isNull()
+            | (F.col("prev_cents") != F.col("cur_cents"))
+        )
+        .select(
+            F.coalesce("pk", "ck").alias("o_orderkey"),
+            change.alias("change_type"),
+            "prev_cents",
+            "cur_cents",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -366,3 +366,40 @@ def test_oracle_sql_runs_on_spark_sql(spark, sf_dir):
         assert sorted(map(key, sql_rows)) == sorted(map(key, df_rows)), f"{name}: values"
         ran += 1
     assert ran >= 30, f"only {ran} oracle queries ran through spark.sql"
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """The session enables AQE skew-join; prove it actually engages: a
+    sort-merge join with one hot key must show skew-split partitions
+    ("skew=true") in the final adaptive plan when the skewed-partition
+    thresholds are lowered to fixture scale. This is the runtime half of
+    the skew story — k01/k02's salting covers the cases AQE can't
+    (aggregation skew, broadcast-ineligible hot dims)."""
+    skew_conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        # one hot key: ~half of all rows land on user 0
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        joined = left.join(right, "k")
+        # execute THIS frame (count() would build a different QueryExecution
+        # whose adaptive plan we could not inspect afterwards)
+        assert len(joined.collect()) == 101_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
