@@ -318,3 +318,76 @@ def w07_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         (F.round(F.percent_rank().over(w) * 10000) / 10000.0).alias("pct_rank"),
     )
+
+
+@query(
+    "w10_daily_ohlc",
+    # Pure ANSI (also Spark-SQL-conformant): open/close come from
+    # first_value/last_value with an explicit (ts, event_id) tie-break —
+    # deterministic even under equal timestamps — and every emitted
+    # price is exact integer cents.
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+        SELECT event_type, day, cents,
+               first_value(cents) OVER (
+                   PARTITION BY event_type, day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS open_c,
+               last_value(cents) OVER (
+                   PARTITION BY event_type, day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS close_c
+        FROM e
+    )
+    SELECT event_type, day,
+           CAST(min(open_c) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(min(close_c) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    doc="OHLC / candlestick downsampling: per (event_type, day) the opening value "
+    "(first by ts, event_id), high, low, closing value (last), and count — the "
+    "canonical time-series roll-up that turns a raw event stream into fixed-"
+    "period bars for dashboards and feature windows. Scale shape: ONE keyed "
+    "window + aggregate sharing the same (event_type, day) shuffle — Catalyst "
+    "reuses the partitioning, no global sort (SURVEY.md §2.8)",
+)
+def w10_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        cents("value").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    withoc = e.select(
+        "event_type", "day", "cents",
+        F.first("cents").over(w).alias("open_c"),
+        F.last("cents").over(w).alias("close_c"),
+    )
+    return (
+        withoc.groupBy("event_type", "day")
+        .agg(
+            F.min("open_c").cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.min("close_c").cast("bigint").alias("close_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -213,11 +213,17 @@ def write_zordered(
     )
 
 
-def read_lake(spark: SparkSession, path: str) -> DataFrame:
+def read_lake(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """Full lake scan; partition columns recovered automatically.
 
     Reference: `pipeline/dashboard.py:41-44`. Date filters applied on the
     result use automatic partition pruning — the reference's manual
     prefix-listing (`report-lambda/generate_report.py:24-67`) disappears.
+
+    ``merge_schema=True`` reconciles files written under EVOLVED schemas
+    (a column added by a later ETL release): the union schema is read,
+    and rows from pre-evolution files surface the new columns as NULL.
+    Off by default — schema merging footer-reads every file, a real cost
+    at millions of files; flip it only on lakes that actually evolved.
     """
-    return spark.read.parquet(path)
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)

@@ -232,3 +232,29 @@ def test_zorder_write_shrinks_per_file_bounding_boxes(spark, sf_dir, tmp_path):
     assert z_area < r_area / 3, (z_area, r_area)
     # the write must not leak the derived key
     assert spark.read.parquet(zpath).columns == ["user_id", "value"]
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A later ETL release adds a column: files written before and after
+    must read together under merge_schema=True, with NULLs surfacing for
+    pre-evolution rows — and the declared-schema read (the default)
+    still works for pipelines pinned to the v1 contract."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import read_lake
+
+    lake = str(tmp_path / "lake")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    v1 = ev.filter("event_id % 2 = 0")
+    v2 = ev.filter("event_id % 2 = 1").withColumn(
+        "quality_score", (F.col("value") * 2).cast("double")
+    )
+    v1.write.mode("append").parquet(lake)
+    v2.write.mode("append").parquet(lake)
+
+    merged = read_lake(spark, lake, merge_schema=True)
+    assert set(merged.columns) == {"event_id", "user_id", "value", "quality_score"}
+    assert merged.count() == ev.count()
+    nulls = merged.filter(F.col("quality_score").isNull()).count()
+    assert nulls == v1.count()  # exactly the pre-evolution rows
+    # evolved rows keep their values
+    got = merged.filter("event_id % 2 = 1").filter(F.col("quality_score").isNull()).count()
+    assert got == 0
