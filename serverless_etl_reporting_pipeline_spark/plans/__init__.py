@@ -17,6 +17,7 @@ from serverless_etl_reporting_pipeline_spark.plans import relational  # noqa: F4
 from serverless_etl_reporting_pipeline_spark.plans import curation  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import skewed  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401, E402
+from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
 # the first 50 registry entries per round. Rotation policy for round 5:
@@ -44,7 +45,7 @@ _PRIORITY = (
     # r4 hash-fails whose oracles were fixed + c08's changed join shape
     "c07", "k01", "k02", "c08",
     # queries added in round 5 (new code must be driver-checked first)
-    "t20", "t21", "x01", "x02", "x03", "x04", "c10", "c11", "e06", "e07", "v10", "a19", "w10",
+    "t20", "t21", "x01", "x02", "x03", "x04", "c10", "c11", "e06", "e07", "v10", "a19", "w10", "pipe01",
 )
 
 

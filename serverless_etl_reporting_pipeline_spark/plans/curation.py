@@ -638,9 +638,11 @@ def c06_chargram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BUDGET = 100000  # docs to draw across all (source, lang) domains
 
 
-def _mixture_targets(docs: DataFrame) -> DataFrame:
+def _mixture_targets(docs: DataFrame, budget: int = _MIX_BUDGET) -> DataFrame:
     """The c10 target frame (source, lang, n_docs, w_micro, target_docs)
-    as a reusable builder — c11 joins it back over the corpus."""
+    as a reusable builder — c11 joins it back over the corpus, and the
+    composed curation pipeline (plans/pipeline.py) runs it over the
+    post-dedup/decontamination survivors with its own budget."""
     from pyspark.sql import Window
 
     dom = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
@@ -652,11 +654,11 @@ def _mixture_targets(docs: DataFrame) -> DataFrame:
     wall = Window.partitionBy()
     dom = dom.withColumn("s", F.sum("w_micro").over(wall))
     dom = dom.withColumn(
-        "base_t", F.expr(f"CAST(({_MIX_BUDGET}L * w_micro) DIV s AS BIGINT)")
-    ).withColumn("rem", F.expr(f"({_MIX_BUDGET}L * w_micro) % s"))
+        "base_t", F.expr(f"CAST(({budget}L * w_micro) DIV s AS BIGINT)")
+    ).withColumn("rem", F.expr(f"({budget}L * w_micro) % s"))
     dom = dom.withColumn(
         "rk", F.row_number().over(Window.partitionBy().orderBy(F.desc("rem"), "source", "lang"))
-    ).withColumn("deficit", F.lit(_MIX_BUDGET) - F.sum("base_t").over(wall))
+    ).withColumn("deficit", F.lit(budget) - F.sum("base_t").over(wall))
     target = F.col("base_t") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
     return dom.select(
         "source", "lang", "n_docs", "w_micro", target.cast("bigint").alias("target_docs")

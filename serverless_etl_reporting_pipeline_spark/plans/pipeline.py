@@ -1,0 +1,218 @@
+"""Composed curation pipeline: the corpus operators chained end-to-end.
+
+The individual stages are each proven by their own oracle-checked
+queries (t16 quality rules, t02-style normalized dedup, t19
+decontamination, c10/c11 temperature mixture); this module proves they
+COMPOSE — one declarative DataFrame job running
+
+    raw corpus → quality filter → exact dedup keep-first
+               → benchmark decontamination → temperature-mixture draw
+
+with a per-domain funnel as the output, the accounting table a
+pre-training data pipeline publishes after every curation run. The
+reference has no equivalent (its ETL is a fixed 4-step
+extract/transform/load, `pipeline/pipeline.py:15-31`); this is the
+north-star composition those operators exist for.
+
+Every stage is hash-deterministic (integer rules, md5 splits/draws,
+explicit tie-breaks), so the ENTIRE five-stage funnel is reproduced
+bit-for-bit by the DuckDB oracle — composition does not cost
+checkability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
+from serverless_etl_reporting_pipeline_spark.plans.base import query
+from serverless_etl_reporting_pipeline_spark.plans.curation import _mixture_targets
+from serverless_etl_reporting_pipeline_spark.plans.text import (
+    _QF_MAX_REPETITION,
+    _QF_MIN_STOPWORD_RATIO,
+    _QF_MIN_TOKENS,
+    _QF_PROFILE_SQL,
+    _token_profile,
+)
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+_PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scale
+
+
+@query(
+    "pipe01_pretrain_funnel",
+    # One CTE chain restating every stage: the quality rules are ratios
+    # of exact integers, dedup is a row_number over md5(lower(text)),
+    # the eval split and the mixture draw are md5-prefix tests, and the
+    # apportionment is integer largest-remainder — all previously proven
+    # in t16/t02/t19/c10/c11; here they are asserted to survive
+    # composition.
+    oracle=_QF_PROFILE_SQL
+    + f""",
+    ann0 AS (
+        SELECT d.doc_id, d.source, d.lang, d.text,
+               (p.n_tokens >= {_QF_MIN_TOKENS}
+                AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
+                AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}) AS q,
+               substr(md5(CAST(d.doc_id AS STRING)), 1, 1) IN ('0', '1') AS ev
+        FROM documents d JOIN profile p USING (doc_id)
+    ),
+    ded AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        FROM ann0 WHERE q
+    ),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    hold_sh AS (
+        SELECT DISTINCT s FROM sh
+        WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')
+    ),
+    cont AS (
+        SELECT DISTINCT sh.doc_id FROM sh JOIN hold_sh USING (s)
+    ),
+    ann AS (
+        SELECT a.doc_id, a.source, a.lang, a.q,
+               coalesce(d.rn = 1, FALSE) AS dd,
+               (coalesce(d.rn = 1, FALSE) AND NOT a.ev AND c.doc_id IS NULL) AS clean
+        FROM ann0 a
+        LEFT JOIN ded d USING (doc_id)
+        LEFT JOIN cont c USING (doc_id)
+    ),
+    dom AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w_micro
+        FROM ann WHERE clean GROUP BY 1, 2
+    ),
+    t2 AS (
+        SELECT dom.*, (SELECT sum(w_micro) FROM dom) AS s FROM dom
+    ),
+    b AS (
+        SELECT *, ({_PIPE_BUDGET} * w_micro) // s AS base_t,
+                  ({_PIPE_BUDGET} * w_micro) % s AS rem
+        FROM t2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk,
+               (SELECT {_PIPE_BUDGET} - sum(base_t) FROM b) AS deficit
+        FROM b
+    ),
+    tgt AS (
+        SELECT source, lang, n_docs,
+               CAST(base_t + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+        FROM r
+    ),
+    selc AS (
+        SELECT a.source, a.lang, CAST(count(*) AS BIGINT) AS n_sel
+        FROM ann a JOIN tgt ON a.source = tgt.source AND a.lang = tgt.lang
+        WHERE a.clean
+          AND ('0x' || substr(md5(CAST(a.doc_id AS STRING)), 1, 8))::BIGINT
+              / 4294967296.0 < tgt.target_docs / CAST(tgt.n_docs AS DOUBLE)
+        GROUP BY 1, 2
+    )
+    SELECT a.source, a.lang,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN a.q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN a.dd THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(sum(CASE WHEN a.clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(coalesce(max(tgt.target_docs), 0) AS BIGINT) AS target_docs,
+           CAST(coalesce(max(selc.n_sel), 0) AS BIGINT) AS n_selected
+    FROM ann a
+    LEFT JOIN tgt ON a.source = tgt.source AND a.lang = tgt.lang
+    LEFT JOIN selc ON a.source = selc.source AND a.lang = selc.lang
+    GROUP BY a.source, a.lang
+    ORDER BY a.source, a.lang
+    """,
+    doc=f"END-TO-END curation pipeline (the capstone composition): quality filter "
+    "(t16 rules) → normalized exact dedup keep-first (t02) → benchmark "
+    "decontamination against the md5-prefix eval split (t19) → temperature-"
+    f"mixture draw with budget {_PIPE_BUDGET} (c10+c11), reported as the per-"
+    "(source, lang) funnel n_raw → n_quality → n_dedup → n_clean → n_selected. "
+    "Scale shape: every stage is the already-audited shape of its standalone "
+    "query — doc-keyed aggregates and windows, ONE persisted shingle subtree "
+    "feeding both decontamination sides, the benchmark-sized shingle set and the "
+    "domain target frame as the only broadcasts — so the composition adds joins "
+    "keyed on doc_id (co-partitioned) and nothing super-linear",
+)
+def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = _token_profile(docs)
+    q = (
+        (F.col("n_tokens") >= _QF_MIN_TOKENS)
+        & (F.col("stop") * 1.0 / F.col("n_tokens") >= _QF_MIN_STOPWORD_RATIO)
+        & (F.col("mx") * 1.0 / F.col("n_tokens") <= _QF_MAX_REPETITION)
+    )
+    ev = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ann0 = docs.select("doc_id", "source", "lang", "text").join(prof, "doc_id").select(
+        "doc_id", "source", "lang", "text", q.alias("q"), ev.alias("ev")
+    )
+
+    ded = (
+        ann0.filter("q")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id"))
+            .alias("rn"),
+        )
+    )
+
+    # one persisted tokenize→shingle→distinct subtree feeds BOTH
+    # decontamination sides (the t19 discipline)
+    sh = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
+        .distinct()
+        .persist()
+    )
+    hold_sh = sh.filter(ev).select("s").distinct()
+    cont = sh.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
+
+    dd = F.coalesce(F.col("rn") == 1, F.lit(False))
+    ann = (
+        ann0.join(ded, "doc_id", "left")
+        .join(cont.withColumn("_cont", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang", "q",
+            dd.alias("dd"),
+            (dd & ~F.col("ev") & F.col("_cont").isNull()).alias("clean"),
+        )
+    )
+
+    tgt = _mixture_targets(ann.filter("clean"), budget=_PIPE_BUDGET).select(
+        "source", "lang", "n_docs", "target_docs"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    selc = (
+        ann.filter("clean")
+        .join(F.broadcast(tgt), ["source", "lang"])
+        .filter(u < F.col("target_docs") / F.col("n_docs").cast("double"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_sel"))
+    )
+
+    return (
+        ann.join(F.broadcast(tgt), ["source", "lang"], "left")
+        .join(F.broadcast(selc), ["source", "lang"], "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+            F.sum(F.when(F.col("dd"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
+            F.sum(F.when(F.col("clean"), 1).otherwise(0)).cast("bigint").alias("n_clean"),
+            F.coalesce(F.max("target_docs"), F.lit(0)).cast("bigint").alias("target_docs"),
+            F.coalesce(F.max("n_sel"), F.lit(0)).cast("bigint").alias("n_selected"),
+        )
+        .orderBy("source", "lang")
+    )

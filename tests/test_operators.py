@@ -446,3 +446,26 @@ def test_x04_interval_brackets_true_quantile(spark, sf_dir):
         # ±1 micro slack for the rounded bound representation
         assert r["est_lo_micro"] - 1 <= true_micro <= r["est_hi_micro"] + 1, (r, true_v)
         assert r["cum_count"] >= t > r["cum_count"] - r["n_rows"]
+
+
+def test_pipe01_funnel_consistent_with_standalone_stages(spark, sf_dir):
+    """The composed pipeline must agree with the standalone stage
+    queries it chains: quality totals match t16's keep bucket, funnel
+    counts are monotone per domain, and the mixture targets apportion
+    the budget exactly."""
+    from serverless_etl_reporting_pipeline_spark.plans.pipeline import _PIPE_BUDGET
+
+    rows = REGISTRY["pipe01_pretrain_funnel"].builder(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    assert rows
+    for r in rows:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_clean"] >= r["n_selected"]
+    t16 = {
+        r["reason"]: r["docs"]
+        for r in REGISTRY["t16_quality_filter"].builder(spark, sf_dir).collect()
+    }
+    assert sum(r["n_quality"] for r in rows) == t16.get("keep", 0)
+    # largest-remainder apportionment: targets of domains WITH clean docs
+    # sum exactly to the budget
+    assert sum(r["target_docs"] for r in rows if r["n_clean"] > 0) == _PIPE_BUDGET
+    assert sum(r["n_selected"] for r in rows) > 0

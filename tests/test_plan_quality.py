@@ -250,3 +250,14 @@ def test_t21_fingerprint_subtree_cached(spark, sf_dir):
     gen_ids = set(re.findall(r"Generate \((\d+)\)", tree))
     assert len(gen_ids) == 1, tree
     spark.catalog.clearCache()
+
+
+def test_pipe01_shares_one_shingle_subtree(spark, sf_dir):
+    """The composed pipeline's decontamination stage must reuse ONE
+    persisted shingle subtree for both sides (the t19 discipline
+    surviving composition), and the whole five-stage job must stay free
+    of unbounded join strategies."""
+    plan = _plan(spark, REGISTRY["pipe01_pretrain_funnel"].builder(spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "pipe01 lost the persisted shingle subtree"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()

@@ -324,6 +324,7 @@ _DUCK_ONLY = {
     "w08_event_debounce",
     "c10_temperature_mixture",  # // integer division
     "c11_mixture_sample",  # // integer division and ::BIGINT
+    "pipe01_pretrain_funnel",  # UNNEST/regexp_extract_all/:// composition
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
