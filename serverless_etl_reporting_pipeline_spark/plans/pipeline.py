@@ -177,6 +177,9 @@ def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = sh.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
 
     dd = F.coalesce(F.col("rn") == 1, F.lit(False))
+    # the annotated frame feeds THREE consumers (target build, selection,
+    # final funnel) — persist it or the whole profile+dedup+decontamination
+    # upstream recomputes per consumer (the t19 lesson at composition level)
     ann = (
         ann0.join(ded, "doc_id", "left")
         .join(cont.withColumn("_cont", F.lit(True)), "doc_id", "left")
@@ -185,6 +188,7 @@ def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd.alias("dd"),
             (dd & ~F.col("ev") & F.col("_cont").isNull()).alias("clean"),
         )
+        .persist()
     )
 
     tgt = _mixture_targets(ann.filter("clean"), budget=_PIPE_BUDGET).select(
