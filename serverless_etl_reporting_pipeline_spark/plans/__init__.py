@@ -48,7 +48,7 @@ _PRIORITY = (
     # r4 hash-fails whose oracles were fixed + c08's changed join shape
     "c07", "k01", "k02", "c08",
     # queries added in round 5 (new code must be driver-checked first)
-    "t20", "t21", "x01", "x02", "x03", "x04", "c10", "c11", "e06", "e07", "v10", "a19", "w10", "pipe01",
+    "t20", "t21", "x01", "x02", "x03", "x04", "c10", "c11", "e06", "e07", "v10", "a19", "w10", "pipe01", "a20",
 )
 
 

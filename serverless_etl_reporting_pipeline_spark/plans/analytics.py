@@ -611,3 +611,73 @@ def a19_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+@query(
+    "a20_retention_matrix",
+    # Pure ANSI (also Spark-SQL-conformant): min-aggregate cohorts, an
+    # integer day-difference bucketed to week offsets, count(DISTINCT)
+    # per cell, micro-quantized rates.
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users FROM s GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT s.cohort_week, e.user_id,
+               CAST(floor(date_diff('day', CAST(s.cohort_week AS TIMESTAMP), e.ts) / 7.0) AS INT)
+                   AS week_offset
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.ts >= CAST(s.cohort_week AS TIMESTAMP)
+    )
+    SELECT act.cohort_week, act.week_offset,
+           sizes.cohort_users,
+           CAST(count(*) AS BIGINT) AS active_users,
+           round(count(*) * 1000000.0 / sizes.cohort_users) / 1000000.0 AS retention
+    FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
+    GROUP BY act.cohort_week, act.week_offset, sizes.cohort_users
+    ORDER BY act.cohort_week, act.week_offset
+    """,
+    doc="cohort retention matrix: users bucketed by signup cohort week, each cell = "
+    "distinct users active in week N after their cohort start, as count and rate — "
+    "the companion table to a19's conversion funnel and the other product-analytics "
+    "staple Athena users hand-roll. Scale shape: one user-keyed min-aggregate, one "
+    "user-keyed equi-join back over the activity stream (cohort frame is "
+    "users-sized — AQE picks the join strategy), a DISTINCT on (cohort, user, "
+    "offset), and a cell-level aggregate — no self-join per week column",
+)
+def a20_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    sizes = s.groupBy("cohort_week").agg(F.count("*").cast("bigint").alias("cohort_users"))
+    cw_ts = F.col("cohort_week").cast("timestamp")
+    act = (
+        ev.join(s, "user_id")
+        .filter(F.col("ts") >= cw_ts)
+        .select(
+            "cohort_week",
+            "user_id",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_users")
+        .agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            (F.round(F.count("*") * 1000000.0 / F.col("cohort_users")) / 1000000.0).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -258,3 +258,29 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     # evolved rows keep their values
     got = merged.filter("event_id % 2 = 1").filter(F.col("quality_score").isNull()).count()
     assert got == 0
+
+
+def test_zorder_key_interleave_inverts(spark):
+    """The Morton key must be exactly the bit-interleave of the scaled
+    coordinates: de-interleaving the produced key recovers the same cell
+    coords as scaling directly — the property that makes z-ranges map to
+    coordinate rectangles (and thus min/max stats prunable)."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import zorder_key
+
+    bits = 6
+    df = spark.range(500).select(
+        (F.col("id") % 63).cast("double").alias("x"),
+        ((F.col("id") * 7) % 63).cast("double").alias("y"),
+    )
+    rows = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], [0.0, 0.0], [63.0, 63.0], bits=bits).alias("z")
+    ).collect()
+    top = (1 << bits) - 1
+    for r in rows:
+        sx = min(top, max(0, round((r["x"] - 0.0) / 63.0 * top)))
+        sy = min(top, max(0, round((r["y"] - 0.0) / 63.0 * top)))
+        dx = dy = 0
+        for b in range(bits):
+            dx |= ((r["z"] >> (2 * b)) & 1) << b
+            dy |= ((r["z"] >> (2 * b + 1)) & 1) << b
+        assert (dx, dy) == (sx, sy), (r, sx, sy, dx, dy)

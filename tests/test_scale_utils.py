@@ -277,6 +277,7 @@ def test_catalog_ddl(spark, sf_dir):
 # parse AND agree.
 _DUCK_ONLY = {
     "a06_day_of_week",
+    "a20_retention_matrix",  # date_diff('day', ...) 3-arg form
     "c01_pii_scrub",
     "c02_bloom_decontamination",
     "c03_entropy_quality",
