@@ -68,8 +68,16 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     Plan shape: map-only hash projection → Arrow per-split top-k
     partial (≤ splits·k rows survive) → exact distinct+top-k merge on
     the pruned set → 1-row aggregate. No full-cardinality shuffle.
+
+    NULL keys hash to NULL and are excluded from the sketch (but still
+    counted in ``n_rows``) — filtered explicitly so pandas ``nsmallest``
+    (NaN-dropping) and Spark's nulls-first ordering can never disagree.
     """
-    hashed = df.select(key.alias("_k")).select(md5_hash48(F.col("_k")).alias("h"))
+    hashed = (
+        df.select(key.alias("_k"))
+        .select(md5_hash48(F.col("_k")).alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -115,14 +123,27 @@ def kmv_sketch_grouped(
 
     Returns ``*group_cols, n_rows, k_used, kth_hash, est_distinct``
     (one row per group; ``k_used < k`` ⇒ the estimate is exact).
+
+    NULL semantics are defined and engine-matched: NULL *key values*
+    hash to NULL and are excluded from the sketch (still counted in
+    ``n_rows``); NULL *group keys* are kept as their own group
+    (``dropna=False`` in the pandas partial, matching Spark groupBy and
+    SQL GROUP BY) — a NULL group would otherwise get an n_rows row but
+    no sketch row and vanish through the inner join.
     """
-    hashed = df.select(*group_cols, md5_hash48(key).alias("h"))
+    hashed = df.select(*group_cols, md5_hash48(key).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b):
                 d = b.drop_duplicates()
-                yield d.sort_values("h", kind="mergesort").groupby(group_cols, sort=False).head(k)
+                yield (
+                    d.sort_values("h", kind="mergesort")
+                    .groupby(group_cols, sort=False, dropna=False)
+                    .head(k)
+                )
 
     from pyspark.sql import Window
 
@@ -142,8 +163,12 @@ def kmv_sketch_grouped(
         .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
         .cast("bigint")
     )
-    return n.join(sk, list(group_cols)).select(
-        *group_cols, "n_rows", "k_used", "kth_hash", est.alias("est_distinct")
+    # null-safe equi-join so a NULL group keeps its sketch row (oracle
+    # twin: IS NOT DISTINCT FROM); groups whose EVERY key is NULL have no
+    # sketch row and are (deliberately, documented) absent from the output
+    cond = [n[c].eqNullSafe(sk[c]) for c in group_cols]
+    return n.join(sk, cond).select(
+        *[n[c] for c in group_cols], "n_rows", "k_used", "kth_hash", est.alias("est_distinct")
     )
 
 

@@ -74,6 +74,7 @@ def x01_kmv_distinct_users_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 12))::BIGINT AS h
         FROM events
+        WHERE user_id IS NOT NULL
     ),
     ranked AS (
         SELECT event_type, h,
@@ -90,8 +91,8 @@ def x01_kmv_distinct_users_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.event_type, n_rows, k_used, kth_hash,
            CAST(CASE WHEN k_used < {_KMV_K} THEN k_used
                      ELSE ({_KMV_K - 1} * {HASH_SPACE}) // kth_hash END AS BIGINT) AS est_distinct
-    FROM n JOIN sk USING (event_type)
-    ORDER BY event_type
+    FROM n JOIN sk ON n.event_type IS NOT DISTINCT FROM sk.event_type
+    ORDER BY n.event_type
     """,
     doc="per-group KMV: distinct users per event_type, one mergeable k=256 sketch per "
     "group. Scale shape: Arrow partial prunes each split to ≤k hashes per group "
@@ -216,8 +217,10 @@ def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "cnt", "cum",
         F.explode(F.array(*[F.lit(q).cast("bigint") for q in _QUANTILES_MICRO])).alias("q_micro"),
     )
-    thresh = (F.col("q_micro") * F.lit(n) + 999999) / F.lit(1000000)
-    t = F.floor(thresh).cast("bigint")
+    # integer DIV, mirroring the oracle's // — double division then floor
+    # loses exactness above 2^53, i.e. at n ≳ 9e9 rows (the 100 TB regime)
+    # the floor could disagree with the oracle by 1 and pick the wrong bucket
+    t = F.expr(f"CAST((q_micro * {n}L + 999999) DIV 1000000 AS BIGINT)")
     return (
         exploded.filter((F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t))
         .select(

@@ -166,7 +166,12 @@ def zorder_key(cols: list, mins: list[float], maxs: list[float], bits: int = 12)
         s = F.round((c.cast("double") - F.lit(float(lo))) / F.lit(float(span)) * top).cast(
             "bigint"
         )
-        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
+        # NULL values map to cell 0 explicitly — without the coalesce,
+        # least/greatest SKIP nulls and a NULL would silently land in the
+        # top cell, scattering null rows across the best-clustered files
+        scaled.append(
+            F.greatest(F.lit(0), F.least(F.lit(top), F.coalesce(s, F.lit(0).cast("bigint"))))
+        )
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, s in enumerate(scaled):
@@ -202,6 +207,12 @@ def write_zordered(
     ).collect()[0]
     mins = [stats[f"lo_{i}"] for i in range(len(zcols))]
     maxs = [stats[f"hi_{i}"] for i in range(len(zcols))]
+    if any(v is None for v in mins + maxs):
+        # empty input or an all-NULL z-column: no cluster structure to
+        # exploit — fall back to a plain (un-clustered) write instead of
+        # crashing on float(None) inside zorder_key
+        df.write.mode(mode).parquet(path)
+        return
     z = zorder_key([F.col(c) for c in zcols], mins, maxs, bits=bits)
     (
         df.withColumn("_zkey", z)

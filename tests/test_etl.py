@@ -260,6 +260,31 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     assert got == 0
 
 
+def test_zorder_write_degenerate_inputs(spark, tmp_path):
+    """Empty input and all-NULL z-columns must fall back to a plain
+    write (no float(None) crash in zorder_key), and NULL z-values in a
+    mixed column must land in cell 0, not scatter into the top cell."""
+    from serverless_etl_reporting_pipeline_spark.sources.lake import write_zordered, zorder_key
+
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").cast("double").alias("b")
+    )
+    write_zordered(empty, str(tmp_path / "empty"), ["a", "b"], n_files=4)
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+
+    allnull = spark.range(10).select(
+        F.col("id").alias("a"), F.lit(None).cast("double").alias("b")
+    )
+    write_zordered(allnull, str(tmp_path / "allnull"), ["a", "b"], n_files=4)
+    assert spark.read.parquet(str(tmp_path / "allnull")).count() == 10
+
+    mixed = spark.createDataFrame([(0.0,), (63.0,), (None,)], "x double")
+    z = mixed.select(
+        zorder_key([F.col("x"), F.col("x")], [0.0, 0.0], [63.0, 63.0], bits=4).alias("z")
+    ).collect()
+    assert z[2]["z"] == z[0]["z"] == 0, z  # NULL clamps to cell 0 like the min
+
+
 def test_zorder_key_interleave_inverts(spark):
     """The Morton key must be exactly the bit-interleave of the scaled
     coordinates: de-interleaving the produced key recovers the same cell

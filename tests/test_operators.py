@@ -429,6 +429,25 @@ def test_kmv_grouped_exact_under_k_and_partition_invariant(spark):
     assert all(r["n_rows"] == 2000 for r in a)
 
 
+def test_kmv_grouped_null_group_and_null_keys(spark):
+    """NULL semantics are defined: a NULL group key keeps its own sketch
+    row (pandas partial must not dropna it, merge join must be
+    null-safe), NULL key values are excluded from the sketch but counted
+    in n_rows, and an all-NULL-key group is absent entirely."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
+
+    df = spark.createDataFrame(
+        # group 'a': 3 rows, keys {1, 2, NULL}; group NULL: 2 rows, keys {7, 8};
+        # group 'z': 2 rows, both keys NULL
+        [("a", 1), ("a", 2), ("a", None), (None, 7), (None, 8), ("z", None), ("z", None)],
+        "g string, k int",
+    )
+    rows = {r["g"]: r for r in kmv_sketch_grouped(df.repartition(3), ["g"], F.col("k"), k=16).collect()}
+    assert set(rows) == {"a", None}, rows  # 'z' (all-NULL keys) absent, NULL group kept
+    assert rows["a"]["n_rows"] == 3 and rows["a"]["k_used"] == 2 and rows["a"]["est_distinct"] == 2
+    assert rows[None]["n_rows"] == 2 and rows[None]["est_distinct"] == 2
+
+
 def test_x04_interval_brackets_true_quantile(spark, sf_dir):
     """The histogram sketch's [est_lo, est_hi) bucket interval must
     contain the TRUE order-statistic quantile (ceil(q*n)-th smallest),

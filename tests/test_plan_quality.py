@@ -184,7 +184,11 @@ def test_x01_kmv_merges_via_topk_not_global_sort(spark, sf_dir):
     plan = _plan(spark, REGISTRY["x01_kmv_distinct_users_days"].builder(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:800]
     assert "MapInPandas" in plan, plan[:800]
-    assert "Sort " not in plan or "TakeOrdered" in plan
+    # no global sort anywhere: a range-partitioning Exchange or a
+    # standalone Sort node would mean the hash column is fully sorted
+    # instead of top-k'd (the prior disjunction here was vacuously true)
+    assert "Exchange rangepartitioning" not in plan, plan[:800]
+    assert not re.findall(r"\(\d+\) Sort ", plan), plan[:800]
 
 
 def test_v10_sq8_two_stage_topk(spark, sf_dir):
