@@ -813,3 +813,135 @@ def sq8_rerank_topk(
         .limit(k)
         .select(id_col, "score_i8", (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"))
     )
+
+
+def semdedup_map(
+    df: DataFrame,
+    threshold: float = 0.44,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (the Abbas et al. 2023 shape):
+    cluster every vector to its nearest seed centroid, then flag
+    within-cluster pairs with cosine >= threshold, keeping the lowest
+    id — the embedding-space analog of the lexical MinHash banding
+    (operators/minhash.py): clustering bounds pair work at
+    Σ|cluster|², never n².
+
+    Determinism/oracle-checkability: the seed centroids are the exact
+    integer per-label component means (the v03 machinery — no k-means
+    RNG), assignment ranks 1e-6-quantized cosines (BIGINT compare,
+    ties → lowest label), and pair verification is the exact quantized
+    cosine — every step reproduces bit-for-bit in DuckDB.
+
+    Physical plan: one linear explode→aggregate builds the (labels ×
+    dims) centroid table, collected driver-side (aggregate-sized, the
+    v01 1-row-scalar idiom scaled to ~hundreds of rows — NOT a data
+    collect); one Arrow map assigns clusters (no shuffle); ONE shuffle
+    on cluster feeds the per-cluster BLAS pair kernel; a
+    map-side-combinable groupBy reduces pairs to the survivor map.
+
+    Returns (dup_id, kept_id, cluster, cos) ordered by dup_id — the
+    same survivor-map contract as `neardup_map`, so every flagged
+    dup here is (by construction) also a `neardup_map` dup at the
+    same threshold.
+    """
+    import numpy as np
+
+    tau = float(threshold)
+    # exact-integer seed centroids (v03 idiom): explode → per-(label, dim)
+    # round(avg(quantized)) — order-independent, engine-identical
+    ex = df.select(
+        F.col(label_col).cast("long").alias("_lab"),
+        F.posexplode(as_double(vec_col)).alias("dim", "x"),
+    ).select("_lab", "dim", F.round(F.col("x") * QUANT).cast("bigint").alias("q"))
+    cent_rows = (
+        ex.groupBy("_lab", "dim").agg(F.round(F.avg("q")).alias("c")).collect()
+    )
+    labels = sorted({r["_lab"] for r in cent_rows})
+    dim = 1 + max(r["dim"] for r in cent_rows)
+    lab_pos = {lab: i for i, lab in enumerate(labels)}
+    C = np.zeros((len(labels), dim), dtype=np.float64)
+    for r in cent_rows:
+        C[lab_pos[r["_lab"]], r["dim"]] = float(r["c"])
+    cn = np.sqrt((C * C).sum(axis=1))
+    labs = np.asarray(labels, dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((labs, C, cn))
+
+    def assign_kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        L, Cm, Cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            an = _np.sqrt((A * A).sum(axis=1))
+            S = (A @ Cm.T) / (an[:, None] * Cn[None, :])
+            # 1e-6 quantized scores (round-half-away, see quantize_np) so
+            # the argmax compares the same BIGINTs the oracle ranks;
+            # argmax takes the FIRST max → ties break to the lowest label
+            Sq = _np.copysign(_np.floor(_np.abs(S * QUANT) + 0.5), S)
+            best = Sq.argmax(axis=1)
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf["_id"].to_numpy(dtype=_np.int64),
+                    "cluster": L[best],
+                    "_qv": pdf["_qv"],
+                }
+            )
+
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(
+        assign_kernel,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("cluster", T.LongType()),
+                T.StructField("_qv", df.schema[vec_col].dataType),
+            ]
+        ),
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("raw_cos", T.DoubleType()),
+        ]
+    )
+
+    def pair_kernel(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {"id_a": [], "id_b": [], "cluster": [], "raw_cos": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cluster": "int64", "raw_cos": "float64"})
+        if len(pdf) < 2:
+            return empty
+        A = _stack_quantized(pdf)
+        ids = pdf[id_col].to_numpy(dtype=_np.int64)
+        an = _np.sqrt((A * A).sum(axis=1))
+        S = (A @ A.T) / (an[:, None] * an[None, :])
+        ai, bi = _np.nonzero((ids[:, None] < ids[None, :]) & (S >= tau))
+        if not len(ai):
+            return empty
+        return _pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cluster": int(key[0]), "raw_cos": S[ai, bi]}
+        )
+
+    pairs = assigned.groupBy("cluster").applyInPandas(pair_kernel, schema=pair_schema)
+    kept = pairs.groupBy("id_b").agg(
+        F.min(F.struct("id_a", "raw_cos")).alias("m"), F.min("cluster").alias("cluster")
+    )
+    return kept.select(
+        F.col("id_b").alias("dup_id"),
+        F.col("m.id_a").alias("kept_id"),
+        "cluster",
+        (F.round(F.col("m.raw_cos") * QUANT) / QUANT).alias("cos"),
+    ).orderBy("dup_id")

@@ -506,3 +506,78 @@ def v10_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
     return sq8_rerank_topk(emb.filter(F.col("vec_id") != 0), q, k=10, n_candidates=50)
+
+
+_V11_TAU = "0.44"
+
+
+@query(
+    "v11_semdedup",
+    # The oracle restates the whole pipeline: exact-integer label
+    # centroids (v03), per-vector assignment by ranked 1e-6-quantized
+    # cosine (BIGINT compare, ties -> lowest label), within-cluster
+    # exact quantized-cosine pairs, keep-lowest-id survivor map. Every
+    # arithmetic step is exact integer math in float64 (see
+    # operators/vectors.py `quantized`), so the clustering itself is
+    # what gets hash-checked.
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, u.pos - 1 AS dim,
+               CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+    ),
+    cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
+    asg0 AS (
+        SELECT ex.vec_id, cd.label,
+               CAST(round(sum(q * c) / (sqrt(sum(q * q)) * sqrt(sum(c * c))) * 1000000)
+                    AS BIGINT) AS qcos
+        FROM ex JOIN cd ON ex.dim = cd.dim
+        GROUP BY 1, 2
+    ),
+    asg AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS cluster
+        FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY qcos DESC, label) AS rk
+            FROM asg0
+        )
+        WHERE rk = 1
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings
+    ),
+    nn AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n
+    ),
+    pairs AS (
+        SELECT ca.vec_id AS id_a, cb.vec_id AS id_b, ca.cluster,
+               list_sum(list_transform(list_zip(na.v, nb.v), z -> z[1] * z[2]))
+               / (na.nrm * nb.nrm) AS raw_cos
+        FROM asg ca
+        JOIN asg cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+        JOIN nn na ON na.vec_id = ca.vec_id
+        JOIN nn nb ON nb.vec_id = cb.vec_id
+    )
+    SELECT id_b AS dup_id, min(id_a) AS kept_id, min(cluster) AS cluster,
+           round(arg_min(raw_cos, id_a) * 1000000) / 1000000.0 AS cos
+    FROM pairs
+    WHERE raw_cos >= {_V11_TAU}
+    GROUP BY id_b
+    ORDER BY dup_id
+    """,
+    doc=f"SemDeDup-style semantic dedup: assign every vector to its nearest exact-"
+    "integer label centroid (the v03 seeds — no k-means RNG), flag within-cluster "
+    f"pairs with cosine >= {_V11_TAU} keep-lowest-id — the semantic third dedup mode "
+    "next to lexical (t02) and near-lexical (t09/v09). Scale shape: centroid table "
+    "is aggregate-sized (labels × dims, collected driver-side like v01's scalars), "
+    "assignment is one shuffle-free Arrow map, and pair work is cluster-bucketed "
+    "Σ|cluster|² — the embedding-space analog of t09's banding, never n² "
+    "(operators/vectors.py semdedup_map)",
+)
+def v11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import semdedup_map
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_map(emb, threshold=float(_V11_TAU))

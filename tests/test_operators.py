@@ -488,3 +488,17 @@ def test_pipe01_funnel_consistent_with_standalone_stages(spark, sf_dir):
     # sum exactly to the budget
     assert sum(r["target_docs"] for r in rows if r["n_clean"] > 0) == _PIPE_BUDGET
     assert sum(r["n_selected"] for r in rows) > 0
+
+
+def test_v11_semdedup_subset_of_v07_exact(spark, sf_dir):
+    """Cluster-bucketed semantic dedup can only RESTRICT the exact
+    all-pairs dup map: every v11 dup is a v07 dup at the same threshold,
+    and its survivor id can only be >= the global survivor (the cluster
+    hides some smaller-id candidates). Equality is not expected — that
+    is the recall/work trade the clustering buys."""
+    v11 = {r["dup_id"]: r for r in REGISTRY["v11_semdedup"].builder(spark, sf_dir).collect()}
+    v07 = {r["dup_id"]: r for r in REGISTRY["v07_embedding_neardup"].builder(spark, sf_dir).collect()}
+    assert v11, "fixture produced no semantic dups — test is vacuous"
+    assert set(v11) <= set(v07), set(v11) - set(v07)
+    for dup_id, r in v11.items():
+        assert r["kept_id"] >= v07[dup_id]["kept_id"], (dup_id, r, v07[dup_id])

@@ -265,3 +265,18 @@ def test_pipe01_shares_one_shingle_subtree(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "pipe01 lost the persisted shingle subtree"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_v11_semdedup_one_cluster_shuffle_no_joins(spark, sf_dir):
+    """SemDeDup's pair work must be cluster-bucketed: the only Exchange
+    is the hash partition on cluster feeding the per-cluster Arrow pair
+    kernel (FlatMapGroupsInPandas); assignment is a shuffle-free Arrow
+    map, and no join operator of any kind appears — Σ|cluster|² work,
+    never an all-pairs join."""
+    plan = _plan(spark, REGISTRY["v11_semdedup"].builder(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan[:800]
+    assert "MapInPandas" in plan, plan[:800]
+    tree = plan.split("\n\n")[0]
+    exchanges = re.findall(r"\(\d+\) Exchange", tree)
+    assert len(exchanges) <= 2, tree  # cluster hash + final groupBy(id_b)
+    assert not re.findall(r"Join", tree), tree

@@ -328,6 +328,7 @@ _DUCK_ONLY = {
     "pipe01_pretrain_funnel",  # UNNEST/regexp_extract_all/:// composition
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
+    "v11_semdedup",  # list_transform/list_zip/arg_min
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
     "x03_kmv_distinct_by_type",  # ::BIGINT and // integer division
     "x04_histogram_quantiles",  # unnest([...]) and // integer division
