@@ -20,21 +20,20 @@ from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 5:
-#   1. _PRIORITY first — the three r4 hash-fails whose oracles were fixed
-#      this round (c07/k01/k02), c08 (its join shape changed this round),
-#      and every query ADDED this round (t20/t21, x01-x04, c10/c11,
-#      e06/e07, v10, a19, w10, pipe01): new/changed code MUST be
-#      driver-checked first.
-#   2. Then everything NOT driver-green in r4 (the 49 r3-era queries the
-#      judge asked to rotate back in: a12-a18, d, j, o, p, t02-t12,
-#      t14-t16, w01-w07).
-#   3. Then the r4-green remainder.
-# The 18 priority slots + the 49 overflow the 50-slot window, so the tail
-# of group 2 (in registration order) defers to round 6; deferred queries
-# stay covered every round by tools/oracle_check.py (full registry at
-# sf0.01 pre-commit) and the spark.sql conformance test.
-_R04_GREEN = frozenset(
+# the first 50 registry entries per round. Rotation policy for round 6:
+#   1. _PRIORITY first (26 slots) — every query ADDED this round (pipe02,
+#      v11), every query whose CODE or ORACLE changed this round (x01/x03:
+#      KMV null-semantics fix; x04: integer-DIV threshold; c10/c11/pipe01:
+#      the _mixture_targets refactor), then the 18 r3-era queries the
+#      round-5 judge ordered back into the window (d01-d05, j04-j07,
+#      o01-o03, p01-p06 — last driver-checked in round 3).
+#   2. Then the r4-era greens (queries last driver-checked in round 4,
+#      code untouched since): 24 of the 46 fit the window this round; the
+#      registration-order tail defers to round 7.
+#   3. Then the r5-green remainder (youngest driver rows).
+# Deferred queries stay covered every round by tools/oracle_check.py
+# (full registry at sf0.01 pre-commit) and the spark.sql conformance test.
+_R4_ERA = frozenset(
     [f"a{i:02d}" for i in range(1, 12)]
     + [f"c{i:02d}" for i in range(1, 10)]
     + [f"e{i:02d}" for i in range(1, 6)]
@@ -42,13 +41,18 @@ _R04_GREEN = frozenset(
     + [f"s{i:02d}" for i in range(1, 4)]
     + [f"v{i:02d}" for i in range(1, 10)]
     + ["t01", "t13", "t17", "t18", "t19", "w08", "w09"]
-) - {"c07"}  # c07 was red in r4 (as were k01/k02, never listed here)
+) - {"c07", "c10", "c11"}  # c07 re-checked r5; c10/c11 changed this round
 
 _PRIORITY = (
-    # r4 hash-fails whose oracles were fixed + c08's changed join shape
-    "c07", "k01", "k02", "c08",
-    # queries added in round 5 (new code must be driver-checked first)
-    "t20", "t21", "x01", "x02", "x03", "x04", "c10", "c11", "e06", "e07", "v10", "a19", "w10", "pipe01", "a20",
+    # added this round
+    "pipe02", "v11",
+    # code/oracle changed this round
+    "x01", "x03", "x04", "c10", "c11", "pipe01",
+    # the 18 r3-era queries (round-5 verdict ask #1)
+    "d01", "d02", "d03", "d04", "d05",
+    "j04", "j05", "j06", "j07",
+    "o01", "o02", "o03",
+    "p01", "p02", "p03", "p04", "p05", "p06",
 )
 
 
@@ -60,7 +64,7 @@ def _rotate() -> None:
             if name.split("_", 1)[0] == want:
                 REGISTRY[name] = q
     for name, q in entries:
-        if name not in REGISTRY and name.split("_", 1)[0] not in _R04_GREEN:
+        if name not in REGISTRY and name.split("_", 1)[0] in _R4_ERA:
             REGISTRY[name] = q
     for name, q in entries:
         if name not in REGISTRY:

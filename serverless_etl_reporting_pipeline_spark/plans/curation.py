@@ -643,9 +643,18 @@ def _mixture_targets(docs: DataFrame, budget: int = _MIX_BUDGET) -> DataFrame:
     as a reusable builder — c11 joins it back over the corpus, and the
     composed curation pipeline (plans/pipeline.py) runs it over the
     post-dedup/decontamination survivors with its own budget."""
+    dom = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return _mixture_targets_from_counts(dom, budget)
+
+
+def _mixture_targets_from_counts(dom: DataFrame, budget: int = _MIX_BUDGET) -> DataFrame:
+    """Largest-remainder apportionment over a PREBUILT (source, lang,
+    n_docs) count frame — the state-merge entry point: the incremental
+    funnel (plans/pipeline.py pipe02) feeds it persisted base counts
+    summed with fresh delta counts, so targets re-apportion over the
+    cumulative corpus without rescanning it."""
     from pyspark.sql import Window
 
-    dom = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
     dom = dom.withColumn(
         "w_micro", F.round(F.sqrt(F.col("n_docs")) * 1000000).cast("bigint")
     )

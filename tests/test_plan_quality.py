@@ -280,3 +280,37 @@ def test_v11_semdedup_one_cluster_shuffle_no_joins(spark, sf_dir):
     exchanges = re.findall(r"\(\d+\) Exchange", tree)
     assert len(exchanges) <= 2, tree  # cluster hash + final groupBy(id_b)
     assert not re.findall(r"Join", tree), tree
+
+
+def test_pipe02_reuses_persisted_state_delta_scans_pruned(spark, sf_dir):
+    """The incremental funnel must PROBE persisted base state, never
+    rebuild it per consumer: the hash index, benchmark shingle index and
+    base domain counts all surface as InMemoryTableScan, the benchmark
+    index join back over the delta is a broadcast, and every parquet
+    scan of documents in the final plan carries the pushed >= watermark
+    filter (the base corpus is only ever read through the cached
+    state)."""
+    df = REGISTRY["pipe02_incremental_funnel"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree, "pipe02 lost its persisted base state"
+    assert "BroadcastHashJoin" in tree
+    # at least 4 DISTINCT cached relations: the hash index, the base
+    # shingle subtree, the benchmark index, the base domain counts and
+    # the annotated delta frame (distinct node ids — "formatted" repeats
+    # a cached subtree under every consumer with the SAME ids)
+    imr_ids = set(re.findall(r"InMemoryRelation \((\d+)\)", plan))
+    assert len(imr_ids) >= 4, f"persisted state collapsed: {sorted(imr_ids)}"
+    # and NO unfiltered full-corpus scan anywhere — every documents scan,
+    # live or inside a cached state build, must carry a pushed watermark
+    # bound (< for the base-state build, >= for the delta probe)
+    checked = 0
+    for m in re.finditer(r"\(\d+\) Scan parquet[^\n]*\n((?:[^\n]*\n)*?)\s*ReadSchema", plan):
+        block = m.group(0)
+        if "documents" in block:
+            assert ("GreaterThanOrEqual(doc_id" in block) or (
+                "LessThan(doc_id" in block
+            ), f"unfiltered corpus scan:\n{block}"
+            checked += 1
+    assert checked, "no documents scan found — lint regex rotted"
+    spark.catalog.clearCache()

@@ -326,6 +326,7 @@ _DUCK_ONLY = {
     "c10_temperature_mixture",  # // integer division
     "c11_mixture_sample",  # // integer division and ::BIGINT
     "pipe01_pretrain_funnel",  # UNNEST/regexp_extract_all/:// composition
+    "pipe02_incremental_funnel",  # UNNEST/regexp_extract_all/::BIGINT///
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
     "v11_semdedup",  # list_transform/list_zip/arg_min

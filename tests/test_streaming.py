@@ -294,3 +294,124 @@ def test_streaming_kmv_equals_batch(spark, events_src):
         for r in kmv_sketch_grouped(events, ["event_type"], F.col("user_id"), k=64).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir, tmp_path):
+    """THE streaming capstone: the pipe01/pipe02 curation funnel drained
+    as a checkpointed AvailableNow job over two document micro-batches
+    must produce EXACTLY the per-document (q, dd, clean) annotations of
+    one batch run over the union (benchmark frozen at the first
+    snapshot) — and a re-drain with no new files processes nothing
+    (checkpoint, not last_run.txt)."""
+    from pyspark.sql import Window
+
+    from serverless_etl_reporting_pipeline_spark.plans.text import _token_profile
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        _QUALITY,
+        _shingle_set,
+        funnel_table,
+        incremental_funnel_drain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    wm = int(0.8 * (max_id + 1))
+    src, work = str(tmp_path / "docs_src"), str(tmp_path / "funnel_work")
+
+    docs.filter(f"doc_id < {wm}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, docs.schema, work) == 1
+    docs.filter(f"doc_id >= {wm}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, docs.schema, work) == 1
+    assert incremental_funnel_drain(spark, src, docs.schema, work) == 0
+
+    got_ann = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=*").collect()
+    }
+
+    # batch twin: one-shot annotation of the union, benchmark frozen at wm
+    ev = (F.col("doc_id") < wm) & F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1")
+    ann0 = (
+        docs.select("doc_id", "source", "lang", "text")
+        .join(_token_profile(docs), "doc_id")
+        .select("doc_id", "source", "lang", "text", _QUALITY.alias("q"), ev.alias("ev"))
+    )
+    ded = ann0.filter("q").select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    sh = _shingle_set(docs)
+    hold = sh.filter(ev).select("s").distinct()
+    cont = sh.join(hold, "s").select("doc_id").distinct()
+    dd = F.coalesce(F.col("rn") == 1, F.lit(False))
+    want_ann = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in (
+            ann0.join(ded, "doc_id", "left")
+            .join(cont.withColumn("_c", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id", "q", dd.alias("dd"),
+                (dd & ~F.col("ev") & F.col("_c").isNull()).alias("clean"),
+            )
+        ).collect()
+    }
+    assert len(got_ann) == docs.count()
+    assert got_ann == want_ann
+    # the quality and decontamination/benchmark stages actually dropped
+    # docs (the fixture has no byte-identical texts, so exact dedup is
+    # exercised only as a pass-through here — its cross-batch semantics
+    # are pinned by the per-doc map equality above and by pipe02's oracle)
+    assert any(not q for q, _, _ in want_ann.values())
+    assert any(d and not c for _, d, c in want_ann.values())
+    # the cumulative funnel table reads back consistently
+    ft = funnel_table(spark, work).collect()
+    assert sum(r["n_raw"] for r in ft) == len(got_ann)
+    assert sum(r["n_clean"] for r in ft) == sum(1 for v in want_ann.values() if v[2])
+
+
+def test_streaming_funnel_cross_batch_dedup_and_decontamination(spark, tmp_path):
+    """Synthetic corpus forcing the cross-batch state hits the fixture
+    lacks: a batch-2 doc byte-identical to a batch-1 doc must lose
+    keep-first dedup against the STORED hash index, and a batch-2 doc
+    sharing an 8-gram with the frozen benchmark must be contaminated."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        incremental_funnel_drain,
+    )
+
+    # doc 0 hits the md5-prefix benchmark split (md5('0') = 'cf...'? —
+    # choose ids empirically: md5('1')='c4..', we need prefix '0'/'1');
+    # id 6 has md5('6')='16...' -> benchmark member
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))  # quality-passing
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    rows1 = [(6, "s", "en", good), (7, "s", "en", uniq)]
+    # batch 2: id 10 duplicates doc 7's text exactly (cross-batch dedup
+    # hit); id 11 shares doc 6's text (contaminated vs frozen benchmark);
+    # id 12 is novel and clean
+    fresh = " ".join(f"qqq{i} and the of to is in a" for i in range(8))
+    rows2 = [(10, "s", "en", uniq), (11, "s", "en", good), (12, "s", "en", fresh)]
+    schema = "doc_id long, source string, lang string, text string"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    import hashlib
+    assert hashlib.md5(b"6").hexdigest()[0] in "01", "doc 6 must be a benchmark member"
+    assert hashlib.md5(b"7").hexdigest()[0] not in "01"
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    d1 = spark.createDataFrame(rows1, schema)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+
+    ann = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=*").collect()
+    }
+    assert ann[6] == (True, True, False)  # benchmark member: never training data
+    assert ann[7] == (True, True, True)
+    assert ann[10] == (True, False, False)  # lost dedup to stored hash of doc 7
+    assert ann[11] == (True, False, False)  # dup of 6 AND contaminated
+    assert ann[12] == (True, True, True)
