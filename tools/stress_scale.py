@@ -92,18 +92,36 @@ def build(spark, n: int) -> str:
 
 def main() -> int:
     sizes = [int(a) for a in sys.argv[1:]] or [4, 16]
+    only = os.environ.get("SPARK_GRAFT_STRESS_ONLY")
     spark = get_spark()
     results = []
     for n in sizes:
         sf_dir = build(spark, n)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-        for name in HEAVY:
+
+        def wideband(spark, sf_dir):
+            # v09 with the geometry a grown corpus needs: 12-bit bands
+            # (4096 codes/band) instead of the fixture's 4-bit (16 codes)
+            # — the documented dial that keeps Σ|bucket|² sub-quadratic
+            # as n grows, trading borderline-pair recall
+            from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+                neardup_pairs_lsh_banded,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            return neardup_pairs_lsh_banded(emb, threshold=0.44, n_bits=48, bands=4, seed=4242)
+
+        jobs = [(name, REGISTRY[name].builder) for name in HEAVY]
+        jobs.append(("v09_wideband_48bit", wideband))
+        for name, builder in jobs:
+            if only and only not in name:
+                continue
             best, rows = None, None
             for _ in range(2):  # best-of-2: min is the steady-state cost
                 spark.catalog.clearCache()
                 t0 = time.time()
-                rows = REGISTRY[name].builder(spark, sf_dir).count()
+                rows = builder(spark, sf_dir).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             rec = {
