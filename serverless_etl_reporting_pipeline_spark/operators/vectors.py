@@ -480,39 +480,7 @@ def neardup_pairs_lsh_banded(
     rpb = n_bits // bands
     P = np.array(random_hyperplanes(n_bits, _dim_of(df, vec_col), seed), dtype=np.float64)
     tau = float(threshold)
-    bc = df.sparkSession.sparkContext.broadcast((P, int(bands), rpb))
-
-    def code_kernel(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        Pm, L, g = bc.value
-        w = (2 ** _np.arange(g)).astype(_np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = _stack_quantized(pdf)
-            bits = ((A @ Pm.T) >= 0).astype(_np.int64)
-            ids = pdf["_id"].to_numpy(dtype=_np.int64)
-            out = []
-            for b in range(L):
-                code = bits[:, b * g : (b + 1) * g] @ w
-                out.append(
-                    _pd.DataFrame({"_band": b, "_code": code, id_col: ids, "_qv": pdf["_qv"]})
-                )
-            yield _pd.concat(out, ignore_index=True)
-
-    fan_schema = T.StructType(
-        [
-            T.StructField("_band", T.IntegerType()),
-            T.StructField("_code", T.LongType()),
-            T.StructField(id_col, T.LongType()),
-            T.StructField("_qv", df.schema[vec_col].dataType),
-        ]
-    )
-    fan = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(code_kernel, schema=fan_schema)
+    fan = _band_code_fan(df, P, bands, rpb, id_col, vec_col)
 
     def pair_kernel(key, pdf):
         import numpy as _np
@@ -945,3 +913,140 @@ def semdedup_map(
         "cluster",
         (F.round(F.col("m.raw_cos") * QUANT) / QUANT).alias("cos"),
     ).orderBy("dup_id")
+
+
+def _band_code_fan(
+    df: DataFrame, P, bands: int, rpb: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Map-only Arrow fan-out shared by the banded near-dup operators:
+    one (_band, _code, id, _qv) row per (vector, band), codes computed
+    as packed sign bits of exact integer dots against the seeded
+    quantized hyperplanes — no shuffle happens here."""
+    bc = df.sparkSession.sparkContext.broadcast((P, int(bands), int(rpb)))
+
+    def code_kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Pm, L, g = bc.value
+        w = (2 ** _np.arange(g)).astype(_np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            bits = ((A @ Pm.T) >= 0).astype(_np.int64)
+            ids = pdf["_id"].to_numpy(dtype=_np.int64)
+            out = []
+            for b in range(L):
+                code = bits[:, b * g : (b + 1) * g] @ w
+                out.append(
+                    _pd.DataFrame({"_band": b, "_code": code, id_col: ids, "_qv": pdf["_qv"]})
+                )
+            yield _pd.concat(out, ignore_index=True)
+
+    fan_schema = T.StructType(
+        [
+            T.StructField("_band", T.IntegerType()),
+            T.StructField("_code", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("_qv", df.schema[vec_col].dataType),
+        ]
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(code_kernel, schema=fan_schema)
+
+
+def neardup_vector_index_probe(
+    corpus: DataFrame,
+    snapshot: DataFrame,
+    threshold: float = 0.44,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 4242,
+) -> DataFrame:
+    """Incremental embedding near-dup: probe the corpus's PERSISTED
+    band-code index with a freshly-ingested snapshot — the embedding
+    twin of the text-side `operators/minhash.py incremental_neardup_flags`
+    (t20): a continuously-fed corpus screens each new batch of vectors
+    against what it already holds instead of re-running near-dup over
+    the union.
+
+    The corpus fan (band codes + vectors) is persisted inside — the
+    in-session stand-in for the stored index; on a real feed it arrives
+    prebuilt. Candidates are (snapshot × corpus) bucket-mates under the
+    banded sign-LSH (same geometry/recall economics as
+    `neardup_pairs_lsh_banded`), verified by exact quantized cosine in
+    one Arrow kernel per bucket — work ∝ snapshot + collision buckets,
+    never snapshot × corpus.
+
+    Returns one row per snapshot vector: ``(id_col, is_dup, dup_src,
+    cos)`` — dup_src = the SMALLEST matching corpus id (deterministic),
+    cos its exact quantized cosine, both NULL when no corpus near-dup.
+    """
+    import numpy as np
+
+    if n_bits % bands:
+        raise ValueError("n_bits must be divisible by bands")
+    rpb = n_bits // bands
+    P = np.array(random_hyperplanes(n_bits, _dim_of(corpus, vec_col), seed), dtype=np.float64)
+    tau = float(threshold)
+
+    fan_c = _band_code_fan(corpus, P, bands, rpb, id_col, vec_col).withColumn(
+        "_side", F.lit(0)
+    ).persist()
+    fan_s = _band_code_fan(snapshot, P, bands, rpb, id_col, vec_col).withColumn(
+        "_side", F.lit(1)
+    )
+    fan = fan_c.unionByName(fan_s)
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("snap_id", T.LongType()),
+            T.StructField("corp_id", T.LongType()),
+            T.StructField("raw_cos", T.DoubleType()),
+        ]
+    )
+
+    def probe_kernel(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame({"snap_id": [], "corp_id": [], "raw_cos": []}).astype(
+            {"snap_id": "int64", "corp_id": "int64", "raw_cos": "float64"}
+        )
+        corp = pdf[pdf["_side"] == 0]
+        snap = pdf[pdf["_side"] == 1]
+        if not len(corp) or not len(snap):
+            return empty
+        A = _stack_quantized(corp)  # corpus bucket
+        B = _stack_quantized(snap)  # snapshot bucket
+        an = _np.sqrt((A * A).sum(axis=1))
+        bn = _np.sqrt((B * B).sum(axis=1))
+        S = (B @ A.T) / (bn[:, None] * an[None, :])
+        bi, ai = _np.nonzero(S >= tau)
+        if not len(bi):
+            return empty
+        return _pd.DataFrame(
+            {
+                "snap_id": snap[id_col].to_numpy(dtype=_np.int64)[bi],
+                "corp_id": corp[id_col].to_numpy(dtype=_np.int64)[ai],
+                "raw_cos": S[bi, ai],
+            }
+        )
+
+    pairs = fan.groupBy("_band", "_code").applyInPandas(probe_kernel, schema=probe_schema)
+    best = pairs.groupBy("snap_id").agg(F.min(F.struct("corp_id", "raw_cos")).alias("m"))
+    return (
+        snapshot.select(F.col(id_col).cast("long").alias(id_col))
+        .join(best, F.col(id_col) == F.col("snap_id"), "left")
+        .select(
+            id_col,
+            F.col("m").isNotNull().alias("is_dup"),
+            F.col("m.corp_id").alias("dup_src"),
+            (F.round(F.col("m.raw_cos") * QUANT) / QUANT).alias("cos"),
+        )
+        .orderBy(id_col)
+    )

@@ -581,3 +581,94 @@ def v11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_map(emb, threshold=float(_V11_TAU))
+
+
+_V12_TAU = "0.44"
+
+
+def _v12_oracle() -> str:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(_V09_BITS, 64, seed=_V09_SEED)
+    g = _V09_BITS // _V09_BANDS
+
+    def band_code(vec: str, b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_duck_dot(vec, _duck_plane(planes[b * g + i]))} >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i in range(g)
+        )
+
+    codes = ",\n               ".join(
+        f"({band_code('qv', b)}) AS b{b}" for b in range(_V09_BANDS)
+    )
+    band_match = " OR ".join(f"s.b{b} = c.b{b}" for b in range(_V09_BANDS))
+    return f"""
+    WITH wm AS (
+        SELECT CAST(floor(0.8 * (max(vec_id) + 1)) AS BIGINT) AS w FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id, qv,
+               sqrt({_duck_dot('qv', 'qv')}) AS nrm,
+               {codes}
+        FROM q
+    ),
+    pairs AS (
+        SELECT s.vec_id AS snap_id, c.vec_id AS corp_id,
+               {_duck_dot('s.qv', 'c.qv')} / (s.nrm * c.nrm) AS raw_cos
+        FROM coded s JOIN coded c ON ({band_match}) CROSS JOIN wm
+        WHERE s.vec_id >= wm.w AND c.vec_id < wm.w
+    ),
+    m AS (
+        SELECT snap_id, min(corp_id) AS dup_src, arg_min(raw_cos, corp_id) AS c
+        FROM pairs WHERE raw_cos >= {_V12_TAU}
+        GROUP BY snap_id
+    )
+    SELECT s.vec_id, m.dup_src IS NOT NULL AS is_dup, m.dup_src,
+           round(m.c * 1000000) / 1000000.0 AS cos
+    FROM (SELECT vec_id FROM embeddings CROSS JOIN wm WHERE vec_id >= wm.w) s
+    LEFT JOIN m ON m.snap_id = s.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+@query(
+    "v12_incremental_embedding_probe",
+    # The oracle mirrors the banding 1:1 (planes inlined) restricted to
+    # snapshot×corpus pairs — same recall argument as v09, same
+    # watermark discipline as t20; arg_min gives the exact cosine of the
+    # smallest matching corpus id.
+    oracle=_v12_oracle(),
+    doc=f"incremental embedding near-dup: the newest 20%% of vectors (past the "
+    "0.8 id watermark — the freshly-ingested snapshot) are screened for "
+    f"cosine >= {_V12_TAU} near-duplicates in the EXISTING corpus by probing the "
+    "persisted band-code index — the embedding twin of t20, the per-batch query "
+    "a continuously-fed vector store runs instead of re-running near-dup over "
+    "the union. Scale shape: corpus fan persisted (the stored index), snapshot "
+    "fan map-only, candidates = cross-side bucket-mates only, exact quantized-"
+    "cosine verify per bucket in one Arrow kernel — work ∝ snapshot + collision "
+    "buckets, never snapshot × corpus "
+    "(operators/vectors.py neardup_vector_index_probe)",
+)
+def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        neardup_vector_index_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # scalar watermark (t20's 1-row-scalar idiom)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    wm = int(0.8 * (max_id + 1))
+    return neardup_vector_index_probe(
+        emb.filter(F.col("vec_id") < wm),
+        emb.filter(F.col("vec_id") >= wm),
+        threshold=float(_V12_TAU),
+        n_bits=_V09_BITS,
+        bands=_V09_BANDS,
+        seed=_V09_SEED,
+    )

@@ -502,3 +502,27 @@ def test_v11_semdedup_subset_of_v07_exact(spark, sf_dir):
     assert set(v11) <= set(v07), set(v11) - set(v07)
     for dup_id, r in v11.items():
         assert r["kept_id"] >= v07[dup_id]["kept_id"], (dup_id, r, v07[dup_id])
+
+
+def test_v12_probe_consistent_with_v09_pairs(spark, sf_dir):
+    """The incremental probe must agree exactly with the full banded
+    pair set restricted to watermark-crossing pairs: a snapshot vector
+    is flagged iff v09 found it a cross-watermark pair, dup_src is the
+    smallest such corpus id, and the cosine matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    wm = int(0.8 * (max_id + 1))
+    v09 = REGISTRY["v09_embedding_neardup_lsh"].builder(spark, sf_dir).collect()
+    cross = {}
+    for r in v09:  # id_a < id_b always; crossing pairs have id_a < wm <= id_b
+        if r["id_a"] < wm <= r["id_b"]:
+            cur = cross.get(r["id_b"])
+            if cur is None or r["id_a"] < cur[0]:
+                cross[r["id_b"]] = (r["id_a"], r["cos"])
+    v12 = REGISTRY["v12_incremental_embedding_probe"].builder(spark, sf_dir).collect()
+    assert cross, "fixture produced no cross-watermark near-dups — vacuous"
+    got = {r["vec_id"]: (r["dup_src"], r["cos"]) for r in v12 if r["is_dup"]}
+    assert got == cross
+    assert {r["vec_id"] for r in v12} == {
+        int(r["vec_id"]) for r in emb.filter(F.col("vec_id") >= wm).select("vec_id").collect()
+    }

@@ -314,3 +314,18 @@ def test_pipe02_reuses_persisted_state_delta_scans_pruned(spark, sf_dir):
             checked += 1
     assert checked, "no documents scan found — lint regex rotted"
     spark.catalog.clearCache()
+
+
+def test_v12_probes_persisted_vector_index(spark, sf_dir):
+    """v12 must PROBE the persisted corpus band-code index (an
+    InMemoryRelation) with a map-only snapshot fan: the live snapshot
+    scan carries the pushed >= watermark filter, the bucket kernel is
+    the only grouped stage, and no vector-carrying join appears below
+    it."""
+    df = REGISTRY["v12_incremental_embedding_probe"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree, "v12 lost its persisted corpus index"
+    assert "FlatMapGroupsInPandas" in tree, tree
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(vec_id", plan), plan[:800]
+    spark.catalog.clearCache()

@@ -330,6 +330,7 @@ _DUCK_ONLY = {
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
     "v11_semdedup",  # list_transform/list_zip/arg_min
+    "v12_incremental_embedding_probe",  # list_transform/arg_min
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
     "x03_kmv_distinct_by_type",  # ::BIGINT and // integer division
     "x04_histogram_quantiles",  # unnest([...]) and // integer division
