@@ -167,3 +167,40 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
     )
     return summed.select(id_col, sig.alias("simhash"))
+
+
+def shard_plan(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard-v1"
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard pseudo-
+    random order — the EXPORT step of a curation pipeline (the corpus →
+    N reproducible shards a trainer streams), replacing the reference's
+    y/m/d partition loop (`pipeline/ETL/partition_transactions.py:34-61`)
+    with a hash layout a training run can replay bit-for-bit.
+
+    shard = md5-prefix(id) mod n_shards (portable integer hash — the
+    same value in DuckDB), pos = rank within the shard ordered by a
+    SECOND salted md5 (so shard membership and intra-shard order are
+    independent hashes; changing the salt reshuffles order without
+    moving rows between shards). Everything is derived from the id —
+    rerun-stable with no RNG state to persist.
+
+    Scale shape: one map to compute (shard, sort_key), ONE shuffle on
+    shard, rank via row_number per shard — at 100 TB this is the same
+    single exchange any partitioned write pays; no global sort.
+    """
+    sid = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    sort_key = F.md5(F.concat(F.lit(salt + "|"), sid))
+    from pyspark.sql import Window
+
+    return df.select(
+        id_col,
+        shard.alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy(shard).orderBy(sort_key, F.col(id_col)))
+        .cast("bigint")
+        .alias("pos"),
+    )

@@ -934,3 +934,39 @@ def t21_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SHARDS_N = 8
+
+
+@query(
+    "t22_shard_plan",
+    # Both hashes are md5 prefixes the engines compute identically; the
+    # modulo operands are non-negative, so % agrees; rank tie-breaks on
+    # doc_id. The plan is therefore bit-stable across engines AND runs.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
+                % {_SHARDS_N} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
+                            % {_SHARDS_N}
+               ORDER BY md5('shard-v1|' || CAST(doc_id AS STRING)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    ORDER BY shard, pos
+    """,
+    doc=f"deterministic training-shard export plan: every doc gets a shard "
+    f"(md5-prefix mod {_SHARDS_N}) and a within-shard pseudo-random position "
+    "(second, salted md5) — the reproducible corpus → shards layout a trainer "
+    "streams, replacing the reference's y/m/d partition loop "
+    "(partition_transactions.py:34-61) for the pre-training use case. Scale "
+    "shape: one map + ONE shuffle on shard + per-shard rank — the same single "
+    "exchange any partitioned write pays; no RNG state, rerun-identical "
+    "(operators/text.py shard_plan)",
+)
+def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.text import shard_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_plan(docs, "doc_id", _SHARDS_N).orderBy("shard", "pos")

@@ -238,3 +238,38 @@ def read_lake(spark: SparkSession, path: str, merge_schema: bool = False) -> Dat
     at millions of files; flip it only on lakes that actually evolved.
     """
     return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame, path: str, id_col: str, n_shards: int, salt: str = "shard-v1",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the deterministic shard layout (`operators/text.py
+    shard_plan`): full rows written under ``shard=<k>/`` directories,
+    each file internally ordered by the within-shard position, so a
+    trainer streams shard k in its reproducible pseudo-random order by
+    reading the shard's files in name order.
+
+    Cost at 100 TB: ONE range shuffle on (shard, pos) — the same single
+    exchange any partitioned write pays; rerun produces a bit-identical
+    layout (both hashes derive from the id; no RNG state)."""
+    from pyspark.sql import Window
+
+    sid = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    sort_key = F.md5(F.concat(F.lit(salt + "|"), sid))
+    annotated = df.withColumn("shard", shard).withColumn(
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy(shard).orderBy(sort_key, F.col(id_col)))
+        .cast("bigint"),
+    )
+    (
+        annotated.repartitionByRange(n_shards, "shard", "pos")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -309,3 +309,35 @@ def test_zorder_key_interleave_inverts(spark):
             dx |= ((r["z"] >> (2 * b)) & 1) << b
             dy |= ((r["z"] >> (2 * b + 1)) & 1) << b
         assert (dx, dy) == (sx, sy), (r, sx, sy, dx, dy)
+
+
+def test_training_shard_write_reproducible_and_ordered(spark, sf_dir, tmp_path):
+    """The shard export must (a) round-trip every row exactly once,
+    (b) give each shard a contiguous 1..k pos sequence matching the
+    shard_plan operator, and (c) be bit-identical across two writes
+    (no RNG state — a trainer can re-materialize the same stream)."""
+    from serverless_etl_reporting_pipeline_spark.operators.text import shard_plan
+    from serverless_etl_reporting_pipeline_spark.sources.lake import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, "doc_id", 8)
+    write_training_shards(docs.repartition(7), p2, "doc_id", 8)  # input split must not matter
+
+    back = spark.read.parquet(p1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.select("doc_id", "shard", "pos").collect()}
+    want = {(r["doc_id"], r["shard"], r["pos"]) for r in shard_plan(docs, "doc_id", 8).collect()}
+    assert got == want
+    # contiguous positions per shard
+    per = back.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    ).collect()
+    assert len(per) == 8 and all(r["lo"] == 1 and r["hi"] == r["n"] for r in per)
+    # reasonably balanced (md5 is uniform): no shard > 2x the mean
+    n = docs.count()
+    assert all(r["n"] < 2 * n / 8 for r in per)
+    # write #2 identical
+    got2 = {(r["doc_id"], r["shard"], r["pos"]) for r in spark.read.parquet(p2).select("doc_id", "shard", "pos").collect()}
+    assert got2 == got

@@ -306,6 +306,7 @@ _DUCK_ONLY = {
     "t12_chunking",
     "t20_incremental_neardup",
     "t21_passage_dedup_stats",  # list_slice/array_to_string/len
+    "t22_shard_plan",  # ::BIGINT and '0x' hex-string cast
     "t14_tfidf_top_terms",
     "t15_top_bigrams",
     "t16_quality_filter",

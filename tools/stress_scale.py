@@ -43,7 +43,9 @@ HEAVY = [
     "c02_bloom_decontamination",
     "c08_leakage_safe_split",
     "v09_embedding_neardup_lsh",
+    "v12_incremental_embedding_probe",
     "pipe01_pretrain_funnel",
+    "pipe02_incremental_funnel",
 ]
 # 20 consonants → up to 20 distinct per-copy rotations (no accidental
 # cross-copy exact duplicates for N ≤ 20)
