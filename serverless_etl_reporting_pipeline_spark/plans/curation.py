@@ -781,3 +781,96 @@ def c11_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(accept, 1).otherwise(0)).cast("bigint").alias("accepted"))
         .orderBy("source", "lang")
     )
+
+
+_TOKEN_BUDGET = 20000
+
+
+@query(
+    "c12_token_budget_mixture",
+    # Same integer largest-remainder arithmetic as c10 but over TOKEN
+    # totals (sqrt is correctly-rounded on the exact bigint sums in both
+    # engines), and a deterministic greedy prefix: docs ordered by a
+    # salted md5 within each domain, selected while the running token
+    # count has not yet reached the domain's target — every column is an
+    # exact integer or a comparison of exact integers.
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, lang,
+               CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    dom AS (
+        SELECT source, lang, CAST(sum(n_tokens) AS BIGINT) AS n_docs,
+               CAST(round(sqrt(sum(n_tokens)) * 1000000) AS BIGINT) AS w_micro
+        FROM d GROUP BY 1, 2
+    ),
+    t2 AS (
+        SELECT dom.*, (SELECT sum(w_micro) FROM dom) AS s FROM dom
+    ),
+    b AS (
+        SELECT *, ({_TOKEN_BUDGET} * w_micro) // s AS base_t,
+                  ({_TOKEN_BUDGET} * w_micro) % s AS rem
+        FROM t2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk,
+               (SELECT {_TOKEN_BUDGET} - sum(base_t) FROM b) AS deficit
+        FROM b
+    ),
+    tgt AS (
+        SELECT source, lang,
+               CAST(base_t + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS target_tokens
+        FROM r
+    ),
+    sel AS (
+        SELECT d.doc_id, d.source, d.lang, d.n_tokens, tgt.target_tokens,
+               CAST(coalesce(sum(d.n_tokens) OVER (
+                   PARTITION BY d.source, d.lang
+                   ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM d JOIN tgt ON d.source = tgt.source AND d.lang = tgt.lang
+    )
+    SELECT doc_id, source, lang, n_tokens, cum_before, target_tokens,
+           cum_before < target_tokens AS selected
+    FROM sel
+    ORDER BY doc_id
+    """,
+    doc=f"temperature mixture in TOKEN units (budget {_TOKEN_BUDGET} tokens) — the "
+    "unit pre-training budgets are actually set in: per-domain targets ∝ "
+    "sqrt(domain token count) via the c10 largest-remainder apportionment, then "
+    "a deterministic greedy prefix (docs in salted-md5 order, taken while the "
+    "running token count is below target — each domain overshoots by < one "
+    "document, the standard epoch-boundary convention). Rerun-stable with no "
+    "RNG. Scale shape: one token-count map, an aggregate-sized target frame "
+    "broadcast back, ONE per-domain window shuffle for the running sum",
+)
+def c12_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from serverless_etl_reporting_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    dom = d.groupBy("source", "lang").agg(F.sum("n_tokens").cast("bigint").alias("n_docs"))
+    tgt = _mixture_targets_from_counts(dom, budget=_TOKEN_BUDGET).select(
+        "source", "lang", F.col("target_docs").alias("target_tokens")
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(tgt), ["source", "lang"])
+        .select(
+            "doc_id", "source", "lang", "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint").alias("cum_before"),
+            "target_tokens",
+        )
+        .withColumn("selected", F.col("cum_before") < F.col("target_tokens"))
+        .orderBy("doc_id")
+    )

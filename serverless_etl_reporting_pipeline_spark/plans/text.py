@@ -970,3 +970,91 @@ def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_plan(docs, "doc_id", _SHARDS_N).orderBy("shard", "pos")
+
+
+@query(
+    "t23_boilerplate_scrub",
+    # Same chunk construction as t21 (16-token passages, md5
+    # fingerprints, exact integer counts); the cleaned text is
+    # reassembled in chunk order on both engines and compared BY HASH,
+    # so the transform itself — not just its stats — is verified.
+    # coalesce('') handles docs whose every passage is boilerplate
+    # (SQL list() over zero rows is NULL; Spark's collect_list is []).
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               list_slice(t, 1 + i * 16, i * 16 + 16) AS c
+        FROM toks,
+             UNNEST(generate_series(
+                 0,
+                 CAST(greatest(1, ceil(len(t) / 16.0)) AS BIGINT) - 1
+             )) AS u(i)
+    ),
+    f AS (
+        SELECT doc_id, chunk_id,
+               md5(array_to_string(c, ' ')) AS fp,
+               len(c) AS n_tok,
+               array_to_string(c, ' ') AS ct
+        FROM ch
+    ),
+    cnts AS (SELECT fp, count(*) AS cnt FROM f GROUP BY fp)
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN cnt = 1 THEN n_tok END), 0) AS BIGINT) AS n_clean_tokens,
+           md5(coalesce(array_to_string(list(ct ORDER BY chunk_id) FILTER (WHERE cnt = 1), ' '), '')) AS cleaned_fp
+    FROM f JOIN cnts USING (fp)
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    doc="boilerplate passage scrub (the CCNet-style paragraph dedup TRANSFORM t21 "
+    "only reports stats for): 16-token passages duplicated ANYWHERE in the corpus "
+    "are dropped from every document, the cleaned text is reassembled in passage "
+    "order, and the output carries kept/dropped counts plus an md5 of the cleaned "
+    "text so the driver hash-checks the transform itself. Scale shape: map-only "
+    "chunk explode persisted once (the t21 lint discipline), ONE shuffle for the "
+    "corpus-wide fingerprint counts, a plain fp-keyed join back (the count frame "
+    "is corpus-scale — never broadcast, the c08 lesson), one doc-keyed aggregate",
+)
+def t23_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one persisted chunk subtree feeds BOTH the count side and the join
+    # side — without it the tokenize+chunk explode (the most expensive
+    # map stage) runs twice
+    ch = (
+        chunk_tokens(docs, "doc_id", "text", chunk_size=16, overlap=0)
+        .select(
+            "doc_id", "chunk_id", "n_chunk_tokens",
+            F.md5("chunk_text").alias("fp"),
+            "chunk_text",
+        )
+        .persist()
+    )
+    cnts = ch.groupBy("fp").agg(F.count("*").alias("cnt"))
+    kept_struct = F.when(F.col("cnt") == 1, F.struct("chunk_id", "chunk_text"))
+    return (
+        ch.join(cnts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") == 1, F.col("n_chunk_tokens"))), F.lit(0)
+            ).cast("bigint").alias("n_clean_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x.chunk_text,
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -104,3 +104,48 @@ def test_interval_join_matches_bruteforce(spark, left, right, span):
         if lk == rk and ls - span <= rs <= ls
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    n_shards=st.integers(min_value=1, max_value=6),
+)
+def test_shard_plan_properties(spark, ids, n_shards):
+    """For ANY id set: every id lands in exactly one shard in [0, n),
+    positions are contiguous 1..k per shard, and the plan is invariant
+    to input partitioning. Positions are ranks (they shift when shard
+    membership changes), but the underlying ORDER is id-derived, so
+    removing ids must preserve the survivors' relative order — the
+    property that lets a trainer resume a filtered corpus stream."""
+    from serverless_etl_reporting_pipeline_spark.operators.text import shard_plan
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    plan = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_plan(df, "doc_id", n_shards).collect()}
+    assert set(plan) == set(ids)
+    by_shard = {}
+    for i, (s, p) in plan.items():
+        assert 0 <= s < n_shards
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), (s, ps)
+    # split-invariance: a different input partitioning gives the same plan
+    plan2 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_plan(df.repartition(5), "doc_id", n_shards).collect()
+    }
+    assert plan2 == plan
+    # order stability: removing ids preserves survivors' relative order
+    if len(ids) > 2:
+        survivors = ids[::2]
+        sub = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shard_plan(
+                spark.createDataFrame([(i,) for i in survivors], "doc_id long"),
+                "doc_id", n_shards,
+            ).collect()
+        }
+        for s in set(v[0] for v in sub.values()):
+            full_order = [i for i, v in sorted(plan.items(), key=lambda kv: (kv[1][0], kv[1][1])) if v[0] == s and i in set(survivors)]
+            sub_order = [i for i, v in sorted(sub.items(), key=lambda kv: (kv[1][0], kv[1][1])) if v[0] == s]
+            assert sub_order == full_order, (s, sub_order, full_order)

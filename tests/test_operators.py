@@ -526,3 +526,17 @@ def test_v12_probe_consistent_with_v09_pairs(spark, sf_dir):
     assert {r["vec_id"] for r in v12} == {
         int(r["vec_id"]) for r in emb.filter(F.col("vec_id") >= wm).select("vec_id").collect()
     }
+
+
+def test_t23_consistent_with_t21_stats(spark, sf_dir):
+    """The scrub transform must agree with the stats query it extends:
+    per doc, t23.n_passages == t21.n_passages and t23.n_dropped ==
+    t21.n_dup_passages — and at least one doc actually loses passages."""
+    t21 = {r["doc_id"]: r for r in REGISTRY["t21_passage_dedup_stats"].builder(spark, sf_dir).collect()}
+    t23 = {r["doc_id"]: r for r in REGISTRY["t23_boilerplate_scrub"].builder(spark, sf_dir).collect()}
+    assert set(t21) == set(t23)
+    for d, r in t23.items():
+        assert r["n_passages"] == t21[d]["n_passages"], d
+        assert r["n_dropped"] == t21[d]["n_dup_passages"], d
+        assert r["n_kept"] + r["n_dropped"] == r["n_passages"], d
+    assert any(r["n_dropped"] > 0 for r in t23.values()), "scrub vacuous on fixture"

@@ -329,3 +329,16 @@ def test_v12_probes_persisted_vector_index(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in tree, tree
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(vec_id", plan), plan[:800]
     spark.catalog.clearCache()
+
+
+def test_t23_chunk_subtree_cached_counts_not_broadcast(spark, sf_dir):
+    """t23's tokenize→chunk explode must be persisted (it feeds both the
+    count side and the join side), and the fingerprint-count frame —
+    corpus-scale at 100 TB — must NOT be broadcast: the join back is a
+    plain keyed join AQE may upgrade only from runtime stats."""
+    df = REGISTRY["t23_boilerplate_scrub"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "InMemoryTableScan" in plan, "t23 lost its persisted chunk subtree"
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), "t23 must not force a join strategy"
+    spark.catalog.clearCache()

@@ -307,6 +307,7 @@ _DUCK_ONLY = {
     "t20_incremental_neardup",
     "t21_passage_dedup_stats",  # list_slice/array_to_string/len
     "t22_shard_plan",  # ::BIGINT and '0x' hex-string cast
+    "t23_boilerplate_scrub",  # list_slice/list(ORDER BY)/FILTER
     "t14_tfidf_top_terms",
     "t15_top_bigrams",
     "t16_quality_filter",
@@ -326,6 +327,7 @@ _DUCK_ONLY = {
     "w08_event_debounce",
     "c10_temperature_mixture",  # // integer division
     "c11_mixture_sample",  # // integer division and ::BIGINT
+    "c12_token_budget_mixture",  # // integer division, regexp_extract_all
     "pipe01_pretrain_funnel",  # UNNEST/regexp_extract_all/:// composition
     "pipe02_incremental_funnel",  # UNNEST/regexp_extract_all/::BIGINT///
     "e06_point_in_time_version",  # ASOF LEFT JOIN
