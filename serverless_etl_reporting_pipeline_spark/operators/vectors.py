@@ -1050,3 +1050,77 @@ def neardup_vector_index_probe(
         )
         .orderBy(id_col)
     )
+
+
+def batch_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors — the
+    many-queries retrieval shape (eval sets, dedup probes, recommender
+    refreshes) the single-vector `knn_bruteforce` doesn't cover.
+
+    The query batch is collected + broadcast (bounded: it is a batch,
+    not a corpus — the Q×dim matrix rides the same driver path as v01's
+    single vector); one Arrow kernel scores every corpus split against
+    ALL queries in a single BLAS matmul and emits only each query's
+    per-split top-k (deterministic tie-break: cosine desc, id asc —
+    per-column lexsort, so boundary ties at the k-th place can never
+    drop the id-ordered winner); the global per-query rank is a
+    WindowGroupLimit-pruned row_number. Shuffle volume ≤ splits·k·Q
+    rows, never the corpus.
+    """
+    import numpy as np
+
+    qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn, int(k)))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        qi, Qm, qnorm, kk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            ids = pdf["_id"].to_numpy(dtype=_np.int64)
+            an = _np.sqrt((A * A).sum(axis=1))
+            S = (A @ Qm.T) / (an[:, None] * qnorm[None, :])
+            out_q, out_id, out_cos = [], [], []
+            for j in range(S.shape[1]):
+                order = _np.lexsort((ids, -S[:, j]))[:kk]
+                out_q.append(_np.full(len(order), qi[j], dtype=_np.int64))
+                out_id.append(ids[order])
+                out_cos.append(S[order, j])
+            yield _pd.DataFrame(
+                {
+                    qid_col: _np.concatenate(out_q),
+                    id_col: _np.concatenate(out_id),
+                    "_raw": _np.concatenate(out_cos),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    out = corpus.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
+    return (
+        out.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(qid_col).orderBy(F.desc("_raw"), F.asc(id_col))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .select(
+            qid_col, id_col, F.col("rk").cast("int").alias("rk"),
+            (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"),
+        )
+        .orderBy(qid_col, "rk")
+    )

@@ -672,3 +672,56 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
         bands=_V09_BANDS,
         seed=_V09_SEED,
     )
+
+
+@query(
+    "v13_batch_knn",
+    # Exact quantized-integer cosine for every (query, corpus) pair,
+    # ranked per query with the deterministic (cos DESC, id) tie-break —
+    # the kernel's per-split lexsort prune emits a superset of the
+    # global top-k under the SAME total order, so the window rank
+    # reproduces this SQL bit-for-bit.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               list_sum(list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS raw_cos
+        FROM q, e
+    )
+    SELECT qid, vec_id, CAST(rk AS INT) AS rk,
+           round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY raw_cos DESC, vec_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """,
+    doc="batched exact kNN: top-3 corpus neighbors for EACH of a 10-vector query "
+    "batch (ids < 10) in one pass — the retrieval-eval / probe-set shape the "
+    "single-query v01 doesn't cover. Scale shape: query matrix broadcast (a "
+    "batch, not a corpus), ONE BLAS matmul per corpus split scoring all queries "
+    "at once, per-split deterministic top-k prune (≤ splits·k·Q rows shuffle), "
+    "WindowGroupLimit global rank — the corpus never shuffles "
+    "(operators/vectors.py batch_knn)",
+)
+def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import batch_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return batch_knn(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding"),
+        k=3,
+    )

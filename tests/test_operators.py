@@ -540,3 +540,20 @@ def test_t23_consistent_with_t21_stats(spark, sf_dir):
         assert r["n_dropped"] == t21[d]["n_dup_passages"], d
         assert r["n_kept"] + r["n_dropped"] == r["n_passages"], d
     assert any(r["n_dropped"] > 0 for r in t23.values()), "scrub vacuous on fixture"
+
+
+def test_v13_batch_knn_matches_per_query_bruteforce(spark, sf_dir):
+    """The batched kernel must give EXACTLY the single-query brute-force
+    answer for every query in the batch (same corpus, same k, same
+    tie-break) — the batching is a physical optimization only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    batch = {
+        (r["qid"], r["rk"]): (r["vec_id"], r["cos"])
+        for r in REGISTRY["v13_batch_knn"].builder(spark, sf_dir).collect()
+    }
+    for qid in (0, 3, 7):
+        qv = emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0]
+        single = knn_bruteforce(corpus, list(quantize_np(qv)), k=3).collect()
+        for rk, r in enumerate(single, start=1):
+            assert batch[(qid, rk)] == (r["vec_id"], r["cos"]), (qid, rk)

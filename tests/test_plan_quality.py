@@ -342,3 +342,14 @@ def test_t23_chunk_subtree_cached_counts_not_broadcast(spark, sf_dir):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "hint" not in analyzed.lower(), "t23 must not force a join strategy"
     spark.catalog.clearCache()
+
+
+def test_v13_batch_knn_prunes_per_split_then_window_limit(spark, sf_dir):
+    """Batched kNN must score in one Arrow map (no corpus shuffle of
+    vectors), prune per split, and rank globally via WindowGroupLimit —
+    never a join between the query and corpus sides."""
+    plan = _plan(spark, REGISTRY["v13_batch_knn"].builder(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    assert "WindowGroupLimit" in tree, tree
+    assert not re.findall(r"Join", tree), tree
