@@ -43,6 +43,7 @@ HEAVY = [
     "c02_bloom_decontamination",
     "c08_leakage_safe_split",
     "v09_embedding_neardup_lsh",
+    "v11_semdedup",
     "v12_incremental_embedding_probe",
     "pipe01_pretrain_funnel",
     "pipe02_incremental_funnel",
