@@ -21,15 +21,15 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
 # the first 50 registry entries per round. Rotation policy for round 6:
-#   1. _PRIORITY first (32 slots) — every query ADDED this round (pipe02,
-#      v11, v12, v13, t22, t23, c12), every query whose CODE or ORACLE changed this round
+#   1. _PRIORITY first (33 slots) — every query ADDED this round (pipe02,
+#      v11, v12, v13, t22, t23, t24, c12), every query whose CODE or ORACLE changed this round
 #      (x01/x03: KMV null-semantics fix; x04: integer-DIV threshold;
 #      c10/c11/pipe01: the _mixture_targets refactor; v09: band fan-out
 #      factored into _band_code_fan), then the 18 r3-era queries the
 #      round-5 judge ordered back into the window (d01-d05, j04-j07,
 #      o01-o03, p01-p06 — last driver-checked in round 3).
 #   2. Then the r4-era greens (queries last driver-checked in round 4,
-#      code untouched since): 18 of the remaining 45 fit the window this
+#      code untouched since): 17 of the remaining 45 fit the window this
 #      round; the registration-order tail defers to round 7.
 #   3. Then the r5-green remainder (youngest driver rows).
 # Deferred queries stay covered every round by tools/oracle_check.py
@@ -46,7 +46,7 @@ _R4_ERA = frozenset(
 
 _PRIORITY = (
     # added this round
-    "pipe02", "v11", "v12", "v13", "t22", "t23", "c12",
+    "pipe02", "v11", "v12", "v13", "t22", "t23", "t24", "c12",
     # code/oracle changed this round (v09: band fan-out factored out)
     "x01", "x03", "x04", "c10", "c11", "pipe01", "v09",
     # the 18 r3-era queries (round-5 verdict ask #1)

@@ -1058,3 +1058,69 @@ def t23_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t24_contamination_ratio",
+    # Exact integer shingle counts on both sides; the 20% policy test is
+    # the integer comparison shared*5 >= n_shingles (no float ratio in
+    # the verdict), and the reported ratio is micro-rounded once.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    hold_sh AS (
+        SELECT DISTINCT s FROM sh
+        WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1')
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+           CAST(round(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0
+                      / count(*)) AS BIGINT) AS ratio_micro,
+           sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) * 5 >= count(*)
+               AS contaminated
+    FROM sh LEFT JOIN hold_sh h USING (s)
+    WHERE substr(md5(CAST(sh.doc_id AS STRING)), 1, 1) NOT IN ('0', '1')
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+    doc="decontamination POLICY verdict (the GPT-3/PaLM-style ratio rule t19's "
+    "any-overlap count feeds): every training doc reports its distinct-8-gram "
+    "count, how many collide with the frozen eval split, the overlap ratio, and "
+    "the contaminated flag at the 20%% threshold — as an exact integer "
+    "comparison (shared*5 >= n), so the policy decision itself is hash-checked. "
+    "Scale shape: one persisted shingle subtree feeds both sides (t19 "
+    "discipline), benchmark-sized eval set broadcast into a LEFT join over the "
+    "training shingles, one doc-keyed aggregate — map + broadcast-probe, no "
+    "corpus shuffle before the per-doc count",
+)
+def t24_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
+        .distinct()
+        .persist()
+    )
+    is_hold = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    hold_sh = sh.filter(is_hold).select("s").distinct().withColumn("_h", F.lit(True))
+    shared = F.sum(F.when(F.col("_h"), 1).otherwise(0)).cast("bigint")
+    return (
+        sh.filter(~is_hold)
+        .join(F.broadcast(hold_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            shared.alias("shared"),
+            F.round(shared * 1000000.0 / F.count("*")).cast("bigint").alias("ratio_micro"),
+            (shared * 5 >= F.count("*")).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -557,3 +557,17 @@ def test_v13_batch_knn_matches_per_query_bruteforce(spark, sf_dir):
         single = knn_bruteforce(corpus, list(quantize_np(qv)), k=3).collect()
         for rk, r in enumerate(single, start=1):
             assert batch[(qid, rk)] == (r["vec_id"], r["cos"]), (qid, rk)
+
+
+def test_t24_ratio_consistent_with_t19_counts(spark, sf_dir):
+    """The ratio-policy verdict must agree with t19's any-overlap count:
+    identical shared-shingle numbers on the overlap set, identical
+    flagged-doc universe, and the 20% flag exactly where shared*5 >=
+    n_shingles."""
+    t19 = {r["doc_id"]: r["shared_8grams"] for r in REGISTRY["t19_decontamination"].builder(spark, sf_dir).collect()}
+    t24 = {r["doc_id"]: r for r in REGISTRY["t24_contamination_ratio"].builder(spark, sf_dir).collect()}
+    assert {d for d, r in t24.items() if r["shared"] > 0} == set(t19)
+    for d, shared in t19.items():
+        assert t24[d]["shared"] == shared, d
+    for d, r in t24.items():
+        assert r["contaminated"] == (r["shared"] * 5 >= r["n_shingles"]), d

@@ -79,6 +79,7 @@ def test_aggregates_are_partial_final(spark, sf_dir, name):
         "c06_chargram_lm_score",  # the charset²-sized LM broadcasts
         "x02_frequent_users",  # the pruned candidate set broadcasts for the recount
         "c11_mixture_sample",  # the domain target frame broadcasts over the corpus
+        "t24_contamination_ratio",  # the eval shingle set broadcasts into the LEFT join
     ],
 )
 def test_small_side_broadcasts(spark, sf_dir, name):

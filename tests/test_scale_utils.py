@@ -308,6 +308,7 @@ _DUCK_ONLY = {
     "t21_passage_dedup_stats",  # list_slice/array_to_string/len
     "t22_shard_plan",  # ::BIGINT and '0x' hex-string cast
     "t23_boilerplate_scrub",  # list_slice/list(ORDER BY)/FILTER
+    "t24_contamination_ratio",  # UNNEST/generate_series shingles
     "t14_tfidf_top_terms",
     "t15_top_bigrams",
     "t16_quality_filter",
