@@ -1,0 +1,122 @@
+"""Shared curation-funnel stage builder.
+
+The quality-predicate → keep-first-dedup → decontamination annotation
+exists in four places (pipe01, pipe02's base and delta passes, and the
+streaming funnel's per-micro-batch pass); this module is the ONE
+definition they all compose. The reference has no equivalent (its ETL
+is a fixed eager chain, `pipeline/transform.py:10-65`); here the stage
+is a declarative builder so batch, incremental and streaming runs are
+provably the same plan over different inputs/state.
+
+Scale shape (unchanged from the audited standalone queries): quality is
+doc-keyed integer rules; dedup is ONE window on the content hash plus a
+plain keyed anti-join against the prior-state hash index (corpus-scale
+at 100 TB — never broadcast, the c08 lesson); decontamination probes
+the frozen benchmark shingle index, which is benchmark-sized and the
+only broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from serverless_etl_reporting_pipeline_spark.operators.text import (
+    _QF_MAX_REPETITION,
+    _QF_MIN_STOPWORD_RATIO,
+    _QF_MIN_TOKENS,
+    _token_profile,
+    shingles,
+    tokens,
+)
+
+SHINGLE_N = 8  # decontamination n-gram width (t19's)
+
+
+def quality_pred() -> Column:
+    """The t16 quality rules as a predicate over the _token_profile
+    columns. A function, not a module constant: this module is imported
+    at registry-build time, before any SparkContext exists, and classic
+    PySpark Columns need an active context."""
+    return (
+        (F.col("n_tokens") >= _QF_MIN_TOKENS)
+        & (F.col("stop") * 1.0 / F.col("n_tokens") >= _QF_MIN_STOPWORD_RATIO)
+        & (F.col("mx") * 1.0 / F.col("n_tokens") <= _QF_MAX_REPETITION)
+    )
+
+
+def quality_hash() -> Column:
+    """The normalized content hash keying exact keep-first dedup (t02)."""
+    return F.md5(F.lower("text"))
+
+
+def shingle_set(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct (doc_id, s) word n-gram pairs — the decontamination
+    probe/build frame. Callers that feed BOTH sides (benchmark build and
+    contamination probe) should persist the result once (t19 discipline).
+    """
+    return (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(shingles("t", n)).alias("s"))
+        .distinct()
+    )
+
+
+def annotate_batch(
+    docs: DataFrame,
+    hold_sh: DataFrame,
+    *,
+    seen_hashes: DataFrame | None = None,
+    ev: Column | None = None,
+    shingle_frame: DataFrame | None = None,
+) -> DataFrame:
+    """Annotate one batch of documents against funnel state.
+
+    Returns (doc_id, source, lang, h, q, ev, dd, clean):
+
+    - ``q`` — the t16 integer quality rules;
+    - ``h`` — md5(lower(text)), the exact-dedup key;
+    - ``dd`` — keep-first dedup survivor: first occurrence of ``h``
+      within this batch (row_number window) AND, when ``seen_hashes``
+      is given, ``h`` absent from that prior-state index (plain keyed
+      anti-join — the index is corpus-scale, never broadcast). With
+      monotone doc ids across batches this equals union-wide
+      keep-first;
+    - ``clean`` — dd AND NOT ev AND sharing no ``SHINGLE_N``-gram with
+      ``hold_sh``, the frozen benchmark shingle index (benchmark-sized:
+      the only broadcast in the stage).
+
+    ``ev`` marks benchmark members (eval split; defaults to none —
+    correct for post-freeze batches). ``shingle_frame`` lets the caller
+    pass an already-persisted ``shingle_set(docs)`` when the same frame
+    also built ``hold_sh``.
+    """
+    if ev is None:
+        ev = F.lit(False)
+    ann0 = (
+        docs.select("doc_id", "source", "lang", "text")
+        .join(_token_profile(docs), "doc_id")
+        .select("doc_id", "source", "lang", "text", quality_pred().alias("q"), ev.alias("ev"))
+    )
+    firsts = (
+        ann0.filter("q")
+        .select("doc_id", quality_hash().alias("h"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+        .filter("rn = 1")
+    )
+    if seen_hashes is not None:
+        firsts = firsts.join(seen_hashes.select("h"), "h", "left_anti")
+    sh = shingle_frame if shingle_frame is not None else shingle_set(docs)
+    cont = sh.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
+    dd = F.coalesce(F.col("_dd"), F.lit(False))
+    return (
+        ann0.join(firsts.select("doc_id", F.lit(True).alias("_dd")), "doc_id", "left")
+        .join(cont.withColumn("_c", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang",
+            quality_hash().alias("h"),
+            "q", "ev",
+            dd.alias("dd"),
+            (dd & ~F.col("ev") & F.col("_c").isNull()).alias("clean"),
+        )
+    )

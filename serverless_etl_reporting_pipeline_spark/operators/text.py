@@ -46,6 +46,30 @@ def shingles(tokens_col: str, k: int = 3) -> Column:
     )
 
 
+# Gopher/C4-style quality-rule thresholds, first matching reason wins.
+# Chosen to actually partition the fixture corpus (token counts 10-99,
+# stopword ratio 0-0.22, top-token share 0.05-0.30 at sf0.01).
+_QF_MIN_TOKENS = 25
+_QF_MIN_STOPWORD_RATIO = 0.03
+_QF_MAX_REPETITION = 0.15
+_QF_STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
+
+
+def _token_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop, mx): total tokens, stopword hits, and the
+    top single-token count per document — one explode, one (doc, token)
+    count, one per-doc aggregate; every downstream ratio is a ratio of
+    these exact integers."""
+    toks_e = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    per_tok = toks_e.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    stop_hits = F.sum(F.when(F.col("tok").isin(*_QF_STOPWORDS), F.col("n")).otherwise(0))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        stop_hits.alias("stop"),
+        F.max("n").alias("mx"),
+    )
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one row per key, deterministically the lowest id (D2 dedup
     generalized; reference transform.py:30-37)."""

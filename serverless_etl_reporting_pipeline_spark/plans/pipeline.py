@@ -22,10 +22,10 @@ checkability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
+from serverless_etl_reporting_pipeline_spark.operators.funnel import annotate_batch, shingle_set
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.plans.curation import _mixture_targets
 from serverless_etl_reporting_pipeline_spark.plans.text import (
@@ -33,7 +33,6 @@ from serverless_etl_reporting_pipeline_spark.plans.text import (
     _QF_MIN_STOPWORD_RATIO,
     _QF_MIN_TOKENS,
     _QF_PROFILE_SQL,
-    _token_profile,
 )
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -144,50 +143,18 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
 )
 def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    prof = _token_profile(docs)
-    q = (
-        (F.col("n_tokens") >= _QF_MIN_TOKENS)
-        & (F.col("stop") * 1.0 / F.col("n_tokens") >= _QF_MIN_STOPWORD_RATIO)
-        & (F.col("mx") * 1.0 / F.col("n_tokens") <= _QF_MAX_REPETITION)
-    )
     ev = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
-    ann0 = docs.select("doc_id", "source", "lang", "text").join(prof, "doc_id").select(
-        "doc_id", "source", "lang", "text", q.alias("q"), ev.alias("ev")
-    )
-
-    ded = (
-        ann0.filter("q")
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id"))
-            .alias("rn"),
-        )
-    )
-
     # one persisted tokenize→shingle→distinct subtree feeds BOTH
     # decontamination sides (the t19 discipline)
-    sh = (
-        docs.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
-        .distinct()
-        .persist()
-    )
+    sh = shingle_set(docs).persist()
     hold_sh = sh.filter(ev).select("s").distinct()
-    cont = sh.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
-
-    dd = F.coalesce(F.col("rn") == 1, F.lit(False))
-    # the annotated frame feeds THREE consumers (target build, selection,
-    # final funnel) — persist it or the whole profile+dedup+decontamination
-    # upstream recomputes per consumer (the t19 lesson at composition level)
+    # the shared funnel stage (operators/funnel.py); the annotated frame
+    # feeds THREE consumers (target build, selection, final funnel) —
+    # persist it or the whole profile+dedup+decontamination upstream
+    # recomputes per consumer (the t19 lesson at composition level)
     ann = (
-        ann0.join(ded, "doc_id", "left")
-        .join(cont.withColumn("_cont", F.lit(True)), "doc_id", "left")
-        .select(
-            "doc_id", "source", "lang", "q",
-            dd.alias("dd"),
-            (dd & ~F.col("ev") & F.col("_cont").isNull()).alias("clean"),
-        )
+        annotate_batch(docs, hold_sh, ev=ev, shingle_frame=sh)
+        .select("doc_id", "source", "lang", "q", "dd", "clean")
         .persist()
     )
 
@@ -353,81 +320,35 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drawn from the base snapshot only, so later deltas can't mutate the
     # benchmark (and base-side state stays valid as deltas arrive)
     ev = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
-    q = (
-        (F.col("n_tokens") >= _QF_MIN_TOKENS)
-        & (F.col("stop") * 1.0 / F.col("n_tokens") >= _QF_MIN_STOPWORD_RATIO)
-        & (F.col("mx") * 1.0 / F.col("n_tokens") <= _QF_MAX_REPETITION)
-    )
 
     # ---- persisted base state: built once at base ingestion, reused per
     # delta batch (in-session stand-in for the stored index tables) ----
-    ann_b = (
-        base.select("doc_id", "source", "lang", "text")
-        .join(_token_profile(base), "doc_id")
-        .select("doc_id", "source", "lang", "text", q.alias("q"), ev.alias("ev"))
-    )
-    # state 1: content-hash index of base quality docs (keep-first blocker)
-    base_hashes = ann_b.filter("q").select(F.md5(F.lower("text")).alias("h")).distinct().persist()
     # one base shingle subtree feeds the benchmark index AND the base
     # contamination check (the t19/pipe01 discipline)
-    sh_b = (
-        base.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
-        .distinct()
-        .persist()
-    )
-    # state 2: the frozen benchmark shingle index
+    sh_b = shingle_set(base).persist()
+    # state 1: the frozen benchmark shingle index
     hold_sh = sh_b.filter(ev).select("s").distinct().persist()
-    cont_b = sh_b.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
-    ded_b = ann_b.filter("q").select(
-        "doc_id",
-        F.row_number()
-        .over(Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id"))
-        .alias("rn"),
-    )
-    clean_b = (
-        ann_b.join(ded_b, "doc_id", "left")
-        .join(cont_b.withColumn("_c", F.lit(True)), "doc_id", "left")
-        .filter(F.coalesce(F.col("rn") == 1, F.lit(False)) & ~F.col("ev") & F.col("_c").isNull())
-    )
+    ann_b = annotate_batch(base, hold_sh, ev=ev, shingle_frame=sh_b)
+    # state 2: content-hash index of base quality docs (keep-first blocker)
+    base_hashes = ann_b.filter("q").select("h").distinct().persist()
     # state 3: cumulative per-domain clean counts (aggregate-sized)
     base_dom = (
-        clean_b.groupBy("source", "lang")
+        ann_b.filter("clean")
+        .groupBy("source", "lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .persist()
     )
 
-    # ---- the incremental delta pass: work ∝ delta + index probes ----
-    ann_d0 = (
-        delta.select("doc_id", "source", "lang", "text")
-        .join(_token_profile(delta), "doc_id")
-        .select("doc_id", "source", "lang", "text", q.alias("q"))
-    )
-    d_rn = (
-        ann_d0.filter("q")
-        .select("doc_id", F.md5(F.lower("text")).alias("h"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id")))
-    )
-    # union keep-first ≡ first-within-delta AND hash unseen in base state
-    # (base ids all precede delta ids) — a plain keyed anti-join: the hash
-    # index is corpus-scale at 100 TB, never broadcast (the c08 lesson)
-    dd_ids = d_rn.filter("rn = 1").join(base_hashes, "h", "left_anti").select("doc_id")
-    sh_d = (
-        delta.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
-        .distinct()
-    )
-    cont_d = sh_d.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
-    # delta docs are never benchmark members (the split is frozen), so
-    # clean = survived-dedup AND uncontaminated
+    # ---- the incremental delta pass: work ∝ delta + index probes; the
+    # SAME shared stage (operators/funnel.py), now probing the persisted
+    # state — union keep-first ≡ first-within-delta AND hash unseen in
+    # base state (base ids all precede delta ids): a plain keyed
+    # anti-join, the hash index is corpus-scale at 100 TB, never
+    # broadcast (the c08 lesson). Delta docs are never benchmark members
+    # (the split is frozen), so ev defaults to none.
     ann_d = (
-        ann_d0.join(dd_ids.withColumn("_dd", F.lit(True)), "doc_id", "left")
-        .join(cont_d.withColumn("_c", F.lit(True)), "doc_id", "left")
-        .select(
-            "doc_id", "source", "lang", "q",
-            F.coalesce(F.col("_dd"), F.lit(False)).alias("dd"),
-            (F.coalesce(F.col("_dd"), F.lit(False)) & F.col("_c").isNull()).alias("clean"),
-        )
+        annotate_batch(delta, hold_sh, seen_hashes=base_hashes)
+        .select("doc_id", "source", "lang", "q", "dd", "clean")
         .persist()
     )
 

@@ -26,31 +26,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
-from serverless_etl_reporting_pipeline_spark.plans.text import (
-    _QF_MAX_REPETITION,
-    _QF_MIN_STOPWORD_RATIO,
-    _QF_MIN_TOKENS,
-    _token_profile,
-)
-
-_QUALITY = (
-    (F.col("n_tokens") >= _QF_MIN_TOKENS)
-    & (F.col("stop") * 1.0 / F.col("n_tokens") >= _QF_MIN_STOPWORD_RATIO)
-    & (F.col("mx") * 1.0 / F.col("n_tokens") <= _QF_MAX_REPETITION)
-)
-
-
-def _shingle_set(docs: DataFrame) -> DataFrame:
-    return (
-        docs.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
-        .distinct()
-    )
+from serverless_etl_reporting_pipeline_spark.operators.funnel import annotate_batch, shingle_set
 
 
 def incremental_funnel_drain(
@@ -83,12 +63,7 @@ def incremental_funnel_drain(
         s = batch.sparkSession
         first = not os.path.exists(hold_dir)
 
-        ann0 = (
-            batch.select("doc_id", "source", "lang", "text")
-            .join(_token_profile(batch), "doc_id")
-            .select("doc_id", "source", "lang", "text", _QUALITY.alias("q"))
-        )
-        sh = _shingle_set(batch)
+        sh = shingle_set(batch)
         # the benchmark split is FROZEN at first ingestion: later batches
         # are pure training data and can never mutate the eval set
         ev = (
@@ -100,34 +75,17 @@ def incremental_funnel_drain(
             sh.filter(ev).select("s").distinct().write.mode("overwrite").parquet(hold_dir)
         hold = s.read.parquet(hold_dir)
 
-        # keep-first dedup: first occurrence within the batch AND content
-        # hash unseen in the accumulated index (batch ids are monotone, so
-        # this equals union-wide keep-first); the index is corpus-scale —
-        # plain keyed anti-join, never broadcast (the c08 lesson)
-        hq = ann0.filter("q").select("doc_id", F.md5(F.lower("text")).alias("h"))
-        firsts = hq.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-        ).filter("rn = 1")
-        seen = _read_optional(s, os.path.join(hashes_dir, "batch=*"))
-        if seen is not None:
-            firsts = firsts.join(seen, "h", "left_anti")
-        dd_ids = firsts.select("doc_id")
-        # decontamination: probe the frozen benchmark index (benchmark-
-        # sized — broadcastable, the t19 idiom)
-        cont = sh.join(F.broadcast(hold), "s").select("doc_id").distinct()
-
-        dd = F.coalesce(F.col("_dd"), F.lit(False))
-        ann = (
-            ann0.join(dd_ids.withColumn("_dd", F.lit(True)), "doc_id", "left")
-            .join(cont.withColumn("_c", F.lit(True)), "doc_id", "left")
-            .select(
-                "doc_id", "source", "lang", "q",
-                dd.alias("dd"),
-                (dd & ~ev & F.col("_c").isNull()).alias("clean"),
-            )
-        )
-        ann.write.mode("overwrite").parquet(os.path.join(ann_dir, f"batch={batch_id}"))
-        hq.select("h").distinct().write.mode("overwrite").parquet(
+        # the shared funnel stage (operators/funnel.py): keep-first dedup
+        # against the accumulated hash index (plain keyed anti-join, never
+        # broadcast — the c08 lesson; batch ids are monotone so this equals
+        # union-wide keep-first) + decontamination against the frozen
+        # benchmark (the only broadcast)
+        seen = _prior_hash_state(s, hashes_dir, batch_id)
+        ann = annotate_batch(batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh)
+        ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ann_dir, f"batch={batch_id}"))
+        ann.filter("q").select("h").distinct().write.mode("overwrite").parquet(
             os.path.join(hashes_dir, f"batch={batch_id}")
         )
 
@@ -144,11 +102,29 @@ def incremental_funnel_drain(
     return n_batches["n"]
 
 
-def _read_optional(spark: SparkSession, path_glob: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path_glob)
-    except Exception:  # noqa: BLE001 — no state yet (first batch)
+def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> DataFrame | None:
+    """Hash-index state from batches STRICTLY before ``batch_id``.
+
+    A replayed micro-batch (checkpoint recovery after a mid-batch crash)
+    may find its OWN ``batch=<id>`` dir already written by the failed
+    attempt; reading it back would anti-join the batch's quality docs
+    away against their own hashes, flipping dd/clean to False for the
+    whole batch and breaking the overwrite-idempotence contract. Only
+    strictly-earlier batch dirs are visible state. Missing state (first
+    batch) returns None; any OTHER read error propagates — a corrupt
+    half-written state dir must fail the drain, not silently disable
+    cross-batch dedup.
+    """
+    if not os.path.isdir(hashes_dir):
         return None
+    prior = [
+        os.path.join(hashes_dir, d)
+        for d in sorted(os.listdir(hashes_dir))
+        if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+    ]
+    if not prior:
+        return None
+    return spark.read.parquet(*prior)
 
 
 def funnel_table(spark: SparkSession, work_dir: str) -> DataFrame:

@@ -303,12 +303,11 @@ def test_streaming_funnel_equals_batch(spark, sf_dir, tmp_path):
     one batch run over the union (benchmark frozen at the first
     snapshot) — and a re-drain with no new files processes nothing
     (checkpoint, not last_run.txt)."""
-    from pyspark.sql import Window
-
-    from serverless_etl_reporting_pipeline_spark.plans.text import _token_profile
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+        annotate_batch,
+        shingle_set,
+    )
     from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
-        _QUALITY,
-        _shingle_set,
         funnel_table,
         incremental_funnel_drain,
     )
@@ -329,35 +328,16 @@ def test_streaming_funnel_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{work}/funnel_ann/batch=*").collect()
     }
 
-    # batch twin: one-shot annotation of the union, benchmark frozen at wm
+    # batch twin: ONE application of the same shared stage over the
+    # union, benchmark frozen at wm — drain-composition must equal it
     ev = (F.col("doc_id") < wm) & F.substring(
         F.md5(F.col("doc_id").cast("string")), 1, 1
     ).isin("0", "1")
-    ann0 = (
-        docs.select("doc_id", "source", "lang", "text")
-        .join(_token_profile(docs), "doc_id")
-        .select("doc_id", "source", "lang", "text", _QUALITY.alias("q"), ev.alias("ev"))
-    )
-    ded = ann0.filter("q").select(
-        "doc_id",
-        F.row_number()
-        .over(Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id"))
-        .alias("rn"),
-    )
-    sh = _shingle_set(docs)
+    sh = shingle_set(docs)
     hold = sh.filter(ev).select("s").distinct()
-    cont = sh.join(hold, "s").select("doc_id").distinct()
-    dd = F.coalesce(F.col("rn") == 1, F.lit(False))
     want_ann = {
         r["doc_id"]: (r["q"], r["dd"], r["clean"])
-        for r in (
-            ann0.join(ded, "doc_id", "left")
-            .join(cont.withColumn("_c", F.lit(True)), "doc_id", "left")
-            .select(
-                "doc_id", "q", dd.alias("dd"),
-                (dd & ~F.col("ev") & F.col("_c").isNull()).alias("clean"),
-            )
-        ).collect()
+        for r in annotate_batch(docs, hold, ev=ev, shingle_frame=sh).collect()
     }
     assert len(got_ann) == docs.count()
     assert got_ann == want_ann
@@ -415,3 +395,66 @@ def test_streaming_funnel_cross_batch_dedup_and_decontamination(spark, tmp_path)
     assert ann[10] == (True, False, False)  # lost dedup to stored hash of doc 7
     assert ann[11] == (True, False, False)  # dup of 6 AND contaminated
     assert ann[12] == (True, True, True)
+
+
+def test_streaming_funnel_replay_idempotent(spark, tmp_path):
+    """Checkpoint-recovery replay: a micro-batch whose OWN ``batch=<id>``
+    state dirs were already written by a failed prior attempt (crash after
+    the writes, before the checkpoint commit) must overwrite them and emit
+    the SAME annotations — its quality docs must not be anti-joined away
+    by their own replayed hashes."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        incremental_funnel_drain,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    fresh = " ".join(f"qqq{i} and the of to is in a" for i in range(8))
+    rows1 = [(6, "s", "en", good), (7, "s", "en", uniq)]
+    rows2 = [(10, "s", "en", uniq), (12, "s", "en", fresh)]
+    schema = "doc_id long, source string, lang string, text string"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    d1 = spark.createDataFrame(rows1, schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+
+    # stage batch 2's file, then fake the failed first attempt: its own
+    # hash-state and annotation dirs already on disk under batch=1
+    d2 = spark.createDataFrame(rows2, schema)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    d2.select(F.md5(F.lower("text")).alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{work}/state_hashes/batch=1")
+    d2.select(
+        "doc_id", "source", "lang",
+        F.lit(False).alias("q"), F.lit(False).alias("dd"), F.lit(False).alias("clean"),
+    ).write.mode("overwrite").parquet(f"{work}/funnel_ann/batch=1")
+
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+    ann = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=*").collect()
+    }
+    # doc 10 still loses keep-first to the STORED batch-0 hash of doc 7;
+    # doc 12 survives — it must NOT be deduped against its own replayed
+    # hash, and the failed attempt's all-False annotations are overwritten
+    assert ann[10] == (True, False, False)
+    assert ann[12] == (True, True, True)
+
+
+def test_prior_hash_state_propagates_corruption(spark, tmp_path):
+    """A corrupt (non-parquet) hash-state dir must raise, not silently
+    disable cross-batch dedup; a missing dir or no prior batches is None."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import _prior_hash_state
+
+    hashes_dir = str(tmp_path / "state_hashes")
+    assert _prior_hash_state(spark, hashes_dir, 1) is None
+    import os
+
+    os.makedirs(f"{hashes_dir}/batch=0")
+    with open(f"{hashes_dir}/batch=0/part-0.parquet", "w") as f:
+        f.write("not parquet")
+    assert _prior_hash_state(spark, hashes_dir, 0) is None  # own batch excluded
+    with pytest.raises(Exception):
+        _prior_hash_state(spark, hashes_dir, 1).collect()
