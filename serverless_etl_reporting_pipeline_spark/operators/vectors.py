@@ -814,6 +814,11 @@ def semdedup_map(
     same survivor-map contract as `neardup_map`, so every flagged
     dup here is (by construction) also a `neardup_map` dup at the
     same threshold.
+
+    Degenerate inputs are DEFINED, not accidental: a NULL label raises
+    (clustering over an unlabeled row has no meaning here — filter or
+    impute first), and a zero-norm vector — whose cosine is undefined —
+    is assigned deterministically to the lowest label and never pairs.
     """
     import numpy as np
 
@@ -827,6 +832,11 @@ def semdedup_map(
     cent_rows = (
         ex.groupBy("_lab", "dim").agg(F.round(F.avg("q")).alias("c")).collect()
     )
+    if any(r["_lab"] is None for r in cent_rows):
+        raise ValueError(
+            "semdedup_map: NULL labels are undefined — filter or impute the "
+            f"label column ({label_col!r}) before clustering"
+        )
     labels = sorted({r["_lab"] for r in cent_rows})
     dim = 1 + max(r["dim"] for r in cent_rows)
     lab_pos = {lab: i for i, lab in enumerate(labels)}
@@ -847,7 +857,15 @@ def semdedup_map(
                 continue
             A = _stack_quantized(pdf)
             an = _np.sqrt((A * A).sum(axis=1))
-            S = (A @ Cm.T) / (an[:, None] * Cn[None, :])
+            # zero-norm guards (cosine undefined): a zero-norm VECTOR is
+            # assigned deterministically to the lowest label; a zero-norm
+            # CENTROID is never anyone's nearest. No NaN reaches argmax.
+            zv, zc = an == 0.0, Cn == 0.0
+            S = (A @ Cm.T) / (
+                _np.where(zv, 1.0, an)[:, None] * _np.where(zc, 1.0, Cn)[None, :]
+            )
+            S[:, zc] = -_np.inf
+            S[zv, :] = -_np.inf
             # 1e-6 quantized scores (round-half-away, see quantize_np) so
             # the argmax compares the same BIGINTs the oracle ranks;
             # argmax takes the FIRST max → ties break to the lowest label
@@ -895,8 +913,13 @@ def semdedup_map(
         A = _stack_quantized(pdf)
         ids = pdf[id_col].to_numpy(dtype=_np.int64)
         an = _np.sqrt((A * A).sum(axis=1))
-        S = (A @ A.T) / (an[:, None] * an[None, :])
-        ai, bi = _np.nonzero((ids[:, None] < ids[None, :]) & (S >= tau))
+        # zero-norm vectors have undefined cosine: they never pair (the
+        # valid mask), deterministically — no NaN reaches the comparison
+        valid = an > 0.0
+        S = (A @ A.T) / (_np.where(valid, an, 1.0)[:, None] * _np.where(valid, an, 1.0)[None, :])
+        ai, bi = _np.nonzero(
+            (ids[:, None] < ids[None, :]) & (S >= tau) & valid[:, None] & valid[None, :]
+        )
         if not len(ai):
             return empty
         return _pd.DataFrame(

@@ -790,8 +790,8 @@ _TOKEN_BUDGET = 20000
     "c12_token_budget_mixture",
     # Same integer largest-remainder arithmetic as c10 but over TOKEN
     # totals (sqrt is correctly-rounded on the exact bigint sums in both
-    # engines), and a deterministic greedy prefix: docs ordered by a
-    # salted md5 within each domain, selected while the running token
+    # engines), and a deterministic greedy prefix: docs ordered by
+    # md5(doc_id) within each domain, selected while the running token
     # count has not yet reached the domain's target — every column is an
     # exact integer or a comparison of exact integers.
     oracle=f"""
@@ -839,7 +839,7 @@ _TOKEN_BUDGET = 20000
     doc=f"temperature mixture in TOKEN units (budget {_TOKEN_BUDGET} tokens) — the "
     "unit pre-training budgets are actually set in: per-domain targets ∝ "
     "sqrt(domain token count) via the c10 largest-remainder apportionment, then "
-    "a deterministic greedy prefix (docs in salted-md5 order, taken while the "
+    "a deterministic greedy prefix (docs in md5(doc_id) order, taken while the "
     "running token count is below target — each domain overshoots by < one "
     "document, the standard epoch-boundary convention). Rerun-stable with no "
     "RNG. Scale shape: one token-count map, an aggregate-sized target frame "

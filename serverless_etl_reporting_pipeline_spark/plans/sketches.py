@@ -40,7 +40,9 @@ _KMV_K = 256
         FROM events
     ),
     topk AS (
-        SELECT DISTINCT h FROM keys ORDER BY h LIMIT {_KMV_K}
+        -- `||` propagates NULL, so a NULL user_id yields h IS NULL:
+        -- excluded from the sketch (matching the engine's h-filter)
+        SELECT DISTINCT h FROM keys WHERE h IS NOT NULL ORDER BY h LIMIT {_KMV_K}
     ),
     sk AS (
         SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash FROM topk
@@ -60,7 +62,13 @@ _KMV_K = 256
 )
 def x01_kmv_distinct_users_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    key = F.concat_ws("|", F.col("user_id").cast("string"), F.col("ts").cast("date").cast("string"))
+    # null-PROPAGATING concat (not concat_ws, which silently drops NULL
+    # parts): a NULL user_id nulls the whole key, so its hash is NULL and
+    # the sketch's h-filter excludes the row on BOTH engines — matching
+    # the oracle's `||`, which also propagates NULL
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit("|"), F.col("ts").cast("date").cast("string")
+    )
     return kmv_sketch(ev, key, k=_KMV_K)
 
 

@@ -251,8 +251,11 @@ def write_training_shards(
     reading the shard's files in name order.
 
     Cost at 100 TB: ONE range shuffle on (shard, pos) — the same single
-    exchange any partitioned write pays; rerun produces a bit-identical
-    layout (both hashes derive from the id; no RNG state)."""
+    exchange any partitioned write pays. Reruns reproduce the same
+    (shard, pos) assignment and stream order for every row (both hashes
+    derive from the id; no RNG state); file-SPLIT boundaries within a
+    shard are not pinned, since repartitionByRange samples its range
+    bounds per run — determinism is row-level, not byte-level."""
     from pyspark.sql import Window
 
     sid = F.col(id_col).cast("string")

@@ -127,6 +127,75 @@ def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> Da
     return spark.read.parquet(*prior)
 
 
+def incremental_mixture_report(
+    spark: SparkSession, work_dir: str, budget: int = 120
+) -> DataFrame:
+    """pipe02's full per-domain report computed PURELY from streamed
+    state — the mixture-draw stage that completes batch≡streaming parity
+    of the WHOLE curation pipeline (quality → dedup → decontamination →
+    temperature-mixture draw):
+
+    - cumulative per-domain clean counts come from the annotated funnel
+      lake (every drained batch), never a corpus rescan;
+    - a fresh largest-remainder apportionment over those counts
+      (`_mixture_targets_from_counts`, the pipe02/c10 kernel);
+    - the selection is drawn from the LATEST batch's clean docs with the
+      same md5-uniform rule, so each micro-batch's draw is exactly what
+      pipe02 computes for that delta.
+
+    Returns the pipe02 schema: (source, lang, n_raw, n_quality,
+    n_dedup, n_clean, cum_clean, target_docs, n_selected) for the
+    latest batch. Scale shape: the lake aggregate is count-sized, the
+    target frame is domain-sized (broadcast), the draw is a map-side
+    filter over the latest batch only.
+    """
+    from serverless_etl_reporting_pipeline_spark.plans.curation import (
+        _mixture_targets_from_counts,
+    )
+
+    ann_dir = os.path.join(work_dir, "funnel_ann")
+    latest = max(
+        int(d.split("=", 1)[1]) for d in os.listdir(ann_dir) if d.startswith("batch=")
+    )
+    ann_all = spark.read.parquet(os.path.join(ann_dir, "batch=*"))
+    ann_latest = spark.read.parquet(os.path.join(ann_dir, f"batch={latest}"))
+
+    cum_dom = (
+        ann_all.filter("clean")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    tgt = _mixture_targets_from_counts(cum_dom, budget=budget).select(
+        "source", "lang", "n_docs", "target_docs"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    selc = (
+        ann_latest.filter("clean")
+        .join(F.broadcast(tgt), ["source", "lang"])
+        .filter(u < F.col("target_docs") / F.col("n_docs").cast("double"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_sel"))
+    )
+    return (
+        ann_latest.join(F.broadcast(tgt), ["source", "lang"], "left")
+        .join(F.broadcast(selc), ["source", "lang"], "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+            F.sum(F.when(F.col("dd"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
+            F.sum(F.when(F.col("clean"), 1).otherwise(0)).cast("bigint").alias("n_clean"),
+            F.coalesce(F.max("n_docs"), F.lit(0)).cast("bigint").alias("cum_clean"),
+            F.coalesce(F.max("target_docs"), F.lit(0)).cast("bigint").alias("target_docs"),
+            F.coalesce(F.max("n_sel"), F.lit(0)).cast("bigint").alias("n_selected"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def funnel_table(spark: SparkSession, work_dir: str) -> DataFrame:
     """The cumulative per-(source, lang) funnel over every drained batch
     — the same accounting table pipe01 reports, read from the annotated

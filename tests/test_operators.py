@@ -571,3 +571,35 @@ def test_t24_ratio_consistent_with_t19_counts(spark, sf_dir):
         assert t24[d]["shared"] == shared, d
     for d, r in t24.items():
         assert r["contaminated"] == (r["shared"] * 5 >= r["n_shingles"]), d
+
+
+def test_semdedup_degenerate_inputs_defined(spark):
+    """r6 advisor: NULL labels must raise (not TypeError deep in sorted),
+    and zero-norm vectors must behave deterministically — assigned to the
+    lowest label, never flagged as anyone's duplicate."""
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import semdedup_map
+
+    schema = "vec_id long, embedding array<float>, label long"
+    with _pytest.raises(ValueError, match="NULL label"):
+        semdedup_map(
+            spark.createDataFrame(
+                [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], None)], schema
+            )
+        ).collect()
+
+    # ids 1,2 are near-identical in cluster 0; id 3 is a ZERO vector
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.001], 0),
+            (3, [0.0, 0.0], 7),
+            (4, [0.0, 1.0], 7),
+        ],
+        schema,
+    )
+    rows = semdedup_map(df, threshold=0.9).collect()
+    # 2 dups onto 1; the zero vector neither pairs with 4 (same label)
+    # nor with anything it lands near after deterministic assignment
+    assert [(r["dup_id"], r["kept_id"]) for r in rows] == [(2, 1)]

@@ -50,3 +50,39 @@ def test_type_check_flags_driver_hash_classes():
     assert not type_check(spark_dtypes, ["a"], ["INTEGER"])
     assert not type_check(spark_dtypes, ["c"], ["DOUBLE"])
     assert not type_check(spark_dtypes, ["zzz"], ["HUGEINT"])  # unknown col skipped
+
+
+def test_x01_null_user_id_excluded_both_engines(spark, tmp_path):
+    """r6 advisor's latent divergence, now pinned: concat_ws would
+    silently DROP a NULL user_id (key collapses to the day string and
+    the row stays in the sketch) while the oracle's `||` propagates
+    NULL. The null-propagating F.concat key nulls the hash, so the row
+    is excluded from the sketch on BOTH engines — differential on a
+    doctored corpus the fixtures lack (no NULL user_ids at any sf)."""
+    import datetime
+
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, ts, 10, "view", 1.0, "{}"),
+        (2, ts, None, "view", 2.0, "{}"),
+        (3, ts, 11, "buy", 3.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    q = REGISTRY["x01_kmv_distinct_users_days"]
+    df = q.builder(spark, str(tmp_path))
+    got = df.collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    rel = con.sql(q.oracle)
+    ok, msg, _ = compare(got, rel.fetchall(), df.columns, list(rel.columns))
+    assert ok, msg
+    # 3 raw rows, but only 2 sketch keys: the NULL-user row is excluded
+    assert got[0]["n_rows"] == 3 and got[0]["k_used"] == 2 and got[0]["est_distinct"] == 2

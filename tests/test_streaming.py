@@ -351,6 +351,25 @@ def test_streaming_funnel_equals_batch(spark, sf_dir, tmp_path):
     ft = funnel_table(spark, work).collect()
     assert sum(r["n_raw"] for r in ft) == len(got_ann)
     assert sum(r["n_clean"] for r in ft) == sum(1 for v in want_ann.values() if v[2])
+    # FULL-pipeline parity including the mixture-draw stage: the report
+    # computed purely from streamed state (lake counts + latest batch)
+    # must equal pipe02's batch computation on ALL columns — n_raw,
+    # n_quality, n_dedup, n_clean, cum_clean, target_docs, n_selected
+    from serverless_etl_reporting_pipeline_spark.plans.pipeline import (
+        _PIPE2_BUDGET,
+        pipe02_incremental_funnel,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        incremental_mixture_report,
+    )
+
+    got_rep = [
+        r.asDict()
+        for r in incremental_mixture_report(spark, work, budget=_PIPE2_BUDGET).collect()
+    ]
+    want_rep = [r.asDict() for r in pipe02_incremental_funnel(spark, sf_dir).collect()]
+    assert got_rep == want_rep
+    assert sum(r["n_selected"] for r in got_rep) > 0  # the draw actually drew
 
 
 def test_streaming_funnel_cross_batch_dedup_and_decontamination(spark, tmp_path):
