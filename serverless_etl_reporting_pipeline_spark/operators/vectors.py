@@ -1147,3 +1147,138 @@ def batch_knn(
         )
         .orderBy(qid_col, "rk")
     )
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """Build and PERSIST the IVF retrieval index state — the in-session
+    stand-in for a stored vector index (the v12/t20 persisted-state
+    discipline, applied to SEARCH instead of dedup):
+
+    - ``centroids``: one row per cell with the exact-integer quantized
+      centroid array (round(avg(round(x*1e6))) per dim — the v03/v05
+      coarse quantizer, no k-means RNG). Cells × dims: aggregate-sized.
+    - ``postings``: the corpus re-keyed by cell — (cell, id, vector),
+      what a stored IVF index materializes as posting lists. Probes
+      scan ONLY the buckets they hit, via a broadcast join on cell.
+
+    Built once per corpus snapshot, probed by every query batch until
+    the next index refresh — the amortization a vector store lives on.
+    """
+    ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
+        cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
+    )
+    centroids = (
+        ex.groupBy(cell_col, "dim")
+        .agg(F.round(F.avg("q")).alias("c"))
+        .groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .persist()
+    )
+    postings = corpus.select(
+        F.col(cell_col).cast("long").alias("_cell"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_qv"),
+    ).persist()
+    return centroids, postings
+
+
+def ivf_batch_probe(
+    centroids: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index (`ivf_index_build`) with a BATCH of
+    query vectors: per query, rank cells by quantized centroid cosine
+    (1e-6 BIGINT compare, ties → lowest cell — deterministic), take the
+    ``nprobe`` nearest, score exact quantized cosine ONLY against those
+    cells' postings, return each query's global top-k.
+
+    This completes the incremental/persisted-state story for retrieval
+    the way v12 did for dedup: the index is built once, every query
+    batch pays Σ(probed-bucket sizes), never the corpus.
+
+    Physical shape: the centroid table and the query batch are both
+    aggregate-sized driver collects (v11/v13 idiom); the (qid, cell)
+    probe-pair frame (Q·nprobe rows) broadcast-joins the persisted
+    postings — bucket pruning, no corpus shuffle; ONE Arrow kernel
+    scores candidates against their probing query; WindowGroupLimit
+    prunes the per-query rank. Work ∝ candidates, shuffle ≤ candidates.
+    """
+    import numpy as np
+
+    qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
+    cent_rows = centroids.collect()  # cells × dims: aggregate-sized
+    cells = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.asarray([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    S = (Q @ C.T) / (qn[:, None] * cn[None, :])
+    # 1e-6-quantized scores (round-half-away, quantize_np convention) so
+    # the rank compares the same BIGINTs the oracle ranks; lexsort ties
+    # break to the lowest cell id
+    Sq = np.copysign(np.floor(np.abs(S * QUANT) + 0.5), S)
+    pairs = [
+        (int(qids[i]), int(cells[j]))
+        for i in range(len(qids))
+        for j in np.lexsort((cells, -Sq[i]))[: int(nprobe)]
+    ]
+    spark = postings.sparkSession
+    probe_df = spark.createDataFrame(pairs, f"{qid_col} long, _cell long")
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    bc = spark.sparkContext.broadcast((qpos, Q, qn))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        qp, Qm, qnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            ids = pdf["_id"].to_numpy(dtype=_np.int64)
+            an = _np.sqrt((A * A).sum(axis=1))
+            cols = _np.asarray([qp[int(x)] for x in pdf[qid_col]], dtype=_np.int64)
+            raw = _np.empty(len(ids), dtype=_np.float64)
+            for j in set(cols.tolist()):  # candidate-linear, one BLAS row-block per query
+                m = cols == j
+                raw[m] = (A[m] @ Qm[j]) / (an[m] * qnorm[j])
+            yield _pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].to_numpy(dtype=_np.int64),
+                    id_col: ids,
+                    "_raw": raw,
+                }
+            )
+
+    from pyspark.sql import Window
+
+    cand = postings.join(F.broadcast(probe_df), "_cell").select(qid_col, "_id", "_qv")
+    out = cand.mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
+    return (
+        out.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(qid_col).orderBy(F.desc("_raw"), F.asc(id_col))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .select(
+            qid_col, id_col, F.col("rk").cast("int").alias("rk"),
+            (F.round(F.col("_raw") * QUANT) / QUANT).alias("cos"),
+        )
+        .orderBy(qid_col, "rk")
+    )

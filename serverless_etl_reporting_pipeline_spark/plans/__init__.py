@@ -20,53 +20,55 @@ from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 6:
-#   1. _PRIORITY first (33 slots) — every query ADDED this round (pipe02,
-#      v11, v12, v13, t22, t23, t24, c12), every query whose CODE or ORACLE changed this round
-#      (x01/x03: KMV null-semantics fix; x04: integer-DIV threshold;
-#      c10/c11/pipe01: the _mixture_targets refactor; v09: band fan-out
-#      factored into _band_code_fan), then the 18 r3-era queries the
-#      round-5 judge ordered back into the window (d01-d05, j04-j07,
-#      o01-o03, p01-p06 — last driver-checked in round 3).
-#   2. Then the r4-era greens (queries last driver-checked in round 4,
-#      code untouched since): 17 of the remaining 45 fit the window this
-#      round; the registration-order tail defers to round 7.
-#   3. Then the r5-green remainder (youngest driver rows).
+# the first 50 registry entries per round. Rotation policy for round 7:
+#   1. _PRIORITY first — every query ADDED this round (v14), every query
+#      whose CODE or ORACLE changed this round (x01: null-propagating
+#      key + oracle h-filter; v11: semdedup degenerate-input guards;
+#      pipe01/pipe02: the shared annotate_batch refactor), then the
+#      round-6 verdict's mandatory cohort: the 28 queries whose last
+#      driver row is round 4 (a01-a11, c01-c06, c09, e01-e05, s01-s03,
+#      w08, w09 — code untouched since; sf0.01-verified every round).
+#      That fills 33 slots.
+#   2. The remaining ~17 slots float the oldest r5-era greens
+#      (registration order) into the window; the rest defer to round 8.
+# CORPUS POLICY (round-7 verdict ask #8): the query corpus is feature-
+# complete at 123 entries. New queries are capped at ~5 per round so the
+# 50-slot driver window re-verifies every query within ~2.5 rounds;
+# freed slots go to rotation cadence, oldest driver row first.
 # Deferred queries stay covered every round by tools/oracle_check.py
 # (full registry at sf0.01 pre-commit) and the spark.sql conformance test.
 _R4_ERA = frozenset(
     [f"a{i:02d}" for i in range(1, 12)]
-    + [f"c{i:02d}" for i in range(1, 10)]
+    + [f"c{i:02d}" for i in range(1, 7)]
+    + ["c09"]
     + [f"e{i:02d}" for i in range(1, 6)]
-    + [f"m{i:02d}" for i in range(1, 5)]
     + [f"s{i:02d}" for i in range(1, 4)]
-    + [f"v{i:02d}" for i in range(1, 10)]
-    + ["t01", "t13", "t17", "t18", "t19", "w08", "w09"]
-) - {"c07", "c10", "c11"}  # c07 re-checked r5; c10/c11 changed this round
+    + ["w08", "w09"]
+)
 
 _PRIORITY = (
     # added this round
-    "pipe02", "v11", "v12", "v13", "t22", "t23", "t24", "c12",
-    # code/oracle changed this round (v09: band fan-out factored out)
-    "x01", "x03", "x04", "c10", "c11", "pipe01", "v09",
-    # the 18 r3-era queries (round-5 verdict ask #1)
-    "d01", "d02", "d03", "d04", "d05",
-    "j04", "j05", "j06", "j07",
-    "o01", "o02", "o03",
-    "p01", "p02", "p03", "p04", "p05", "p06",
+    "v14",
+    # code/oracle changed this round
+    "x01", "v11", "pipe01", "pipe02",
+) + tuple(sorted(_R4_ERA))
+
+# oldest r5-era greens (last driver row round 5, code untouched):
+# float as many as fit the remaining window slots
+_R5_ERA_TAIL = (
+    "m01", "m02", "m03", "m04",
+    "v01", "v02", "v03", "v04", "v05", "v06", "v07", "v08",
+    "t13", "t17", "t18", "t19", "t01",
 )
 
 
 def _rotate() -> None:
     entries = list(REGISTRY.items())
     REGISTRY.clear()
-    for want in _PRIORITY:
+    for want in _PRIORITY + _R5_ERA_TAIL:
         for name, q in entries:
             if name.split("_", 1)[0] == want:
                 REGISTRY[name] = q
-    for name, q in entries:
-        if name not in REGISTRY and name.split("_", 1)[0] in _R4_ERA:
-            REGISTRY[name] = q
     for name, q in entries:
         if name not in REGISTRY:
             REGISTRY[name] = q

@@ -725,3 +725,88 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding"),
         k=3,
     )
+
+
+@query(
+    "v14_ivf_persisted_probe",
+    # The oracle rebuilds the whole index inline (centroids = exact
+    # integer per-cell means over the CORPUS side, v05's quantizer),
+    # ranks cells per query on 1e-6-quantized centroid cosine
+    # (BIGINT compare, ties -> lowest cell), scores exact quantized
+    # cosine only inside the nprobe probed cells, and ranks per query
+    # with the (cos DESC, id) tie-break - mirroring the engine's
+    # persisted-index probe bit-for-bit.
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    ex AS (
+        SELECT label, u.pos - 1 AS dim,
+               round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE vec_id >= 10
+    ),
+    cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    cellrank AS (
+        SELECT qid, label,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY CAST(round(
+                       list_sum(list_transform(list_zip(cv, qv), z -> z[1] * z[2]))
+                       / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(qv, x -> x * x))))
+                       * 1000000) AS BIGINT) DESC, label) AS crk
+        FROM cent, q
+    ),
+    probed AS (SELECT qid, label FROM cellrank WHERE crk <= 2),
+    e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+        SELECT p.qid, e.vec_id,
+               list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS raw_cos
+        FROM e JOIN probed p USING (label) JOIN q ON p.qid = q.qid
+    )
+    SELECT qid, vec_id, CAST(rk AS INT) AS rk,
+           round(raw_cos * 1000000) / 1000000.0 AS cos
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY raw_cos DESC, vec_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY qid, rk
+    """,
+    doc="IVF retrieval against PERSISTED index state: the centroid table + "
+    "posting lists are built and persisted ONCE from the corpus (ids >= 10, "
+    "exact-integer v05 quantizer - the stored-index stand-in, v12/t20 "
+    "discipline applied to search), then a 10-vector query batch probes its "
+    "nprobe=2 nearest cells each and ranks top-3 by exact quantized cosine. "
+    "Completes the incremental/persisted-state story for RETRIEVAL the way "
+    "v12 did for dedup. Scale shape: centroid table and query batch are "
+    "aggregate-sized driver collects, the (qid, cell) probe-pair frame is the "
+    "only broadcast into the persisted postings - bucket pruning, work and "
+    "shuffle proportional to probed-bucket candidates, never the corpus "
+    "(operators/vectors.py ivf_index_build + ivf_batch_probe)",
+)
+def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        ivf_batch_probe,
+        ivf_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, postings = ivf_index_build(emb.filter(F.col("vec_id") >= 10))
+    return ivf_batch_probe(
+        centroids,
+        postings,
+        emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding"),
+        k=3,
+        nprobe=2,
+    )

@@ -354,3 +354,26 @@ def test_v13_batch_knn_prunes_per_split_then_window_limit(spark, sf_dir):
     assert "MapInPandas" in tree, tree
     assert "WindowGroupLimit" in tree, tree
     assert not re.findall(r"Join", tree), tree
+
+
+def test_v14_probes_persisted_postings_only_probe_pairs_broadcast(spark, sf_dir):
+    """v14 must probe the PERSISTED posting lists (InMemoryRelation — the
+    stored-index stand-in) through exactly ONE BroadcastHashJoin whose
+    build side is the tiny (qid, cell) probe-pair frame: bucket pruning,
+    the corpus side never shuffles or broadcasts. Scoring is one Arrow
+    map and the per-query rank is WindowGroupLimit-pruned on both sides
+    of the single qid exchange."""
+    df = REGISTRY["v14_ivf_persisted_probe"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree, "v14 lost its persisted postings index"
+    assert len(re.findall(r"BroadcastHashJoin", tree)) >= 1, tree
+    assert "MapInPandas" in tree, tree
+    assert "WindowGroupLimit" in tree, tree
+    # the ONLY broadcast is the local (qid, cell) probe-pair frame —
+    # asserted on the detail block's Input columns (the formatted tree
+    # interleaves branches, so line proximity would lie here)
+    bx = re.findall(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert len(bx) == 1, f"expected exactly one broadcast, got {bx}"
+    assert "qid#" in bx[0] and "_cell#" in bx[0], f"wrong broadcast side: {bx[0]}"
+    spark.catalog.clearCache()

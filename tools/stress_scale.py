@@ -47,6 +47,13 @@ HEAVY = [
     "v12_incremental_embedding_probe",
     "pipe01_pretrain_funnel",
     "pipe02_incremental_funnel",
+    # round-6 newcomers (round-7 verdict ask #6)
+    "t23_boilerplate_scrub",
+    "t24_contamination_ratio",
+    "c12_token_budget_mixture",
+    "v13_batch_knn",
+    # round-7 newcomer
+    "v14_ivf_persisted_probe",
 ]
 # 20 consonants → up to 20 distinct per-copy rotations (no accidental
 # cross-copy exact duplicates for N ≤ 20)
