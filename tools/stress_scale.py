@@ -125,7 +125,7 @@ def main() -> int:
         jobs = [(name, REGISTRY[name].builder) for name in HEAVY]
         jobs.append(("v09_wideband_48bit", wideband))
         for name, builder in jobs:
-            if only and only not in name:
+            if only and not any(tok in name for tok in only.split(",")):
                 continue
             best, rows = None, None
             for _ in range(2):  # best-of-2: min is the steady-state cost
