@@ -120,3 +120,65 @@ def annotate_batch(
             (dd & ~F.col("ev") & F.col("_c").isNull()).alias("clean"),
         )
     )
+
+
+def md5_uniform(id_col: str = "doc_id") -> Column:
+    """Deterministic uniform draw in [0, 1): the first 8 md5 hex digits
+    of the id as a 32-bit integer fraction (the c11 selection rule)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
+def quality_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct content hashes of quality docs — the keep-first blocker
+    index (pipe02/streaming state 1), computed from the profile subtree
+    alone: building the INDEX must not pay the dedup window or the
+    contamination join that annotating does."""
+    return (
+        docs.select("doc_id", "text")
+        .join(_token_profile(docs), "doc_id")
+        .filter(quality_pred())
+        .select(quality_hash().alias("h"))
+        .distinct()
+    )
+
+
+def mixture_report(ann: DataFrame, tgt: DataFrame, with_cum: bool = False) -> DataFrame:
+    """The per-domain funnel report + md5-uniform mixture draw shared by
+    pipe01 (batch), pipe02 (incremental) and the streaming funnel — ONE
+    definition, so a threshold or column change cannot silently break
+    the batch≡streaming parity the tests assert.
+
+    ``ann`` is an annotated frame (doc_id, source, lang, q, dd, clean);
+    ``tgt`` the (source, lang, n_docs, target_docs) apportionment frame
+    (domain-sized — broadcast on both joins). ``with_cum`` adds the
+    cumulative clean-count column the incremental variants report.
+    """
+    selc = (
+        ann.filter("clean")
+        .join(F.broadcast(tgt), ["source", "lang"])
+        .filter(md5_uniform() < F.col("target_docs") / F.col("n_docs").cast("double"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_sel"))
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(F.col("dd"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
+        F.sum(F.when(F.col("clean"), 1).otherwise(0)).cast("bigint").alias("n_clean"),
+    ]
+    if with_cum:
+        aggs.append(F.coalesce(F.max("n_docs"), F.lit(0)).cast("bigint").alias("cum_clean"))
+    aggs += [
+        F.coalesce(F.max("target_docs"), F.lit(0)).cast("bigint").alias("target_docs"),
+        F.coalesce(F.max("n_sel"), F.lit(0)).cast("bigint").alias("n_selected"),
+    ]
+    return (
+        ann.join(F.broadcast(tgt), ["source", "lang"], "left")
+        .join(F.broadcast(selc), ["source", "lang"], "left")
+        .groupBy("source", "lang")
+        .agg(*aggs)
+        .orderBy("source", "lang")
+    )

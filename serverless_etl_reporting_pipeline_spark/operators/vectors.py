@@ -1225,7 +1225,14 @@ def ivf_batch_probe(
     cells = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
     C = np.asarray([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
     cn = np.sqrt((C * C).sum(axis=1))
-    S = (Q @ C.T) / (qn[:, None] * cn[None, :])
+    # zero-norm guards (cosine undefined; the semdedup_map discipline):
+    # a zero-norm CENTROID is never anyone's probe target; a zero-norm
+    # QUERY probes the lowest cells deterministically and its candidate
+    # rows are then dropped by the kernel's valid mask — no NaN anywhere
+    zq, zc = qn == 0.0, cn == 0.0
+    S = (Q @ C.T) / (np.where(zq, 1.0, qn)[:, None] * np.where(zc, 1.0, cn)[None, :])
+    S[:, zc] = -np.inf
+    S[zq, :] = -np.inf
     # 1e-6-quantized scores (round-half-away, quantize_np convention) so
     # the rank compares the same BIGINTs the oracle ranks; lexsort ties
     # break to the lowest cell id
@@ -1252,15 +1259,22 @@ def ivf_batch_probe(
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             cols = _np.asarray([qp[int(x)] for x in pdf[qid_col]], dtype=_np.int64)
-            raw = _np.empty(len(ids), dtype=_np.float64)
+            raw = _np.zeros(len(ids), dtype=_np.float64)
+            # zero-norm posting/query vectors have undefined cosine: they
+            # are EXCLUDED from results deterministically, never NaN-ranked
+            valid = an > 0.0
+            an_safe = _np.where(valid, an, 1.0)
             for j in set(cols.tolist()):  # candidate-linear, one BLAS row-block per query
                 m = cols == j
-                raw[m] = (A[m] @ Qm[j]) / (an[m] * qnorm[j])
+                if qnorm[j] == 0.0:
+                    valid[m] = False
+                    continue
+                raw[m] = (A[m] @ Qm[j]) / (an_safe[m] * qnorm[j])
             yield _pd.DataFrame(
                 {
-                    qid_col: pdf[qid_col].to_numpy(dtype=_np.int64),
-                    id_col: ids,
-                    "_raw": raw,
+                    qid_col: pdf[qid_col].to_numpy(dtype=_np.int64)[valid],
+                    id_col: ids[valid],
+                    "_raw": raw[valid],
                 }
             )
 

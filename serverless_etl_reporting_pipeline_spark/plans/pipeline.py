@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.operators.funnel import annotate_batch, shingle_set
+from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+    annotate_batch,
+    mixture_report,
+    quality_hashes,
+    shingle_set,
+)
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.plans.curation import _mixture_targets
 from serverless_etl_reporting_pipeline_spark.plans.text import (
@@ -161,32 +166,8 @@ def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = _mixture_targets(ann.filter("clean"), budget=_PIPE_BUDGET).select(
         "source", "lang", "n_docs", "target_docs"
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
-        / F.lit(4294967296.0)
-    )
-    selc = (
-        ann.filter("clean")
-        .join(F.broadcast(tgt), ["source", "lang"])
-        .filter(u < F.col("target_docs") / F.col("n_docs").cast("double"))
-        .groupBy("source", "lang")
-        .agg(F.count("*").cast("bigint").alias("n_sel"))
-    )
-
-    return (
-        ann.join(F.broadcast(tgt), ["source", "lang"], "left")
-        .join(F.broadcast(selc), ["source", "lang"], "left")
-        .groupBy("source", "lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_raw"),
-            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
-            F.sum(F.when(F.col("dd"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
-            F.sum(F.when(F.col("clean"), 1).otherwise(0)).cast("bigint").alias("n_clean"),
-            F.coalesce(F.max("target_docs"), F.lit(0)).cast("bigint").alias("target_docs"),
-            F.coalesce(F.max("n_sel"), F.lit(0)).cast("bigint").alias("n_selected"),
-        )
-        .orderBy("source", "lang")
-    )
+    # the shared draw + report (operators/funnel.py mixture_report)
+    return mixture_report(ann, tgt)
 
 
 _PIPE2_BUDGET = 120  # cumulative-corpus selection budget for the incremental run
@@ -328,12 +309,15 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b = shingle_set(base).persist()
     # state 1: the frozen benchmark shingle index
     hold_sh = sh_b.filter(ev).select("s").distinct().persist()
-    ann_b = annotate_batch(base, hold_sh, ev=ev, shingle_frame=sh_b)
-    # state 2: content-hash index of base quality docs (keep-first blocker)
-    base_hashes = ann_b.filter("q").select("h").distinct().persist()
+    # state 2: content-hash index of base quality docs (keep-first
+    # blocker) — built from the profile subtree alone (quality_hashes),
+    # not the full annotation tree: the index does not need the dedup
+    # window or the contamination join
+    base_hashes = quality_hashes(base).persist()
     # state 3: cumulative per-domain clean counts (aggregate-sized)
     base_dom = (
-        ann_b.filter("clean")
+        annotate_batch(base, hold_sh, ev=ev, shingle_frame=sh_b)
+        .filter("clean")
         .groupBy("source", "lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .persist()
@@ -367,30 +351,6 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = _mixture_targets_from_counts(cum_dom, budget=_PIPE2_BUDGET).select(
         "source", "lang", "n_docs", "target_docs"
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
-        / F.lit(4294967296.0)
-    )
-    selc = (
-        ann_d.filter("clean")
-        .join(F.broadcast(tgt), ["source", "lang"])
-        .filter(u < F.col("target_docs") / F.col("n_docs").cast("double"))
-        .groupBy("source", "lang")
-        .agg(F.count("*").cast("bigint").alias("n_sel"))
-    )
-
-    return (
-        ann_d.join(F.broadcast(tgt), ["source", "lang"], "left")
-        .join(F.broadcast(selc), ["source", "lang"], "left")
-        .groupBy("source", "lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_raw"),
-            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
-            F.sum(F.when(F.col("dd"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
-            F.sum(F.when(F.col("clean"), 1).otherwise(0)).cast("bigint").alias("n_clean"),
-            F.coalesce(F.max("n_docs"), F.lit(0)).cast("bigint").alias("cum_clean"),
-            F.coalesce(F.max("target_docs"), F.lit(0)).cast("bigint").alias("target_docs"),
-            F.coalesce(F.max("n_sel"), F.lit(0)).cast("bigint").alias("n_selected"),
-        )
-        .orderBy("source", "lang")
-    )
+    # the shared draw + report (operators/funnel.py mixture_report); the
+    # selection pool is the delta only, targets span the cumulative corpus
+    return mixture_report(ann_d, tgt, with_cum=True)

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from serverless_etl_reporting_pipeline_spark.operators.funnel import annotate_batch, shingle_set
+from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+    annotate_batch,
+    mixture_report,
+    shingle_set,
+)
 
 
 def incremental_funnel_drain(
@@ -61,7 +65,11 @@ def incremental_funnel_drain(
             return
         n_batches["n"] += 1
         s = batch.sparkSession
-        first = not os.path.exists(hold_dir)
+        # the benchmark is frozen only once its write COMMITTED (_SUCCESS
+        # marker): a crash mid-write leaves a partial dir, and replay must
+        # rebuild it rather than silently decontaminate against a
+        # truncated index (same contract as _prior_hash_state)
+        first = not _fs_exists(s, os.path.join(hold_dir, "_SUCCESS"))
 
         sh = shingle_set(batch)
         # the benchmark split is FROZEN at first ingestion: later batches
@@ -81,13 +89,19 @@ def incremental_funnel_drain(
         # union-wide keep-first) + decontamination against the frozen
         # benchmark (the only broadcast)
         seen = _prior_hash_state(s, hashes_dir, batch_id)
-        ann = annotate_batch(batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh)
-        ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(ann_dir, f"batch={batch_id}"))
-        ann.filter("q").select("h").distinct().write.mode("overwrite").parquet(
-            os.path.join(hashes_dir, f"batch={batch_id}")
-        )
+        # persisted: the frame feeds TWO write actions (annotation lake +
+        # hash state) — without it the profile/window/anti-join/shingle
+        # subtree executes twice per micro-batch (the t19/pipe01 lesson)
+        ann = annotate_batch(batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh).persist()
+        try:
+            ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(ann_dir, f"batch={batch_id}"))
+            ann.filter("q").select("h").distinct().write.mode("overwrite").parquet(
+                os.path.join(hashes_dir, f"batch={batch_id}")
+            )
+        finally:
+            ann.unpersist()
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
@@ -100,6 +114,31 @@ def incremental_funnel_drain(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so state dirs
+    work on HDFS/S3/… exactly as on local disk (os.path would silently
+    answer False for every non-local URI)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _batch_dirs(spark: SparkSession, dir_path: str) -> list[tuple[int, str]]:
+    """(batch_id, uri) for every ``batch=<id>`` child of ``dir_path``,
+    listed through the Hadoop FileSystem API (any supported scheme)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+    return sorted(out)
 
 
 def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> DataFrame | None:
@@ -115,13 +154,7 @@ def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> Da
     half-written state dir must fail the drain, not silently disable
     cross-batch dedup.
     """
-    if not os.path.isdir(hashes_dir):
-        return None
-    prior = [
-        os.path.join(hashes_dir, d)
-        for d in sorted(os.listdir(hashes_dir))
-        if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
-    ]
+    prior = [uri for bid, uri in _batch_dirs(spark, hashes_dir) if bid < batch_id]
     if not prior:
         return None
     return spark.read.parquet(*prior)
@@ -154,9 +187,7 @@ def incremental_mixture_report(
     )
 
     ann_dir = os.path.join(work_dir, "funnel_ann")
-    latest = max(
-        int(d.split("=", 1)[1]) for d in os.listdir(ann_dir) if d.startswith("batch=")
-    )
+    latest = max(bid for bid, _ in _batch_dirs(spark, ann_dir))
     ann_all = spark.read.parquet(os.path.join(ann_dir, "batch=*"))
     ann_latest = spark.read.parquet(os.path.join(ann_dir, f"batch={latest}"))
 
@@ -168,32 +199,11 @@ def incremental_mixture_report(
     tgt = _mixture_targets_from_counts(cum_dom, budget=budget).select(
         "source", "lang", "n_docs", "target_docs"
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
-        / F.lit(4294967296.0)
-    )
-    selc = (
-        ann_latest.filter("clean")
-        .join(F.broadcast(tgt), ["source", "lang"])
-        .filter(u < F.col("target_docs") / F.col("n_docs").cast("double"))
-        .groupBy("source", "lang")
-        .agg(F.count("*").cast("bigint").alias("n_sel"))
-    )
-    return (
-        ann_latest.join(F.broadcast(tgt), ["source", "lang"], "left")
-        .join(F.broadcast(selc), ["source", "lang"], "left")
-        .groupBy("source", "lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_raw"),
-            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("bigint").alias("n_quality"),
-            F.sum(F.when(F.col("dd"), 1).otherwise(0)).cast("bigint").alias("n_dedup"),
-            F.sum(F.when(F.col("clean"), 1).otherwise(0)).cast("bigint").alias("n_clean"),
-            F.coalesce(F.max("n_docs"), F.lit(0)).cast("bigint").alias("cum_clean"),
-            F.coalesce(F.max("target_docs"), F.lit(0)).cast("bigint").alias("target_docs"),
-            F.coalesce(F.max("n_sel"), F.lit(0)).cast("bigint").alias("n_selected"),
-        )
-        .orderBy("source", "lang")
-    )
+    # the SAME draw + report pipe02 uses (operators/funnel.py
+    # mixture_report) — shared by construction, so the batch≡streaming
+    # equality test can only break on state handling, never on a
+    # diverging reimplementation of the draw
+    return mixture_report(ann_latest, tgt, with_cum=True)
 
 
 def funnel_table(spark: SparkSession, work_dir: str) -> DataFrame:

@@ -603,3 +603,71 @@ def test_semdedup_degenerate_inputs_defined(spark):
     # 2 dups onto 1; the zero vector neither pairs with 4 (same label)
     # nor with anything it lands near after deterministic assignment
     assert [(r["dup_id"], r["kept_id"]) for r in rows] == [(2, 1)]
+
+
+def test_v14_ivf_probe_recall_and_exhaustive_equivalence(spark, sf_dir):
+    """IVF probe quality contract: (1) probing EVERY cell is exactly
+    exact kNN — same rows, same ranks, same cosines (the bucket union
+    covers the corpus and both paths share the (cos DESC, id) total
+    order), so any kernel/pruning bug breaks equality; (2) recall is
+    monotone non-decreasing in nprobe (more buckets can only add
+    candidates)."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        batch_knn,
+        ivf_batch_probe,
+        ivf_index_build,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = [tuple(r) for r in batch_knn(corpus, queries, k=3).collect()]
+    cent, post = ivf_index_build(corpus)
+    n_cells = cent.count()
+    assert [
+        tuple(r) for r in ivf_batch_probe(cent, post, queries, k=3, nprobe=n_cells).collect()
+    ] == exact
+    exact_set = {(q, v) for q, v, _, _ in exact}
+    prev = -1.0
+    for nprobe in (1, 2, max(2, n_cells // 2), n_cells):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ivf_batch_probe(cent, post, queries, k=3, nprobe=nprobe).collect()
+        }
+        recall = len(got & exact_set) / len(exact_set)
+        assert recall >= prev - 1e-9, f"recall dropped at nprobe={nprobe}"
+        prev = recall
+    assert prev == 1.0  # full probe == exact
+    spark.catalog.clearCache()
+
+
+def test_ivf_probe_zero_norm_vectors_excluded(spark):
+    """Zero-norm corpus/query vectors have undefined cosine: the corpus
+    row never appears in any result, the zero query returns no rows, and
+    well-formed queries are unaffected — deterministically, no NaNs."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        ivf_batch_probe,
+        ivf_index_build,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),
+            (11, [0.9, 0.1], 0),
+            (12, [0.0, 0.0], 0),  # zero-norm posting in a probed cell
+            (13, [0.0, 1.0], 1),
+        ],
+        schema,
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 0.0], 0)], schema
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    cent, post = ivf_index_build(corpus)
+    rows = ivf_batch_probe(cent, post, queries, k=4, nprobe=2).collect()
+    assert {r["qid"] for r in rows} == {0}  # zero query contributes nothing
+    got = [r["vec_id"] for r in rows]
+    assert 12 not in got and got[0] == 10  # zero posting excluded, best first
+    spark.catalog.clearCache()
