@@ -1296,3 +1296,32 @@ def ivf_batch_probe(
         )
         .orderBy(qid_col, "rk")
     )
+
+
+def ivf_index_write(centroids: DataFrame, postings: DataFrame, path: str) -> None:
+    """Materialize the IVF index (`ivf_index_build`) to storage: the
+    centroid table as one parquet, the postings PARTITIONED BY cell —
+    so a probe's broadcast join on `_cell` triggers dynamic partition
+    pruning and only the probed bucket DIRECTORIES are read. This is
+    the literal stored-index layout a vector store keeps between index
+    refreshes; `ivf_index_load` + `ivf_batch_probe` is the query path.
+    """
+    import os as _os
+
+    centroids.write.mode("overwrite").parquet(_os.path.join(path, "centroids"))
+    postings.write.mode("overwrite").partitionBy("_cell").parquet(
+        _os.path.join(path, "postings")
+    )
+
+
+def ivf_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a stored IVF index (`ivf_index_write`) for probing. The
+    postings frame keeps its cell-directory layout, so downstream
+    probes scan only the buckets they hit (partition pruning)."""
+    import os as _os
+
+    centroids = spark.read.parquet(_os.path.join(path, "centroids"))
+    postings = spark.read.parquet(_os.path.join(path, "postings")).select(
+        F.col("_cell").cast("long").alias("_cell"), "_id", "_qv"
+    )
+    return centroids, postings

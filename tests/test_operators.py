@@ -671,3 +671,34 @@ def test_ivf_probe_zero_norm_vectors_excluded(spark):
     got = [r["vec_id"] for r in rows]
     assert 12 not in got and got[0] == 10  # zero posting excluded, best first
     spark.catalog.clearCache()
+
+
+def test_ivf_index_disk_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
+    """The stored-index path: write the IVF index to parquet (postings
+    partitioned by cell), load it back, probe — results must equal the
+    in-session probe bit-for-bit, and the posting scan must carry a
+    partition filter on _cell (only probed bucket directories read)."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        ivf_batch_probe,
+        ivf_index_build,
+        ivf_index_load,
+        ivf_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cent, post = ivf_index_build(corpus)
+    want = [tuple(r) for r in ivf_batch_probe(cent, post, queries, k=3, nprobe=2).collect()]
+
+    ivf_index_write(cent, post, str(tmp_path / "ivf"))
+    cent2, post2 = ivf_index_load(spark, str(tmp_path / "ivf"))
+    df = ivf_batch_probe(cent2, post2, queries, k=3, nprobe=2)
+    assert [tuple(r) for r in df.collect()] == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_cell" in plan.split("PartitionFilters:")[1][:200], (
+        plan[:2000]
+    )
+    spark.catalog.clearCache()
