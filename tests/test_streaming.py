@@ -477,3 +477,64 @@ def test_prior_hash_state_propagates_corruption(spark, tmp_path):
     assert _prior_hash_state(spark, hashes_dir, 0) is None  # own batch excluded
     with pytest.raises(Exception):
         _prior_hash_state(spark, hashes_dir, 1).collect()
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# texts drawn from a small pool force duplicate hashes and shared
+# shingles across arbitrary batch boundaries
+_POOL = [
+    " ".join(f"w{p}{i} and the of to is in a" for i in range(8)) for p in range(6)
+]
+_DOCS = st.lists(
+    st.integers(min_value=0, max_value=len(_POOL) - 1), min_size=2, max_size=24
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(picks=_DOCS, cut=st.integers(min_value=0, max_value=100))
+def test_annotate_batch_split_equals_union_property(spark, picks, cut):
+    """THE incremental contract as a property: for ANY corpus (dup-heavy
+    by construction) and ANY split point, annotating base then delta
+    against the base's state (hold index + quality hashes) equals one
+    annotate over the union with the benchmark frozen at the split —
+    doc ids monotone across batches, exactly the watermark-extract
+    regime pipe02 and the streaming funnel run in."""
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+        annotate_batch,
+        quality_hashes,
+        shingle_set,
+    )
+
+    rows = [(i, "s", "en", _POOL[p]) for i, p in enumerate(picks)]
+    wm = min(max(1, cut % len(rows)), len(rows) - 1)  # both sides non-empty
+    schema = "doc_id long, source string, lang string, text string"
+    docs = spark.createDataFrame(rows, schema)
+    base = spark.createDataFrame(rows[:wm], schema)
+    delta = spark.createDataFrame(rows[wm:], schema)
+
+    ev_u = (F.col("doc_id") < wm) & F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1")
+    want = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in annotate_batch(docs, shingle_set(docs).filter(ev_u).select("s").distinct(),
+                                ev=ev_u).collect()
+    }
+
+    ev_b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    hold = shingle_set(base).filter(ev_b).select("s").distinct()
+    got = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in annotate_batch(base, hold, ev=ev_b).collect()
+    }
+    got.update(
+        {
+            r["doc_id"]: (r["q"], r["dd"], r["clean"])
+            for r in annotate_batch(
+                delta, hold, seen_hashes=quality_hashes(base)
+            ).collect()
+        }
+    )
+    assert got == want
