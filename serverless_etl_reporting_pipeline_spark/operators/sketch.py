@@ -113,6 +113,37 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     return merged.select("n_rows", "k_used", "kth_hash", est.alias("est_distinct"))
 
 
+def _kmin_sets(df: DataFrame, group_cols: list[str], key: Column, k: int) -> DataFrame:
+    """Per-group k-minimum hash SETS: (*group_cols, h, rk) with rk ≤ k —
+    the mergeable sketch state behind both the per-group estimator
+    (`kmv_sketch_grouped`) and the pairwise set algebra
+    (`kmv_set_algebra`). Each split prunes to ≤k candidates per group
+    (Arrow partial) BEFORE the distinct+rank shuffle, so the exchange
+    moves ≤ splits·k·groups rows, never the key space."""
+    hashed = df.select(*group_cols, md5_hash48(key).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                d = b.drop_duplicates()
+                yield (
+                    d.sort_values("h", kind="mergesort")
+                    .groupby(group_cols, sort=False, dropna=False)
+                    .head(k)
+                )
+
+    from pyspark.sql import Window
+
+    pruned = hashed.mapInPandas(partial, schema=hashed.schema)
+    return (
+        pruned.distinct()
+        .withColumn("rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def kmv_sketch_grouped(
     df: DataFrame, group_cols: list[str], key: Column, k: int = 256
 ) -> DataFrame:
@@ -131,28 +162,7 @@ def kmv_sketch_grouped(
     SQL GROUP BY) — a NULL group would otherwise get an n_rows row but
     no sketch row and vanish through the inner join.
     """
-    hashed = df.select(*group_cols, md5_hash48(key).alias("h")).filter(
-        F.col("h").isNotNull()
-    )
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b):
-                d = b.drop_duplicates()
-                yield (
-                    d.sort_values("h", kind="mergesort")
-                    .groupby(group_cols, sort=False, dropna=False)
-                    .head(k)
-                )
-
-    from pyspark.sql import Window
-
-    pruned = hashed.mapInPandas(partial, schema=hashed.schema)
-    ranked = (
-        pruned.distinct()
-        .withColumn("rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")))
-        .filter(F.col("rk") <= k)
-    )
+    ranked = _kmin_sets(df, group_cols, key, k)
     sk = ranked.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("k_used"),
         F.max("h").alias("kth_hash"),
@@ -217,4 +227,83 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
     u = u.withColumn("n_rows", F.max("_nr").over(Window.partitionBy())).drop("_nr")
     return u.filter(
         F.col("key_value").isNotNull() & (F.col("cnt") * threshold_denom > F.col("n_rows"))
+    )
+
+
+def kmv_set_algebra(df: DataFrame, group_col: str, key: Column, k: int = 256) -> DataFrame:
+    """Pairwise union/intersection distinct estimates from per-group KMV
+    sketches — the mergeable-sketch algebra an exact COUNT(DISTINCT)
+    cannot offer at 100 TB: once the ≤k-row per-group sketch state
+    exists, EVERY pair estimate is arithmetic over groups·k rows,
+    never another pass over the key space.
+
+    For each unordered group pair (a < b):
+
+    - the union sketch is the k smallest distinct hashes of the two
+      k-min sets (KMV mergeability: topk(KA ∪ KB) = topk(A ∪ B));
+    - ``est_union`` follows the kmv_sketch rule ((k-1)·2^48 DIV h_(k),
+      exact when k_used < k);
+    - ``shared`` counts union-sketch survivors present in BOTH input
+      sketches, and ``est_inter = shared · est_union DIV k_used`` — the
+      standard KMV/theta intersection estimator, here in exact integer
+      arithmetic so DuckDB reproduces it bit-for-bit.
+
+    Physical shape: the k-min sets are built with the Arrow-pruned
+    `_kmin_sets` pass; the group list (group-cardinality — aggregate-
+    sized) is collected driver-side to enumerate pairs (the v01/v11
+    idiom), the (pair, group) membership map is the only broadcast, and
+    all pair math runs on ≤ groups²·k rows.
+    """
+    # NULL groups are excluded from the pair algebra (a pair with an
+    # unnamed side has no meaning; the per-group estimator still reports
+    # the NULL group on its own via kmv_sketch_grouped)
+    sets = (
+        _kmin_sets(df, [group_col], key, k)
+        .filter(F.col(group_col).isNotNull())
+        .select(group_col, "h")
+    )
+    spark = df.sparkSession
+    groups = sorted(r[0] for r in sets.select(group_col).distinct().collect())
+    pm = spark.createDataFrame(
+        [(i, g, ga, gb)
+         for i, (ga, gb) in enumerate(
+             (a, b) for ai, a in enumerate(groups) for b in groups[ai + 1:]
+         )
+         for g in (ga, gb)],
+        schema=sets.select(
+            F.lit(0).cast("int").alias("pid"),
+            F.col(group_col).alias("g"),
+            F.col(group_col).alias("type_a"),
+            F.col(group_col).alias("type_b"),
+        ).schema,
+    )
+    tagged = sets.join(F.broadcast(pm), sets[group_col] == pm["g"]).select(
+        "pid", "type_a", "type_b", "g", "h"
+    )
+    from pyspark.sql import Window
+
+    # per (pair, h): does the hash sit in BOTH sides' sketches?
+    per_h = tagged.groupBy("pid", "type_a", "type_b", "h").agg(
+        (F.count_distinct("g") == 2).alias("in_both")
+    )
+    uk = per_h.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("pid").orderBy("h"))
+    ).filter(F.col("rk") <= k)
+    sk = uk.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("bigint").alias("shared"),
+    )
+    est_union = (
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
+        .cast("bigint")
+    )
+    return (
+        sk.withColumn("est_union", est_union)
+        .select(
+            "type_a", "type_b", "k_used", "shared", "est_union",
+            F.expr("CAST(shared * est_union DIV k_used AS BIGINT)").alias("est_inter"),
+        )
+        .orderBy("type_a", "type_b")
     )

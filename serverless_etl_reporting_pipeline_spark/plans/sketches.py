@@ -245,3 +245,67 @@ def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_micro")
     )
+
+
+@query(
+    "x05_kmv_set_algebra",
+    # The oracle restates the whole algebra: per-type k-min sets over
+    # distinct (type, user-hash), pair enumeration by self-join, the
+    # union sketch as rank <= k over the merged sets, and the integer
+    # union/intersection estimators - bit-identical DIV arithmetic.
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT event_type AS g,
+               ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 12))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    kmin AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM keys
+        ) WHERE rk <= {_KMV_K}
+    ),
+    gs AS (SELECT DISTINCT g FROM kmin),
+    prs AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y ON x.g < y.g),
+    tag AS (
+        SELECT p.ga, p.gb, m.g, m.h
+        FROM prs p JOIN kmin m ON m.g = p.ga OR m.g = p.gb
+    ),
+    per_h AS (
+        SELECT ga, gb, h, count(DISTINCT g) = 2 AS in_both
+        FROM tag GROUP BY 1, 2, 3
+    ),
+    uk AS (
+        SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM per_h
+    ),
+    sk AS (
+        SELECT ga AS type_a, gb AS type_b,
+               CAST(count(*) AS BIGINT) AS k_used,
+               max(h) AS kth_hash,
+               CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS shared
+        FROM uk WHERE rk <= {_KMV_K} GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT type_a, type_b, k_used, shared,
+               CAST(CASE WHEN k_used < {_KMV_K} THEN k_used
+                    ELSE ({_KMV_K - 1} * {HASH_SPACE}) // kth_hash END AS BIGINT) AS est_union
+        FROM sk
+    )
+    SELECT type_a, type_b, k_used, shared, est_union,
+           CAST(shared * est_union // k_used AS BIGINT) AS est_inter
+    FROM est ORDER BY type_a, type_b
+    """,
+    doc="KMV set ALGEBRA: distinct-user union and intersection estimates for every "
+    "event-type pair, computed purely from the per-type k=256 sketches "
+    "(mergeability: topk(KA ∪ KB) = topk(A ∪ B); intersection via the standard "
+    "shared-survivor ratio, all integer DIV). The audience-overlap question "
+    "COUNT(DISTINCT) needs a full pass per pair to answer; here the sketch state "
+    "is built once and every pair costs groups·k-row arithmetic. Scale shape: "
+    "Arrow per-split k-min prune before the one sketch shuffle, group list is a "
+    "driver-side aggregate collect, the (pair, group) map is the only broadcast "
+    "(operators/sketch.py kmv_set_algebra)",
+)
+def x05_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_set_algebra
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_set_algebra(ev, "event_type", F.col("user_id"), k=_KMV_K)

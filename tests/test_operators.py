@@ -702,3 +702,52 @@ def test_ivf_index_disk_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
         plan[:2000]
     )
     spark.catalog.clearCache()
+
+
+def test_kmv_set_algebra_exact_when_under_k(spark, sf_dir):
+    """With every union sketch under k, the algebra must be EXACT: for
+    each event-type pair, est_union and est_inter equal the true
+    distinct-user union/intersection (and shared == est_inter)."""
+    from itertools import combinations
+
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_set_algebra
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    users = {
+        t: {r["user_id"] for r in ev.filter(F.col("event_type") == t).select("user_id").distinct().collect()}
+        for t in [r[0] for r in ev.select("event_type").distinct().collect()]
+    }
+    rows = kmv_set_algebra(ev, "event_type", F.col("user_id"), k=100000).collect()
+    assert len(rows) == len(list(combinations(users, 2)))
+    for r in rows:
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        assert r["k_used"] == len(a | b) and r["est_union"] == len(a | b)
+        assert r["shared"] == len(a & b) and r["est_inter"] == len(a & b)
+    spark.catalog.clearCache()
+
+
+def test_kmv_set_algebra_estimates_bounded(spark, sf_dir):
+    """At sketch size k=64 the estimators must stay coherent: est_inter
+    <= est_union, shared <= k_used, and the union estimate lands within
+    the KMV error envelope of the truth (loose 3/sqrt(k) bound)."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_set_algebra
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    rows = kmv_set_algebra(ev, "event_type", F.col("user_id"), k=64).collect()
+    import itertools
+
+    types = sorted({r["type_a"] for r in rows} | {r["type_b"] for r in rows})
+    users = {
+        t: {r["user_id"] for r in ev.filter(F.col("event_type") == t).select("user_id").distinct().collect()}
+        for t in types
+    }
+    assert len(rows) == len(list(itertools.combinations(types, 2)))
+    for r in rows:
+        true_u = len(users[r["type_a"]] | users[r["type_b"]])
+        assert 0 <= r["est_inter"] <= r["est_union"]
+        assert 0 <= r["shared"] <= r["k_used"] <= 64
+        if r["k_used"] == 64:  # estimating regime
+            assert abs(r["est_union"] - true_u) <= true_u * (3 / 8) + 2  # 3/sqrt(64)
+        else:
+            assert r["est_union"] == true_u
+    spark.catalog.clearCache()
