@@ -377,3 +377,17 @@ def test_v14_probes_persisted_postings_only_probe_pairs_broadcast(spark, sf_dir)
     assert len(bx) == 1, f"expected exactly one broadcast, got {bx}"
     assert "qid#" in bx[0] and "_cell#" in bx[0], f"wrong broadcast side: {bx[0]}"
     spark.catalog.clearCache()
+
+
+def test_x05_pair_map_only_broadcast_arrow_partial(spark, sf_dir):
+    """x05's only broadcast must be the tiny (pair, group) membership
+    map — never the hash sets — and the k-min state must flow through
+    the Arrow per-split partial (MapInPandas) before any exchange."""
+    df = REGISTRY["x05_kmv_set_algebra"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    bx = re.findall(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert len(bx) == 1, f"expected exactly one broadcast, got {bx}"
+    assert "pid#" in bx[0] and "type_a#" in bx[0], f"wrong broadcast side: {bx[0]}"
+    spark.catalog.clearCache()
