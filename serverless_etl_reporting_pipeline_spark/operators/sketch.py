@@ -230,7 +230,13 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
     )
 
 
-def kmv_set_algebra(df: DataFrame, group_col: str, key: Column, k: int = 256) -> DataFrame:
+def kmv_set_algebra(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    k: int = 256,
+    pairs: list[tuple] | None = None,
+) -> DataFrame:
     """Pairwise union/intersection distinct estimates from per-group KMV
     sketches — the mergeable-sketch algebra an exact COUNT(DISTINCT)
     cannot offer at 100 TB: once the ≤k-row per-group sketch state
@@ -252,7 +258,13 @@ def kmv_set_algebra(df: DataFrame, group_col: str, key: Column, k: int = 256) ->
     `_kmin_sets` pass; the group list (group-cardinality — aggregate-
     sized) is collected driver-side to enumerate pairs (the v01/v11
     idiom), the (pair, group) membership map is the only broadcast, and
-    all pair math runs on ≤ groups²·k rows.
+    all pair math runs on ≤ pairs·k rows.
+
+    All-pairs is quadratic in GROUP cardinality by definition — fine for
+    dashboard-grade group counts (event types, domains, cohorts), the
+    wrong ask for 10^5+ groups. That regime passes an explicit ``pairs``
+    list (the candidate pairs something upstream selected), which skips
+    the driver-side group enumeration entirely; cost is then pairs·k.
     """
     # NULL groups are excluded from the pair algebra (a pair with an
     # unnamed side has no meaning; the per-group estimator still reports
@@ -263,13 +275,13 @@ def kmv_set_algebra(df: DataFrame, group_col: str, key: Column, k: int = 256) ->
         .select(group_col, "h")
     )
     spark = df.sparkSession
-    groups = sorted(r[0] for r in sets.select(group_col).distinct().collect())
+    if pairs is not None:
+        pair_list = [(a, b) if a <= b else (b, a) for a, b in pairs]
+    else:
+        groups = sorted(r[0] for r in sets.select(group_col).distinct().collect())
+        pair_list = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
     pm = spark.createDataFrame(
-        [(i, g, ga, gb)
-         for i, (ga, gb) in enumerate(
-             (a, b) for ai, a in enumerate(groups) for b in groups[ai + 1:]
-         )
-         for g in (ga, gb)],
+        [(i, g, ga, gb) for i, (ga, gb) in enumerate(pair_list) for g in (ga, gb)],
         schema=sets.select(
             F.lit(0).cast("int").alias("pid"),
             F.col(group_col).alias("g"),

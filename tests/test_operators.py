@@ -751,3 +751,19 @@ def test_kmv_set_algebra_estimates_bounded(spark, sf_dir):
         else:
             assert r["est_union"] == true_u
     spark.catalog.clearCache()
+
+
+def test_kmv_set_algebra_explicit_pairs(spark, sf_dir):
+    """The high-cardinality scale dial: an explicit candidate-pair list
+    skips all-pairs enumeration and returns exactly those pairs, with
+    values identical to the all-pairs run."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_set_algebra
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    full = {(r["type_a"], r["type_b"]): tuple(r) for r in
+            kmv_set_algebra(ev, "event_type", F.col("user_id"), k=64).collect()}
+    some = sorted(full)[:2]
+    got = {(r["type_a"], r["type_b"]): tuple(r) for r in
+           kmv_set_algebra(ev, "event_type", F.col("user_id"), k=64, pairs=list(some)).collect()}
+    assert set(got) == set(some) and all(got[p] == full[p] for p in some)
+    spark.catalog.clearCache()
