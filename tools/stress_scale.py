@@ -52,8 +52,11 @@ HEAVY = [
     "t24_contamination_ratio",
     "c12_token_budget_mixture",
     "v13_batch_knn",
-    # round-7 newcomer
+    # round-7 newcomers (x03/x05: distinct-user cardinality grows ∝ N in
+    # the derived events — the regime a k-bounded sketch must stay flat in)
     "v14_ivf_persisted_probe",
+    "x03_kmv_distinct_by_type",
+    "x05_kmv_set_algebra",
 ]
 # 20 consonants → up to 20 distinct per-copy rotations (no accidental
 # cross-copy exact duplicates for N ≤ 20)
@@ -62,13 +65,20 @@ _SRC = "bcdfghjklmnpqrstvwxz"
 
 def build(spark, n: int) -> str:
     dest = os.path.join(OUT, f"x{n}")
-    if os.path.exists(os.path.join(dest, "_built")):
+    # marker versioned: v2 corpora add the derived events table
+    if os.path.exists(os.path.join(dest, "_built_v2")):
         return dest
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+    # load_table, not spark.read: the fixture events carry ns timestamps
+    events = load_table(spark, BASE, "events")
     dmax = docs.agg(F.max("doc_id")).first()[0] + 1
     vmax = emb.agg(F.max("vec_id")).first()[0] + 1
-    dparts, eparts = [], []
+    emax = events.agg(F.max("event_id")).first()[0] + 1
+    umax = events.agg(F.max("user_id")).first()[0] + 1
+    dparts, eparts, evparts = [], [], []
     for k in range(n):
         tgt = _SRC[k % len(_SRC):] + _SRC[: k % len(_SRC)]
         dparts.append(
@@ -88,15 +98,29 @@ def build(spark, n: int) -> str:
                 "label",
             )
         )
+        # events copy: ids and USERS shifted, so distinct-key cardinality
+        # grows ∝ N (the regime a sketch must stay k-bounded in)
+        evparts.append(
+            events.select(
+                (F.col("event_id") + k * emax).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * umax).alias("user_id"),
+                "event_type", "value", "props",
+            )
+        )
     d = dparts[0]
     for p in dparts[1:]:
         d = d.unionByName(p)
     e = eparts[0]
     for p in eparts[1:]:
         e = e.unionByName(p)
+    ev = evparts[0]
+    for p in evparts[1:]:
+        ev = ev.unionByName(p)
     d.write.mode("overwrite").parquet(f"{dest}/documents.parquet")
     e.write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
-    open(os.path.join(dest, "_built"), "w").close()
+    ev.write.mode("overwrite").parquet(f"{dest}/events.parquet")
+    open(os.path.join(dest, "_built_v2"), "w").close()
     return dest
 
 
