@@ -392,3 +392,75 @@ def e07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_SCD2_W = "2024-01-24"  # ~80% of the 2024-01-01..2024-01-30 event span
+
+
+@query(
+    "e08_scd2_incremental_apply",
+    # The oracle IS e01's full rebuild over ALL purchase events — the
+    # hash match proves the incremental apply (persisted base history +
+    # delta batch) reproduces the from-scratch SCD2 table bit-for-bit
+    # (the pipe02 discipline, applied to the lakehouse family).
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, valid_from
+    """,
+    doc=f"INCREMENTAL SCD2 apply: the e01 history is built once from the base "
+    f"snapshot (ts <= {_SCD2_W}) and PERSISTED; the delta batch (ts > "
+    f"{_SCD2_W}) then (1) CLOSES each touched user's open row at the user's "
+    "first delta timestamp, (2) chains the delta rows into new versions with "
+    "one window over the delta alone, and (3) leaves every untouched row "
+    "byte-identical — no history rewrite for unaffected users, the MERGE-"
+    "style partial update an append-only lake cannot do. Correctness rests "
+    "on the watermark regime (every delta ts follows every base ts), exactly "
+    "a CDC feed's contract. Scale shape: base history built once "
+    "(amortized across delta batches), delta scans carry the pushed "
+    "watermark filter, the close-row join is keyed on user_id against an "
+    "aggregate-sized first-delta-ts frame, and work ∝ delta + touched rows",
+)
+def e08_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wm = F.lit(_SCD2_W).cast("timestamp")
+    base = ev.filter(F.col("ts") <= wm)
+    delta = ev.filter(F.col("ts") > wm)
+
+    # persisted base state: the e01 construction over the base snapshot
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    base_hist = base.select(
+        "user_id", "event_id", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).persist()
+
+    # the incremental apply: work ∝ delta + touched current rows
+    d_first = delta.groupBy("user_id").agg(F.min("ts").alias("_first_dts"))
+    closed = (
+        base_hist.filter("is_current")
+        .join(d_first, "user_id", "left")
+        .select(
+            "user_id", "event_id", "value", "valid_from",
+            F.coalesce("_first_dts", "valid_to").alias("valid_to"),
+            F.col("_first_dts").isNull().alias("is_current"),
+        )
+    )
+    new_rows = delta.select(
+        "user_id", "event_id", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+    return (
+        base_hist.filter(~F.col("is_current"))
+        .unionByName(closed)
+        .unionByName(new_rows)
+        .orderBy("user_id", "valid_from")
+    )

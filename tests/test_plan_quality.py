@@ -391,3 +391,23 @@ def test_x05_pair_map_only_broadcast_arrow_partial(spark, sf_dir):
     assert len(bx) == 1, f"expected exactly one broadcast, got {bx}"
     assert "pid#" in bx[0] and "type_a#" in bx[0], f"wrong broadcast side: {bx[0]}"
     spark.catalog.clearCache()
+
+
+def test_e08_persisted_base_history_watermarked_scans(spark, sf_dir):
+    """e08 must build the base SCD2 history ONCE (persisted —
+    InMemoryRelation) and every events scan must carry a pushed ts
+    watermark bound (<= for the base-state build, > for the delta) —
+    never an unfiltered rescan of the event log."""
+    df = REGISTRY["e08_scd2_incremental_apply"].builder(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "InMemoryTableScan" in plan, "e08 lost its persisted base history"
+    checked = 0
+    for m in re.finditer(r"\(\d+\) Scan parquet[^\n]*\n((?:[^\n]*\n)*?)\s*ReadSchema", plan):
+        block = m.group(0)
+        if "events" in block:
+            assert ("LessThanOrEqual(ts" in block) or ("GreaterThan(ts" in block), (
+                f"unfiltered event-log scan:\n{block}"
+            )
+            checked += 1
+    assert checked, "no events scan found — lint regex rotted"
+    spark.catalog.clearCache()
