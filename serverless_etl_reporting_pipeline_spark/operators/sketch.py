@@ -46,6 +46,16 @@ from pyspark.sql import functions as F
 HASH_HEX_CHARS = 12
 HASH_SPACE = 16**HASH_HEX_CHARS  # 2^48
 
+_K_MAX = 32768  # (k-1)·2^48 must stay inside BIGINT (see comment above)
+
+
+def _check_k(k: int) -> None:
+    if not 0 < k <= _K_MAX:
+        raise ValueError(
+            f"KMV sketch size k={k} outside (0, {_K_MAX}]: (k-1)*2^48 "
+            "must fit BIGINT or the estimator overflows"
+        )
+
 
 def md5_hash48(col: Column) -> Column:
     """Portable 48-bit key hash: first 12 hex chars of md5 as BIGINT.
@@ -73,6 +83,7 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     counted in ``n_rows``) — filtered explicitly so pandas ``nsmallest``
     (NaN-dropping) and Spark's nulls-first ordering can never disagree.
     """
+    _check_k(k)
     hashed = (
         df.select(key.alias("_k"))
         .select(md5_hash48(F.col("_k")).alias("h"))
@@ -120,6 +131,7 @@ def _kmin_sets(df: DataFrame, group_cols: list[str], key: Column, k: int) -> Dat
     (`kmv_set_algebra`). Each split prunes to ≤k candidates per group
     (Arrow partial) BEFORE the distinct+rank shuffle, so the exchange
     moves ≤ splits·k·groups rows, never the key space."""
+    _check_k(k)
     hashed = df.select(*group_cols, md5_hash48(key).alias("h")).filter(
         F.col("h").isNotNull()
     )
@@ -265,18 +277,35 @@ def kmv_set_algebra(
     wrong ask for 10^5+ groups. That regime passes an explicit ``pairs``
     list (the candidate pairs something upstream selected), which skips
     the driver-side group enumeration entirely; cost is then pairs·k.
+    Explicit pairs are normalized and DEDUPLICATED; a self-pair raises
+    (its answer is the group's own cardinality — ask kmv_sketch_grouped);
+    a pair whose groups have no sketch rows yields NO output row.
     """
+    if group_col in {"g", "h", "pid", "rk", "type_a", "type_b"}:
+        raise ValueError(
+            f"kmv_set_algebra: group_col {group_col!r} collides with an "
+            "internal column name — rename the column first"
+        )
     # NULL groups are excluded from the pair algebra (a pair with an
     # unnamed side has no meaning; the per-group estimator still reports
-    # the NULL group on its own via kmv_sketch_grouped)
+    # the NULL group on its own via kmv_sketch_grouped). Persisted: the
+    # frame feeds both the group-enumeration collect and the pair query.
     sets = (
         _kmin_sets(df, [group_col], key, k)
         .filter(F.col(group_col).isNotNull())
         .select(group_col, "h")
+        .persist()
     )
     spark = df.sparkSession
     if pairs is not None:
-        pair_list = [(a, b) if a <= b else (b, a) for a, b in pairs]
+        if any(a == b for a, b in pairs):
+            raise ValueError(
+                "kmv_set_algebra: self-pair requested — a group's "
+                "self-intersection is its own cardinality (kmv_sketch_grouped)"
+            )
+        # normalize AND dedupe: (a,b)/(b,a) duplicates would get distinct
+        # pids whose final aggregate rows double-count k_used/shared
+        pair_list = sorted({(a, b) if a <= b else (b, a) for a, b in pairs})
     else:
         groups = sorted(r[0] for r in sets.select(group_col).distinct().collect())
         pair_list = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
@@ -301,7 +330,9 @@ def kmv_set_algebra(
     uk = per_h.withColumn(
         "rk", F.row_number().over(Window.partitionBy("pid").orderBy("h"))
     ).filter(F.col("rk") <= k)
-    sk = uk.groupBy("type_a", "type_b").agg(
+    # aggregate by pid (the pair identity): grouping by the name columns
+    # would merge rows across pids if callers ever bypassed the dedup
+    sk = uk.groupBy("pid", "type_a", "type_b").agg(
         F.count("*").cast("bigint").alias("k_used"),
         F.max("h").alias("kth_hash"),
         F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("bigint").alias("shared"),

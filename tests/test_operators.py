@@ -717,7 +717,7 @@ def test_kmv_set_algebra_exact_when_under_k(spark, sf_dir):
         t: {r["user_id"] for r in ev.filter(F.col("event_type") == t).select("user_id").distinct().collect()}
         for t in [r[0] for r in ev.select("event_type").distinct().collect()]
     }
-    rows = kmv_set_algebra(ev, "event_type", F.col("user_id"), k=100000).collect()
+    rows = kmv_set_algebra(ev, "event_type", F.col("user_id"), k=32768).collect()
     assert len(rows) == len(list(combinations(users, 2)))
     for r in rows:
         a, b = users[r["type_a"]], users[r["type_b"]]
@@ -766,4 +766,29 @@ def test_kmv_set_algebra_explicit_pairs(spark, sf_dir):
     got = {(r["type_a"], r["type_b"]): tuple(r) for r in
            kmv_set_algebra(ev, "event_type", F.col("user_id"), k=64, pairs=list(some)).collect()}
     assert set(got) == set(some) and all(got[p] == full[p] for p in some)
+    spark.catalog.clearCache()
+
+
+def test_kmv_set_algebra_guards(spark, sf_dir):
+    """r7 self-review pins: duplicate/unordered pairs dedupe to one row
+    (never double-counted), self-pairs raise, reserved column names
+    raise, and an out-of-range k raises."""
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_set_algebra
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    a, b = types[0], types[1]
+    one = kmv_set_algebra(ev, "event_type", F.col("user_id"), k=64, pairs=[(a, b)]).collect()
+    dup = kmv_set_algebra(
+        ev, "event_type", F.col("user_id"), k=64, pairs=[(a, b), (b, a)]
+    ).collect()
+    assert [tuple(r) for r in dup] == [tuple(r) for r in one]
+    with _pytest.raises(ValueError, match="self-pair"):
+        kmv_set_algebra(ev, "event_type", F.col("user_id"), k=64, pairs=[(a, a)])
+    with _pytest.raises(ValueError, match="collides"):
+        kmv_set_algebra(ev.withColumnRenamed("event_type", "g"), "g", F.col("user_id"))
+    with _pytest.raises(ValueError, match="sketch size"):
+        kmv_set_algebra(ev, "event_type", F.col("user_id"), k=100000)
     spark.catalog.clearCache()
