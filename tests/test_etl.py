@@ -341,3 +341,59 @@ def test_training_shard_write_reproducible_and_ordered(spark, sf_dir, tmp_path):
     # write #2 identical
     got2 = {(r["doc_id"], r["shard"], r["pos"]) for r in spark.read.parquet(p2).select("doc_id", "shard", "pos").collect()}
     assert got2 == got
+
+
+def test_e08_synthetic_cdc_edges(spark, tmp_path):
+    """Incremental SCD2 apply on a doctored corpus exercising every CDC
+    class the fixtures may under-represent: a user with a multi-row
+    delta chain, a user new in the delta, an untouched base user, and a
+    base user with existing closed history — result must equal the
+    from-scratch e01 rebuild over the union."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
+    from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+
+    def t(day, hour=0):
+        return datetime.datetime(2024, 1, day, hour)
+
+    # watermark in the query is 2024-01-24
+    rows = [
+        # u1: two base versions + two delta versions (close + chain)
+        (1, t(2), 1, "purchase", 10.0, "{}"),
+        (2, t(10), 1, "purchase", 11.0, "{}"),
+        (3, t(25), 1, "purchase", 12.0, "{}"),
+        (4, t(26), 1, "purchase", 13.0, "{}"),
+        # u2: untouched base user (open row must survive unchanged)
+        (5, t(5), 2, "purchase", 20.0, "{}"),
+        # u3: new in the delta only
+        (6, t(27), 3, "purchase", 30.0, "{}"),
+        (7, t(28), 3, "purchase", 31.0, "{}"),
+        # noise: non-purchase rows must be ignored
+        (8, t(3), 1, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = [tuple(r) for r in
+           REGISTRY["e08_scd2_incremental_apply"].builder(spark, str(tmp_path)).collect()]
+
+    ev = spark.read.parquet(str(tmp_path / "events.parquet")).filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    want = [tuple(r) for r in
+            ev.select("user_id", "event_id", "value",
+                      F.col("ts").alias("valid_from"),
+                      nxt.alias("valid_to"), nxt.isNull().alias("is_current"))
+            .orderBy("user_id", "valid_from").collect()]
+    assert got == want
+    # spot-pin the CDC classes
+    by_eid = {r[1]: r for r in got}
+    assert by_eid[2][4] == t(25) and by_eid[2][5] is False  # u1 open row closed at first delta ts
+    assert by_eid[5][4] is None and by_eid[5][5] is True    # u2 untouched, still open
+    assert by_eid[6][4] == t(28) and by_eid[7][5] is True   # u3 chained within delta
+    spark.catalog.clearCache()
