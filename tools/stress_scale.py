@@ -57,6 +57,7 @@ HEAVY = [
     "v14_ivf_persisted_probe",
     "x03_kmv_distinct_by_type",
     "x05_kmv_set_algebra",
+    "e08_scd2_incremental_apply",
 ]
 # 20 consonants → up to 20 distinct per-copy rotations (no accidental
 # cross-copy exact duplicates for N ≤ 20)
