@@ -1015,15 +1015,31 @@ def neardup_vector_index_probe(
         raise ValueError("n_bits must be divisible by bands")
     rpb = n_bits // bands
     P = np.array(random_hyperplanes(n_bits, _dim_of(corpus, vec_col), seed), dtype=np.float64)
-    tau = float(threshold)
+    fan_c = _band_code_fan(corpus, P, bands, rpb, id_col, vec_col).persist()
+    return probe_band_index(fan_c, snapshot, P, bands, rpb, threshold, id_col, vec_col)
 
-    fan_c = _band_code_fan(corpus, P, bands, rpb, id_col, vec_col).withColumn(
-        "_side", F.lit(0)
-    ).persist()
-    fan_s = _band_code_fan(snapshot, P, bands, rpb, id_col, vec_col).withColumn(
-        "_side", F.lit(1)
+
+def probe_band_index(
+    corpus_fan: DataFrame,
+    snapshot: DataFrame,
+    P,
+    bands: int,
+    rpb: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an ALREADY-BUILT corpus band-code fan (in-session persisted,
+    or loaded from a stored index — `streaming/vectors.py` maintains one
+    on disk) with a snapshot batch. Split out of
+    `neardup_vector_index_probe` so a continuously-fed index pays the
+    corpus fan exactly once per corpus row, ever."""
+    tau = float(threshold)
+    fan = corpus_fan.withColumn("_side", F.lit(0)).unionByName(
+        _band_code_fan(snapshot, P, bands, rpb, id_col, vec_col).withColumn(
+            "_side", F.lit(1)
+        )
     )
-    fan = fan_c.unionByName(fan_s)
 
     probe_schema = T.StructType(
         [

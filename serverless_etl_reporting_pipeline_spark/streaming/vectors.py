@@ -1,0 +1,110 @@
+"""Streaming vector-dedup ingest: the v12 persisted band-code index
+maintained as ON-DISK state by a checkpointed ``Trigger.AvailableNow``
+job (SURVEY.md §2.9 — the embedding twin of streaming/funnel.py).
+
+Each micro-batch of freshly-arrived vectors is screened for near-
+duplicates against the ACCUMULATED index (band codes of every prior
+batch), then its own band fan is appended as a new index segment:
+
+- ``band_index/batch=N/`` — the stored index: one (_band, _code, id,
+  vector) fan segment per drained batch. A batch's fan is computed
+  exactly once, ever — later batches probe it from disk.
+- ``vec_ann/batch=N/`` — per-vector annotations (vec_id, is_dup,
+  dup_src, cos): dup iff a cosine >= threshold near-dup exists among
+  STRICTLY EARLIER batches, dup_src the smallest such id (v12's
+  contract per batch).
+
+Idempotence follows the funnel module's discipline: every write lands
+under ``batch=<id>`` with overwrite, and state reads enumerate only
+strictly-earlier batch dirs — a replayed micro-batch overwrites its own
+output and can never probe its own half-written segment.
+
+Correctness contract (tests/test_streaming.py): with monotone vec_ids
+across batches, each drained batch's annotations equal
+``neardup_vector_index_probe(union of prior batches, batch)`` — the
+operator v12's DuckDB oracle pins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+    _band_code_fan,
+    _dim_of,
+    probe_band_index,
+    random_hyperplanes,
+)
+from serverless_etl_reporting_pipeline_spark.streaming.funnel import _batch_dirs
+
+
+def incremental_vector_dedup_drain(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    work_dir: str,
+    threshold: float = 0.44,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Drain all unprocessed embedding files, one micro-batch per file,
+    updating the on-disk band index under ``work_dir``. Returns the
+    number of micro-batches processed this drain."""
+    if n_bits % bands:
+        raise ValueError("n_bits must be divisible by bands")
+    rpb = n_bits // bands
+    index_dir = os.path.join(work_dir, "band_index")
+    ann_dir = os.path.join(work_dir, "vec_ann")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    n_batches = {"n": 0}
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        n_batches["n"] += 1
+        s = batch.sparkSession
+        import numpy as np
+
+        P = np.array(
+            random_hyperplanes(n_bits, _dim_of(batch, vec_col), seed), dtype=np.float64
+        )
+        # probe ONLY strictly-earlier segments (replay idempotence: a
+        # failed prior attempt's own batch=<id> segment is invisible)
+        prior = [uri for bid, uri in _batch_dirs(s, index_dir) if bid < batch_id]
+        if prior:
+            corpus_fan = s.read.parquet(*prior)
+            ann = probe_band_index(
+                corpus_fan, batch, P, bands, rpb, threshold, id_col, vec_col
+            )
+        else:
+            ann = batch.select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.lit(False).alias("is_dup"),
+                F.lit(None).cast("long").alias("dup_src"),
+                F.lit(None).cast("double").alias("cos"),
+            )
+        ann.write.mode("overwrite").parquet(os.path.join(ann_dir, f"batch={batch_id}"))
+        # append this batch's fan as a new index segment — computed once,
+        # ever; future batches read it from disk
+        _band_code_fan(batch, P, bands, rpb, id_col, vec_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -538,3 +538,54 @@ def test_annotate_batch_split_equals_union_property(spark, picks, cut):
         }
     )
     assert got == want
+
+
+def test_streaming_vector_dedup_equals_batch_probe(spark, sf_dir, tmp_path):
+    """The embedding twin of the funnel capstone: draining vector
+    micro-batches through the on-disk band index must give each batch
+    EXACTLY the annotations of neardup_vector_index_probe(prior
+    batches, batch) — the operator v12's oracle pins — and a re-drain
+    with no new files processes nothing."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        neardup_vector_index_probe,
+    )
+    from serverless_etl_reporting_pipeline_spark.plans.vectors import (
+        _V09_BANDS,
+        _V09_BITS,
+        _V09_SEED,
+        _V12_TAU,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        incremental_vector_dedup_drain,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    wm = int(0.8 * (max_id + 1))
+    src, work = str(tmp_path / "vec_src"), str(tmp_path / "vec_work")
+    kw = dict(
+        threshold=float(_V12_TAU), n_bits=_V09_BITS, bands=_V09_BANDS, seed=_V09_SEED
+    )
+
+    base = emb.filter(f"vec_id < {wm}")
+    delta = emb.filter(f"vec_id >= {wm}")
+    base.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
+    delta.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 0
+
+    # batch 0: no prior state — nothing may be flagged
+    b0 = spark.read.parquet(f"{work}/vec_ann/batch=0")
+    assert b0.count() == base.count() and b0.filter("is_dup").count() == 0
+    # batch 1 must equal the v12-oracle-pinned operator on (base, delta)
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"], r["cos"])
+        for r in spark.read.parquet(f"{work}/vec_ann/batch=1").collect()
+    }
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"], r["cos"])
+        for r in neardup_vector_index_probe(base, delta, **kw).collect()
+    }
+    assert got == want
+    assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
