@@ -589,3 +589,52 @@ def test_streaming_vector_dedup_equals_batch_probe(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
+
+
+def test_streaming_vector_dedup_replay_idempotent(spark, tmp_path):
+    """Checkpoint-recovery replay for the vector module: a micro-batch
+    whose OWN index segment and annotations were written by a failed
+    prior attempt must overwrite them and must NOT flag its vectors as
+    duplicates of themselves via its own replayed segment."""
+    import numpy as np
+
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        _band_code_fan,
+        random_hyperplanes,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        incremental_vector_dedup_drain,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    d1 = spark.createDataFrame([(0, v)], schema)
+    d2 = spark.createDataFrame([(10, v), (11, w)], schema)  # 10 dups batch-0's vector
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    kw = dict(threshold=0.9, n_bits=8, bands=4, seed=7)
+
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, d1.schema, work, **kw) == 1
+
+    # stage batch 2, then fake its failed first attempt on disk
+    d2.coalesce(1).write.mode("append").parquet(src)
+    P = np.array(random_hyperplanes(8, 4, 7), dtype=np.float64)
+    _band_code_fan(d2, P, 4, 2, "vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{work}/band_index/batch=1"
+    )
+    d2.select(
+        F.col("vec_id"), F.lit(True).alias("is_dup"),
+        F.lit(999).cast("long").alias("dup_src"), F.lit(0.0).alias("cos"),
+    ).write.mode("overwrite").parquet(f"{work}/vec_ann/batch=1")
+
+    assert incremental_vector_dedup_drain(spark, src, d1.schema, work, **kw) == 1
+    ann = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/vec_ann/batch=*").collect()
+    }
+    # 10 dups the STORED batch-0 vector; 11 must NOT be flagged against
+    # its own replayed segment, and the garbage annotations are gone
+    assert ann[0] == (False, None)
+    assert ann[10] == (True, 0)
+    assert ann[11] == (False, None)
