@@ -1165,6 +1165,30 @@ def batch_knn(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, vec_col: str = "embedding", cell_col: str = "label"
+) -> DataFrame:
+    """The IVF coarse quantizer as a frame: one row per cell with the
+    exact-integer quantized centroid array (round(avg(round(x*1e6)))
+    per dim — the v03/v05 quantizer, no k-means RNG). Cells × dims:
+    aggregate-sized. Unpersisted builder shared by `ivf_index_build`
+    (in-session index) and the streaming ingest's frozen-centroid
+    write (streaming/ivf.py)."""
+    ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
+        cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
+    )
+    return (
+        ex.groupBy(cell_col, "dim")
+        .agg(F.round(F.avg("q")).alias("c"))
+        .groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+
+
 def ivf_index_build(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1185,20 +1209,7 @@ def ivf_index_build(
     Built once per corpus snapshot, probed by every query batch until
     the next index refresh — the amortization a vector store lives on.
     """
-    ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
-        cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
-    )
-    centroids = (
-        ex.groupBy(cell_col, "dim")
-        .agg(F.round(F.avg("q")).alias("c"))
-        .groupBy(cell_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .persist()
-    )
+    centroids = ivf_centroids(corpus, vec_col, cell_col).persist()
     postings = corpus.select(
         F.col(cell_col).cast("long").alias("_cell"),
         F.col(id_col).cast("long").alias("_id"),
@@ -1312,6 +1323,76 @@ def ivf_batch_probe(
         )
         .orderBy(qid_col, "rk")
     )
+
+
+def assign_cells(
+    centroids: DataFrame,
+    arrivals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """File NEW vectors into a FROZEN coarse quantizer's cells — the
+    ingest half of a stored IVF index. `ivf_index_build` snapshots a
+    corpus; between index refreshes, arrivals are assigned to their
+    nearest existing centroid by quantized cosine (1e-6 BIGINT compare,
+    ties → lowest cell id — the `ivf_batch_probe` rank, applied with
+    nprobe=1) and appended as posting segments.
+
+    Physical shape: the centroid table (cells × dims, aggregate-sized)
+    is the ONLY broadcast; assignment is ONE map-only Arrow pass over
+    the arrivals — no shuffle, no corpus access, embarrassingly
+    parallel at any arrival rate. Returns `(_cell, _id, _qv)` rows in
+    the `ivf_index_build` postings schema (`_qv` carried as
+    array<double>), ready to append under the `ivf_index_write` layout.
+
+    Degenerate inputs (the semdedup_map discipline): a zero-norm
+    centroid is never an assignment target; a zero-norm ARRIVAL has no
+    defined cosine against any cell and is quarantined in `_cell = -1`
+    — deterministic, never NaN, and invisible to probes (probe pairs
+    reference real cells only).
+    """
+    import numpy as np
+
+    cent_rows = centroids.collect()  # cells × dims: aggregate-sized
+    order = np.argsort(np.asarray([r[0] for r in cent_rows], dtype=np.int64))
+    cells = np.asarray([cent_rows[i][0] for i in order], dtype=np.int64)
+    C = np.asarray(
+        [[float(x) for x in cent_rows[i][1]] for i in order], dtype=np.float64
+    )
+    cn = np.sqrt((C * C).sum(axis=1))
+    zc = cn == 0.0
+    spark = arrivals.sparkSession
+    bc = spark.sparkContext.broadcast((cells, C, cn, zc))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cl, Cm, cnorm, zcell = bc.value
+        cn_safe = _np.where(zcell, 1.0, cnorm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_quantized(pdf)
+            an = _np.sqrt((A * A).sum(axis=1))
+            valid = an > 0.0
+            S = (A @ Cm.T) / (_np.where(valid, an, 1.0)[:, None] * cn_safe[None, :])
+            S[:, zcell] = -_np.inf
+            # quantized-integer compare, columns pre-sorted by cell id so
+            # argmax's first-max rule IS the ties→lowest-cell rule
+            Sq = _np.copysign(_np.floor(_np.abs(S * QUANT) + 0.5), S)
+            best = cl[_np.argmax(Sq, axis=1)]
+            yield _pd.DataFrame(
+                {
+                    "_cell": _np.where(valid, best, _np.int64(-1)),
+                    "_id": pdf["_id"].to_numpy(dtype=_np.int64),
+                    "_qv": pdf["_qv"],
+                }
+            )
+
+    return arrivals.select(
+        F.col(id_col).cast("long").alias("_id"), as_double(vec_col).alias("_qv")
+    ).mapInPandas(kernel, schema="_cell long, _id long, _qv array<double>")
 
 
 def ivf_index_write(centroids: DataFrame, postings: DataFrame, path: str) -> None:

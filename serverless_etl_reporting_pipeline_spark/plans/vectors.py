@@ -810,3 +810,63 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         nprobe=2,
     )
+
+
+@query(
+    "v15_ivf_assign_arrivals",
+    # The oracle rebuilds the frozen quantizer inline (exact-integer
+    # per-cell means over the corpus side, v05's quantizer — v14's cent
+    # CTE verbatim) and files each arrival to its best cell by
+    # 1e-6-quantized centroid cosine (BIGINT compare, ties -> lowest
+    # cell id) — the engine's assignment kernel bit-for-bit. Fixtures
+    # have no zero-norm vectors; the -1 quarantine path is pinned by
+    # tests/test_operators.py instead.
+    oracle="""
+    WITH a AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS av
+        FROM embeddings WHERE vec_id < 10
+    ),
+    ex AS (
+        SELECT label, u.pos - 1 AS dim,
+               round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE vec_id >= 10
+    ),
+    cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    ranked AS (
+        SELECT a.vec_id, cent.label,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CAST(round(
+                       list_sum(list_transform(list_zip(cv, av), z -> z[1] * z[2]))
+                       / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(av, x -> x * x))))
+                       * 1000000) AS BIGINT) DESC, label) AS crk
+        FROM cent, a
+    )
+    SELECT vec_id, label AS cell FROM ranked WHERE crk = 1 ORDER BY vec_id
+    """,
+    doc="IVF ingest assignment: NEW arrivals (ids < 10) filed to their nearest "
+    "cell of a FROZEN coarse quantizer (exact-integer centroids of the corpus "
+    "side, ids >= 10) — the write half of the stored index v14 probes, and the "
+    "per-batch kernel of the streaming IVF ingest (streaming/ivf.py). Scale "
+    "shape: the centroid table (cells x dims, aggregate-sized) is the ONLY "
+    "broadcast; assignment is ONE map-only Arrow pass over the arrivals — no "
+    "join, no shuffle beyond the output sort, no corpus access "
+    "(operators/vectors.py assign_cells)",
+)
+def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(emb.filter(F.col("vec_id") >= 10))
+    return (
+        assign_cells(cent, emb.filter(F.col("vec_id") < 10))
+        .select(F.col("_id").alias("vec_id"), F.col("_cell").alias("cell"))
+        .orderBy("vec_id")
+    )

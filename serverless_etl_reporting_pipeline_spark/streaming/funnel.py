@@ -125,9 +125,13 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
-def _batch_dirs(spark: SparkSession, dir_path: str) -> list[tuple[int, str]]:
-    """(batch_id, uri) for every ``batch=<id>`` child of ``dir_path``,
-    listed through the Hadoop FileSystem API (any supported scheme)."""
+def _batch_dirs(
+    spark: SparkSession, dir_path: str, prefix: str = "batch="
+) -> list[tuple[int, str]]:
+    """(id, uri) for every ``<prefix><id>`` child of ``dir_path``,
+    listed through the Hadoop FileSystem API (any supported scheme).
+    The default prefix enumerates per-micro-batch state segments; the
+    IVF module also lists its ``upto=<id>`` compaction dirs with it."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(dir_path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -136,7 +140,7 @@ def _batch_dirs(spark: SparkSession, dir_path: str) -> list[tuple[int, str]]:
     out = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        if name.startswith("batch="):
+        if name.startswith(prefix):
             out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
     return sorted(out)
 

@@ -3,6 +3,8 @@ recall vs brute force, simhash properties, dedup survivors."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.minhash import (
@@ -792,3 +794,95 @@ def test_kmv_set_algebra_guards(spark, sf_dir):
     with _pytest.raises(ValueError, match="sketch size"):
         kmv_set_algebra(ev, "event_type", F.col("user_id"), k=100000)
     spark.catalog.clearCache()
+
+
+def test_assign_cells_nearest_tiebreak_and_quarantine(spark):
+    """assign_cells files arrivals to the nearest frozen centroid by
+    quantized cosine: hand-checkable nearest, the exact-tie → lowest
+    cell rule, zero-norm centroids never targeted, zero-norm arrivals
+    quarantined in cell -1."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        ivf_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 1),
+            (2, [0.0, 0.0], 2),  # zero-norm centroid: never a target
+        ],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cent = ivf_centroids(corpus)
+    arrivals = spark.createDataFrame(
+        [
+            (10, [0.6, 0.4]),  # nearest cell 0
+            (11, [0.5, 0.5]),  # exact tie 0 vs 1 -> lowest cell id
+            (12, [0.0, 0.0]),  # zero-norm arrival -> quarantine
+            (13, [-1.0, -2.0]),  # all cosines negative; still assigned to the
+            # least-negative cell (-1/sqrt(5) vs -2/sqrt(5) -> cell 0)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["_id"]: r["_cell"] for r in assign_cells(cent, arrivals).collect()}
+    assert got == {10: 0, 11: 0, 12: -1, 13: 0}
+
+
+_VEC = st.lists(
+    st.integers(min_value=-8, max_value=8), min_size=3, max_size=3
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(_VEC, min_size=2, max_size=6),
+    arrivals=st.lists(_VEC, min_size=1, max_size=6),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_assign_cells_matches_numpy_brute_force_property(spark, corpus, arrivals, parts):
+    """assign_cells == driver-side numpy argmax (quantized cosine,
+    ties → lowest cell) on arbitrary integer-grid vectors, regardless
+    of how the arrivals are partitioned."""
+    import numpy as np
+
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        QUANT,
+        assign_cells,
+        ivf_centroids,
+        quantize_np,
+    )
+
+    corpus_df = spark.createDataFrame(
+        [(i, [float(x) for x in v], i) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cent = ivf_centroids(corpus_df)
+    arr_df = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(arrivals)],
+        "vec_id long, embedding array<float>",
+    ).repartition(parts)
+    got = {r["_id"]: r["_cell"] for r in assign_cells(cent, arr_df).collect()}
+
+    # driver-side reference: the SAME quantized integers, brute-forced.
+    # one-row cells make the centroid equal the (quantized) row itself
+    rows = cent.collect()
+    cells = np.array([r[0] for r in rows])
+    order = np.argsort(cells)
+    cells, C = cells[order], np.array(
+        [[float(x) for x in rows[i][1]] for i in order]
+    )
+    cn = np.sqrt((C * C).sum(axis=1))
+    want = {}
+    for i, v in enumerate(arrivals):
+        a = quantize_np(np.array(v, dtype=np.float64))
+        an = np.sqrt((a * a).sum())
+        if an == 0.0:
+            want[100 + i] = -1
+            continue
+        s = np.full(len(cells), -np.inf)
+        m = cn > 0.0
+        s[m] = (C[m] @ a) / (cn[m] * an)
+        sq = np.copysign(np.floor(np.abs(s * QUANT) + 0.5), s)
+        want[100 + i] = int(cells[int(np.argmax(sq))])
+    assert got == want

@@ -411,3 +411,19 @@ def test_e08_persisted_base_history_watermarked_scans(spark, sf_dir):
             checked += 1
     assert checked, "no events scan found — lint regex rotted"
     spark.catalog.clearCache()
+
+
+def test_v15_assignment_is_map_only(spark, sf_dir):
+    """IVF ingest assignment must be ONE Arrow map over the arrivals —
+    no join with the corpus or centroid side (the centroid table rides
+    a task broadcast, not a plan-level BroadcastExchange), and the only
+    Exchange is the output sort's range partitioning."""
+    plan = _plan(spark, REGISTRY["v15_ivf_assign_arrivals"].builder(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    assert not re.findall(r"Join", tree), tree
+    assert "BroadcastExchange" not in tree, tree
+    ex = [ln for ln in tree.splitlines() if re.search(r"\bExchange\b", ln)]
+    assert len(ex) == 1, ex
+    # the tree names only the node; its partitioning is in the detail block
+    assert re.search(r"\(\d+\) Exchange\nInput.*\nArguments: rangepartitioning", plan), plan

@@ -638,3 +638,124 @@ def test_streaming_vector_dedup_replay_idempotent(spark, tmp_path):
     assert ann[0] == (False, None)
     assert ann[10] == (True, 0)
     assert ann[11] == (False, None)
+
+
+def test_streaming_ivf_ingest_equals_batch_assign(spark, sf_dir, tmp_path):
+    """The SEARCH twin of the vector-dedup drain: growing the on-disk
+    IVF index one micro-batch at a time must leave EXACTLY the postings
+    of assign_cells(frozen centroids, union of all batches), and a
+    probe of the streamed index must equal the batch-built probe."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        ivf_batch_probe,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = emb.filter("vec_id >= 10"), emb.filter("vec_id < 10")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cut = int(0.6 * (max_id + 1))
+    src, work = str(tmp_path / "ivf_src"), str(tmp_path / "ivf_work")
+
+    corpus.filter(f"vec_id < {cut}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    corpus.filter(f"vec_id >= {cut}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 0
+
+    cent, postings = load_ivf_state(spark, work)
+    got = {(r["_cell"], r["_id"]) for r in postings.collect()}
+    want = {(r["_cell"], r["_id"]) for r in assign_cells(cent, corpus).collect()}
+    assert got == want and len(got) == corpus.count()
+
+    q = queries.select(F.col("vec_id").alias("qid"), "embedding")
+    streamed = ivf_batch_probe(cent, postings, q, k=3, nprobe=2).collect()
+    batch = ivf_batch_probe(cent, assign_cells(cent, corpus), q, k=3, nprobe=2).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert len(streamed) == 10 * 3
+
+
+def test_streaming_ivf_compaction_preserves_state(spark, sf_dir, tmp_path):
+    """compact_ivf_segments folds segments into one cell-partitioned
+    parquet; loaders must read compacted + later tail with no loss and
+    no double-counting, across multiple compactions."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import assign_cells
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        compact_ivf_segments,
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 10")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    c1, c2 = int(0.4 * max_id), int(0.7 * max_id)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    emb.filter(f"vec_id < {c1}").coalesce(1).write.mode("append").parquet(src)
+    emb.filter(f"vec_id >= {c1} and vec_id < {c2}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 2
+    assert compact_ivf_segments(spark, work) == 1
+
+    emb.filter(f"vec_id >= {c2}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+
+    cent, postings = load_ivf_state(spark, work)
+    want = {(r["_cell"], r["_id"]) for r in assign_cells(cent, emb).collect()}
+    assert {(r["_cell"], r["_id"]) for r in postings.collect()} == want
+    assert postings.count() == emb.count()  # no double-read of folded segments
+
+    # a second compaction supersedes the first; state is unchanged
+    assert compact_ivf_segments(spark, work) == 2
+    _, postings2 = load_ivf_state(spark, work)
+    assert {(r["_cell"], r["_id"]) for r in postings2.collect()} == want
+    assert postings2.count() == emb.count()
+
+
+def test_streaming_ivf_replay_idempotent_and_frozen_centroids(spark, tmp_path):
+    """A replayed micro-batch overwrites its own garbage posting
+    segment; the quantizer stays frozen at batch 0's centroids; a
+    zero-norm arrival is quarantined in cell -1."""
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    b0 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 1)], schema
+    )
+    # 10 → cell 0, 11 → cell 1, 12 zero-norm → quarantine; labels here
+    # are DELIBERATELY wrong: post-freeze arrivals are filed by nearest
+    # centroid, their label column is ignored
+    b1 = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1, 0.0, 0.0], 1),
+            (11, [0.0, 0.8, 0.2, 0.0], 0),
+            (12, [0.0, 0.0, 0.0, 0.0], 0),
+        ],
+        schema,
+    )
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, b0.schema, work) == 1
+    frozen = sorted(tuple(r) for r in spark.read.parquet(f"{work}/centroids").collect())
+
+    # stage batch 1, then fake its failed first attempt on disk
+    b1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(99, 99, [0.0])], "_cell long, _id long, _qv array<double>"
+    ).write.mode("overwrite").parquet(f"{work}/postings/batch=1")
+
+    assert incremental_ivf_ingest_drain(spark, src, b0.schema, work) == 1
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{work}/centroids").collect())
+        == frozen
+    )
+    _, postings = load_ivf_state(spark, work)
+    cells = {r["_id"]: r["_cell"] for r in postings.collect()}
+    assert cells == {0: 0, 1: 1, 10: 0, 11: 1, 12: -1}

@@ -58,6 +58,10 @@ HEAVY = [
     "x03_kmv_distinct_by_type",
     "x05_kmv_set_algebra",
     "e08_scd2_incremental_apply",
+    # v15: the assignment itself is ∝ arrivals (fixed here at 10), so the
+    # measured growth is the frozen-quantizer build's one explode+agg
+    # over the corpus — the expected-linear term, with a flat probe atop
+    "v15_ivf_assign_arrivals",
 ]
 # 20 consonants → up to 20 distinct per-copy rotations (no accidental
 # cross-copy exact duplicates for N ≤ 20)
