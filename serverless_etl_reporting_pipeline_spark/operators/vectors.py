@@ -1395,6 +1395,36 @@ def assign_cells(
     ).mapInPandas(kernel, schema="_cell long, _id long, _qv array<double>")
 
 
+def lloyd_refresh(
+    centroids: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One deterministic Lloyd refinement step — the quantizer REFRESH a
+    stored IVF index runs between ingest epochs, once drift from the
+    frozen centroids degrades cell balance: re-assign every vector to
+    its nearest CURRENT centroid (`assign_cells`, map-only), then
+    recompute each cell's exact-integer centroid over its new members
+    (`ivf_centroids` keyed by the assigned cell). No RNG and no
+    convergence loop, so the step is oracle-checkable (v16); iterating
+    it is full k-means, a policy choice outside the engine.
+
+    Returns the refreshed centroid table ``(_cell, cv)`` — positionally
+    compatible with every probe/assign consumer. Cells left empty by
+    the re-assignment vanish (standard Lloyd); zero-norm quarantine
+    rows (``_cell = -1``) are excluded from retraining.
+
+    Scale shape: one Arrow map pass (centroids the only broadcast) +
+    one explode feeding a partial+final (cell, dim) aggregate — shuffle
+    ≤ cells × dims per map partition, never the corpus.
+    """
+    assigned = assign_cells(centroids, corpus, id_col, vec_col).filter(
+        F.col("_cell") >= 0
+    )
+    return ivf_centroids(assigned, "_qv", "_cell")
+
+
 def ivf_index_write(centroids: DataFrame, postings: DataFrame, path: str) -> None:
     """Materialize the IVF index (`ivf_index_build`) to storage: the
     centroid table as one parquet, the postings PARTITIONED BY cell —

@@ -22,7 +22,8 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 # Registry ORDER is deliberate: the driver's differential oracle verifies
 # the first 50 registry entries per round. Rotation policy for round 7:
 #   1. _PRIORITY first — every query ADDED this round (v14, x05, e08,
-#      v15: the IVF ingest-assignment kernel behind streaming/ivf.py),
+#      v15/v16: the IVF ingest-assignment kernel behind streaming/ivf.py
+#      and the Lloyd quantizer-refresh step),
 #      every query whose CODE or ORACLE changed this round (x01: null-
 #      propagating key + oracle h-filter; v11: semdedup degenerate-input
 #      guards; pipe01/pipe02: the shared annotate_batch/mixture_report
@@ -30,12 +31,12 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #      for the streaming vector-dedup twin), then the round-6
 #      verdict's mandatory cohort: the 28 queries whose last driver row
 #      is round 4 (a01-a11, c01-c06, c09, e01-e05, s01-s03, w08, w09 —
-#      code untouched since; sf0.01-verified every round). 38 slots.
-#   2. The remaining 12 slots float the oldest r5-era greens
-#      (registration order) into the window; t13/t17/t18/t19/t01 and
-#      the rest defer to round 8.
+#      code untouched since; sf0.01-verified every round). 39 slots.
+#   2. The remaining 11 slots float the oldest r5-era greens
+#      (registration order) into the window; v08/t13/t17/t18/t19/t01
+#      and the rest defer to round 8.
 # CORPUS POLICY (round-7 verdict ask #8): the query corpus is feature-
-# complete at 125 entries. New queries are capped at ~5 per round so the
+# complete at 127 entries. New queries are capped at ~5 per round so the
 # 50-slot driver window re-verifies every query within ~2.5 rounds;
 # freed slots go to rotation cadence, oldest driver row first.
 # Deferred queries stay covered every round by tools/oracle_check.py
@@ -51,7 +52,7 @@ _R4_ERA = frozenset(
 
 _PRIORITY = (
     # added this round
-    "v14", "x05", "e08", "v15",
+    "v14", "x05", "e08", "v15", "v16",
     # code/oracle changed this round (x03: _kmin_sets extraction)
     "x01", "v11", "pipe01", "pipe02", "x03", "v12",
 ) + tuple(sorted(_R4_ERA))

@@ -870,3 +870,77 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("_id").alias("vec_id"), F.col("_cell").alias("cell"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "v16_ivf_lloyd_refresh",
+    # The oracle performs the same single Lloyd step inline: build the
+    # current quantizer from the corpus side (v14/v15's cent CTE), file
+    # EVERY vector to its rank-1 cell (BIGINT cosine compare, ties ->
+    # lowest cell), then recompute per-(cell, dim) exact-integer means
+    # over the new memberships. round(avg(round(x*1e6))) is the same
+    # half-away-from-zero integer math on both engines (v05 precedent).
+    oracle="""
+    WITH ex AS (
+        SELECT label, u.pos - 1 AS dim,
+               round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE vec_id >= 10
+    ),
+    cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    av AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT av.vec_id, cent.label,
+               row_number() OVER (
+                   PARTITION BY av.vec_id
+                   ORDER BY CAST(round(
+                       list_sum(list_transform(list_zip(cv, v), z -> z[1] * z[2]))
+                       / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(v, x -> x * x))))
+                       * 1000000) AS BIGINT) DESC, label) AS crk
+        FROM cent, av
+    ),
+    newmem AS (SELECT vec_id, label AS cell FROM ranked WHERE crk = 1),
+    newex AS (
+        SELECT m.cell, u.pos - 1 AS dim,
+               round(CAST(e.embedding[u.pos] AS DOUBLE) * 1000000) AS x
+        FROM embeddings e
+        JOIN newmem m USING (vec_id),
+             UNNEST(generate_series(1, len(e.embedding))) AS u(pos)
+    )
+    SELECT cell, dim, CAST(round(avg(x)) AS BIGINT) AS c
+    FROM newex GROUP BY 1, 2 ORDER BY cell, dim
+    """,
+    doc="one deterministic Lloyd refinement step for the stored IVF index: "
+    "every vector (corpus ids >= 10 AND the drifted arrivals < 10) re-assigned "
+    "to its nearest current centroid, then per-cell exact-integer centroids "
+    "recomputed over the new memberships — the quantizer REFRESH between "
+    "ingest epochs, completing the index lifecycle (build v05/v14, ingest "
+    "v15/streaming, refresh v16). No k-means RNG: one step, exact integer "
+    "means, oracle-checkable. Scale shape: ONE map-only Arrow assignment pass "
+    "(centroid table the only broadcast) + one explode into a partial+final "
+    "(cell, dim) aggregate — shuffle <= cells x dims per partition "
+    "(operators/vectors.py lloyd_refresh)",
+)
+def v16_ivf_lloyd_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        lloyd_refresh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(emb.filter(F.col("vec_id") >= 10))
+    return (
+        lloyd_refresh(cent, emb)
+        .select(
+            F.col("_cell").alias("cell"),
+            F.posexplode("cv").alias("dim", "c"),
+        )
+        .select("cell", "dim", F.col("c").cast("bigint").alias("c"))
+        .orderBy("cell", "dim")
+    )

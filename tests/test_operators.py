@@ -886,3 +886,44 @@ def test_assign_cells_matches_numpy_brute_force_property(spark, corpus, arrivals
         sq = np.copysign(np.floor(np.abs(s * QUANT) + 0.5), s)
         want[100 + i] = int(cells[int(np.argmax(sq))])
     assert got == want
+
+
+def test_lloyd_refresh_moves_centroids_and_drops_empty_cells(spark):
+    """One Lloyd step on a hand-checkable fixture: drifted members pull
+    their new cell's integer centroid with them; a cell that loses all
+    members vanishes; zero-norm rows are excluded from retraining."""
+    import numpy as np
+
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        lloyd_refresh,
+        quantize_np,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 1),
+            (2, [0.9, 0.1], 2),  # its own 1-row cell, but nearer cell 0's axis
+        ],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cent = ivf_centroids(corpus)
+    # refresh over the corpus PLUS a drifted arrival and a zero-norm row
+    allv = corpus.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(10, [0.0, 0.8]), (11, [0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    got = {r["_cell"]: [float(x) for x in r["cv"]] for r in lloyd_refresh(cent, allv).collect()}
+    # one-row cells make each centroid its own row, so self-matches win:
+    # 0 -> cell 0, 2 -> cell 2 (cos=1 beats cell 0's 0.994), 1 and the
+    # drifted 10 -> cell 1, zero-norm 11 excluded.
+    # New memberships: cell 0 = {0}, cell 1 = {1, 10}, cell 2 = {2}.
+    q = lambda v: list(quantize_np(np.array(v)))
+    assert set(got) == {0, 1, 2}
+    assert got[0] == q([1.0, 0.0])
+    assert got[2] == q([0.9, 0.1])
+    # cell 1's centroid = rounded mean of quantized [0,1] and [0,0.8]
+    assert got[1] == [0.0, round((1000000 + 800000) / 2)]

@@ -427,3 +427,17 @@ def test_v15_assignment_is_map_only(spark, sf_dir):
     assert len(ex) == 1, ex
     # the tree names only the node; its partitioning is in the detail block
     assert re.search(r"\(\d+\) Exchange\nInput.*\nArguments: rangepartitioning", plan), plan
+
+
+def test_v16_lloyd_refresh_map_only_then_aggregates(spark, sf_dir):
+    """The Lloyd refresh must re-assign in ONE Arrow map pass (no join
+    with the corpus, no plan-level broadcast) and reduce through
+    partial+final aggregates — everything after the (cell, dim)
+    aggregate is cells×dims-sized."""
+    plan = _plan(spark, REGISTRY["v16_ivf_lloyd_refresh"].builder(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    assert not re.findall(r"Join", tree), tree
+    assert "BroadcastExchange" not in tree, tree
+    ex = [ln for ln in tree.splitlines() if re.search(r"\bExchange\b", ln)]
+    assert len(ex) <= 3, ex  # (cell,dim) agg + cv rebuild agg + output sort

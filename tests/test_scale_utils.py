@@ -338,6 +338,7 @@ _DUCK_ONLY = {
     "v13_batch_knn",  # list_transform/list_zip
     "v14_ivf_persisted_probe",  # list_transform/list_zip
     "v15_ivf_assign_arrivals",  # list_transform/list_zip/UNNEST
+    "v16_ivf_lloyd_refresh",  # list_transform/list_zip/UNNEST
     "x05_kmv_set_algebra",  # ::BIGINT / integer //
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
     "x03_kmv_distinct_by_type",  # ::BIGINT and // integer division

@@ -62,6 +62,8 @@ HEAVY = [
     # measured growth is the frozen-quantizer build's one explode+agg
     # over the corpus — the expected-linear term, with a flat probe atop
     "v15_ivf_assign_arrivals",
+    # v16: assignment pass + one (cell, dim) aggregate — expected ~linear
+    "v16_ivf_lloyd_refresh",
 ]
 # 20 consonants → up to 20 distinct per-copy rotations (no accidental
 # cross-copy exact duplicates for N ≤ 20)
