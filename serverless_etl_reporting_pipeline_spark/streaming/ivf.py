@@ -18,11 +18,23 @@ On-disk layout under ``work_dir``:
   (`assign_cells` — map-only Arrow pass, the centroid table the only
   broadcast; no shuffle, no corpus access, any arrival rate).
 - ``postings_compacted/upto=K/`` — optional: `compact_ivf_segments`
-  folds every segment with id ≤ K into ONE cell-partitioned parquet
-  (the `ivf_index_write` layout, so probes dynamic-partition-prune to
-  the buckets they hit) — the small-files answer at streaming rates.
-  Folded ``batch=`` segments are RETAINED (loaders ignore ids ≤ K);
-  garbage collection is a retention policy, not an ingest concern.
+  folds every segment newer than the current refresh epoch (id ≤ K)
+  into ONE cell-partitioned parquet (the `ivf_index_write` layout, so
+  probes dynamic-partition-prune to the buckets they hit) — the
+  small-files answer at streaming rates. Folded ``batch=`` segments
+  are RETAINED (loaders ignore ids ≤ K); garbage collection is a
+  retention policy, not an ingest concern.
+- ``refresh/epoch=E/`` — optional: `refresh_ivf_state` runs ONE
+  quiesced Lloyd step over the whole accumulated state (`lloyd_refresh`)
+  and re-files every vector under the refreshed quantizer,
+  cell-partitioned. The trailing ``_COMMITTED`` marker is the swap
+  point: drains and loaders use the newest COMMITTED epoch's centroids
+  and postings, superseding the frozen batch-0 quantizer, every
+  segment with id ≤ E, and every older compaction (any compaction with
+  ``upto > E`` was necessarily folded under epoch E's floor, so the
+  three state sources always tile disjointly). A crashed refresh
+  leaves no marker and is invisible; re-running it overwrites the same
+  epoch dir from the same inputs.
 
 Idempotence (the funnel module's discipline): every write lands under
 ``batch=<id>`` / ``upto=<id>`` with overwrite; the frozen-centroid
@@ -50,11 +62,32 @@ from pyspark.sql import types as T
 from serverless_etl_reporting_pipeline_spark.operators.vectors import (
     assign_cells,
     ivf_centroids,
+    lloyd_refresh,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     _batch_dirs,
     _fs_exists,
 )
+
+
+def _fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file through the Hadoop FileSystem API
+    (any supported scheme) — the commit point of a refresh epoch."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
+
+
+def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None:
+    """Newest COMMITTED refresh epoch ``(id, uri)``, or None. Epochs
+    missing their ``_COMMITTED`` marker (crashed refresh) are invisible
+    to drains and loaders."""
+    committed = [
+        (e, uri)
+        for e, uri in _batch_dirs(spark, os.path.join(work_dir, "refresh"), "epoch=")
+        if _fs_exists(spark, f"{uri}/_COMMITTED")
+    ]
+    return committed[-1] if committed else None
 
 
 def incremental_ivf_ingest_drain(
@@ -79,14 +112,19 @@ def incremental_ivf_ingest_drain(
             return
         n_batches["n"] += 1
         s = batch.sparkSession
-        # quantizer FROZEN at first ingestion (the _SUCCESS guard can
-        # only be absent during batch 0 or its checkpoint replay, and a
-        # replay regenerates identical exact-integer centroids)
-        if not _fs_exists(s, os.path.join(cent_dir, "_SUCCESS")):
-            ivf_centroids(batch, vec_col, cell_col).write.mode("overwrite").parquet(
-                cent_dir
-            )
-        cent = s.read.parquet(cent_dir)
+        # quantizer = the newest committed refresh epoch's, else the one
+        # FROZEN at first ingestion (the _SUCCESS guard can only be
+        # absent during batch 0 or its checkpoint replay, and a replay
+        # regenerates identical exact-integer centroids)
+        epoch = _current_epoch(s, work_dir)
+        if epoch is None:
+            if not _fs_exists(s, os.path.join(cent_dir, "_SUCCESS")):
+                ivf_centroids(batch, vec_col, cell_col).write.mode("overwrite").parquet(
+                    cent_dir
+                )
+            cent = s.read.parquet(cent_dir)
+        else:
+            cent = s.read.parquet(f"{epoch[1]}/centroids")
         assign_cells(cent, batch, id_col, vec_col).write.mode("overwrite").parquet(
             os.path.join(post_dir, f"batch={batch_id}")
         )
@@ -105,14 +143,25 @@ def incremental_ivf_ingest_drain(
 
 
 def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
-    """Fold every ``postings/batch=<id>`` segment into ONE
-    cell-partitioned parquet under ``postings_compacted/upto=<max id>``
-    (superseding earlier compactions — `load_ivf_state` reads only the
-    newest). One shuffle-free write re-bucketed by directory; after it,
-    probes of the compacted span read exactly the cell directories
-    they hit instead of every tiny segment file. Returns the new
-    ``upto`` id, or None when there are no segments to fold."""
-    segs = _batch_dirs(spark, os.path.join(work_dir, "postings"))
+    """Fold every ``postings/batch=<id>`` segment newer than the
+    current refresh epoch into ONE cell-partitioned parquet under
+    ``postings_compacted/upto=<max id>`` (superseding earlier
+    compactions — `load_ivf_state` reads only the newest). One
+    shuffle-free write re-bucketed by directory; after it, probes of
+    the compacted span read exactly the cell directories they hit
+    instead of every tiny segment file. Returns the new ``upto`` id,
+    or None when there is nothing to fold.
+
+    Segments at or below the epoch are never folded: their cells were
+    assigned under a superseded quantizer, and the epoch's re-filed
+    postings already cover those vectors."""
+    epoch = _current_epoch(spark, work_dir)
+    floor_id = epoch[0] if epoch else -1
+    segs = [
+        (bid, uri)
+        for bid, uri in _batch_dirs(spark, os.path.join(work_dir, "postings"))
+        if bid > floor_id
+    ]
     if not segs:
         return None
     upto = max(bid for bid, _ in segs)
@@ -123,28 +172,73 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
     return upto
 
 
+def refresh_ivf_state(spark: SparkSession, work_dir: str) -> int | None:
+    """One quiesced quantizer refresh + epoch swap (run BETWEEN drains
+    — the swap is not concurrent-safe against an in-flight batch, the
+    same contract a stored index's reindex job has):
+
+    1. `lloyd_refresh` over the ENTIRE accumulated state → refreshed
+       centroids under ``refresh/epoch=E/centroids``;
+    2. every vector re-filed to its nearest refreshed centroid
+       (`assign_cells`), cell-partitioned under ``.../postings``;
+    3. the ``_COMMITTED`` marker written LAST — the atomic swap point.
+
+    E = the newest ingested batch id, so the epoch supersedes every
+    batch segment and compaction that existed when it ran; subsequent
+    drains assign with the refreshed quantizer. Returns E, or None when
+    there is no state or nothing new since the last committed epoch
+    (re-refreshing the same data would silently iterate k-means a
+    second step — an explicit policy call, not a default)."""
+    segs = _batch_dirs(spark, os.path.join(work_dir, "postings"))
+    if not segs:
+        return None
+    new_e = max(bid for bid, _ in segs)
+    epoch = _current_epoch(spark, work_dir)
+    if epoch is not None and epoch[0] >= new_e:
+        return None
+    cent, postings = load_ivf_state(spark, work_dir)
+    ep_dir = os.path.join(work_dir, "refresh", f"epoch={new_e}")
+    lloyd_refresh(cent, postings, id_col="_id", vec_col="_qv").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(ep_dir, "centroids"))
+    refreshed = spark.read.parquet(os.path.join(ep_dir, "centroids"))
+    assign_cells(refreshed, postings, id_col="_id", vec_col="_qv").write.mode(
+        "overwrite"
+    ).partitionBy("_cell").parquet(os.path.join(ep_dir, "postings"))
+    _fs_touch(spark, os.path.join(ep_dir, "_COMMITTED"))
+    return new_e
+
+
 def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Load the streamed IVF index for probing: the frozen centroid
-    table plus postings = newest compaction (ids ≤ K, cell-partitioned,
-    partition-pruned by probes) unioned with the uncompacted segment
-    tail (ids > K). Feed straight into `ivf_batch_probe`."""
-    cent = spark.read.parquet(os.path.join(work_dir, "centroids"))
-    comps = _batch_dirs(spark, os.path.join(work_dir, "postings_compacted"), "upto=")
-    upto = comps[-1][0] if comps else -1
+    """Load the streamed IVF index for probing: the CURRENT quantizer
+    (newest committed refresh epoch's centroids, else the frozen
+    batch-0 table) plus postings tiled from the three disjoint state
+    sources — epoch re-file (ids ≤ E), newest post-epoch compaction
+    (E < ids ≤ K), uncompacted segment tail (ids > max(E, K)). Feed
+    straight into `ivf_batch_probe`."""
+
+    def _sel(df: DataFrame) -> DataFrame:
+        return df.select(F.col("_cell").cast("long").alias("_cell"), "_id", "_qv")
+
     parts = []
+    epoch = _current_epoch(spark, work_dir)
+    if epoch is not None:
+        cent = spark.read.parquet(f"{epoch[1]}/centroids")
+        parts.append(_sel(spark.read.parquet(f"{epoch[1]}/postings")))
+    else:
+        cent = spark.read.parquet(os.path.join(work_dir, "centroids"))
+    floor_id = epoch[0] if epoch else -1
+    comps = [
+        c
+        for c in _batch_dirs(spark, os.path.join(work_dir, "postings_compacted"), "upto=")
+        if c[0] > floor_id
+    ]
     if comps:
-        parts.append(
-            spark.read.parquet(comps[-1][1]).select(
-                F.col("_cell").cast("long").alias("_cell"), "_id", "_qv"
-            )
-        )
+        parts.append(_sel(spark.read.parquet(comps[-1][1])))
+    upto = comps[-1][0] if comps else floor_id
     for bid, uri in _batch_dirs(spark, os.path.join(work_dir, "postings")):
         if bid > upto:
-            parts.append(
-                spark.read.parquet(uri).select(
-                    F.col("_cell").cast("long").alias("_cell"), "_id", "_qv"
-                )
-            )
+            parts.append(_sel(spark.read.parquet(uri)))
     if not parts:
         raise FileNotFoundError(f"no posting state under {work_dir}")
     postings = parts[0]

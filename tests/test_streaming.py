@@ -759,3 +759,104 @@ def test_streaming_ivf_replay_idempotent_and_frozen_centroids(spark, tmp_path):
     _, postings = load_ivf_state(spark, work)
     cells = {r["_id"]: r["_cell"] for r in postings.collect()}
     assert cells == {0: 0, 1: 1, 10: 0, 11: 1, 12: -1}
+
+
+def test_streaming_ivf_refresh_epoch_swap(spark, sf_dir, tmp_path):
+    """refresh_ivf_state = one quiesced Lloyd step + epoch swap: the
+    committed epoch's quantizer equals lloyd_refresh over the state it
+    covered, later drains assign with it, compaction folds only the
+    post-epoch tail, and the loaded state equals assign_cells(epoch
+    centroids, union of ALL ingested batches)."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        ivf_batch_probe,
+        lloyd_refresh,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        compact_ivf_segments,
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+        refresh_ivf_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 10")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    c1, c2 = int(0.4 * max_id), int(0.7 * max_id)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    assert refresh_ivf_state(spark, work) is None  # no state yet
+    emb.filter(f"vec_id < {c1}").coalesce(1).write.mode("append").parquet(src)
+    emb.filter(f"vec_id >= {c1} and vec_id < {c2}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 2
+    assert refresh_ivf_state(spark, work) == 1
+    assert refresh_ivf_state(spark, work) is None  # nothing new since epoch 1
+
+    # the swapped quantizer IS one Lloyd step over what it covered
+    frozen = spark.read.parquet(f"{work}/centroids")
+    got_cent = spark.read.parquet(f"{work}/refresh/epoch=1/centroids")
+    want_cent = lloyd_refresh(frozen, emb.filter(f"vec_id < {c2}"))
+    as_map = lambda df: {r[0]: [float(x) for x in r[1]] for r in df.collect()}
+    assert as_map(got_cent) == as_map(want_cent)
+
+    # post-epoch drain assigns with the refreshed quantizer
+    emb.filter(f"vec_id >= {c2}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    cent_e, postings = load_ivf_state(spark, work)
+    assert as_map(cent_e) == as_map(want_cent)
+    pairs = lambda df: {(r["_cell"], r["_id"]) for r in df.collect()}
+    want_post = assign_cells(cent_e, emb)
+    assert pairs(postings) == pairs(want_post)
+    assert postings.count() == emb.count()  # disjoint tiling, no double-read
+
+    # compaction after the epoch folds ONLY the post-epoch tail
+    assert compact_ivf_segments(spark, work) == 2
+    _, post2 = load_ivf_state(spark, work)
+    assert pairs(post2) == pairs(want_post) and post2.count() == emb.count()
+
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id < 10")
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    streamed = ivf_batch_probe(cent_e, post2, q, k=3, nprobe=2).collect()
+    batch = ivf_batch_probe(cent_e, want_post, q, k=3, nprobe=2).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_streaming_ivf_uncommitted_epoch_invisible(spark, tmp_path):
+    """A refresh that crashed before its _COMMITTED marker must be
+    invisible: drains keep the frozen quantizer, loaders keep the
+    segment state, and a re-run refresh overwrites the dir."""
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+        refresh_ivf_state,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    b0 = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)], schema
+    )
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, b0.schema, work) == 1
+
+    # fake a crashed refresh: epoch dir with garbage, NO _COMMITTED
+    spark.createDataFrame([(77, [9.0, 9.0])], "_cell long, cv array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{work}/refresh/epoch=0/centroids")
+    spark.createDataFrame(
+        [(77, 77, [9.0, 9.0])], "_cell long, _id long, _qv array<double>"
+    ).write.mode("overwrite").parquet(f"{work}/refresh/epoch=0/postings")
+
+    cent, postings = load_ivf_state(spark, work)
+    assert {r["_id"] for r in postings.collect()} == {0, 1}
+    assert {r[0] for r in cent.collect()} == {0, 1}  # frozen quantizer
+
+    # re-running the refresh overwrites the garbage and commits
+    assert refresh_ivf_state(spark, work) == 0
+    cent2, post2 = load_ivf_state(spark, work)
+    assert {r[0] for r in cent2.collect()} == {0, 1}
+    assert {(r["_cell"], r["_id"]) for r in post2.collect()} == {(0, 0), (1, 1)}
