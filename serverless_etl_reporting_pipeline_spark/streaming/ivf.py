@@ -10,13 +10,15 @@ On-disk layout under ``work_dir``:
 
 - ``centroids/`` — the coarse quantizer, FROZEN at first ingestion:
   exact-integer cell centroids of batch 0 (`ivf_centroids`, the v05
-  quantizer — no k-means RNG). Later batches never mutate it: index
-  refresh (re-training the quantizer) is a rebuild policy OUTSIDE the
-  ingest path, exactly like the funnel's frozen benchmark split.
+  quantizer — no k-means RNG). Drained batches never mutate it —
+  re-training happens only through the explicit quiesced
+  `refresh_ivf_state` epoch swap below, exactly like the funnel's
+  frozen benchmark split.
 - ``postings/batch=N/`` — one posting segment per drained batch:
-  batch N's vectors filed to their nearest frozen centroid
-  (`assign_cells` — map-only Arrow pass, the centroid table the only
-  broadcast; no shuffle, no corpus access, any arrival rate).
+  batch N's vectors filed to their nearest CURRENT centroid (newest
+  committed epoch's, else the frozen table) via `assign_cells` —
+  map-only Arrow pass, the centroid table the only broadcast; no
+  shuffle, no corpus access, any arrival rate.
 - ``postings_compacted/upto=K/`` — optional: `compact_ivf_segments`
   folds every segment newer than the current refresh epoch (id ≤ K)
   into ONE cell-partitioned parquet (the `ivf_index_write` layout, so
@@ -44,11 +46,12 @@ aggregation of the same rows). A replayed micro-batch therefore
 overwrites its own posting segment and leaves all other state alone.
 
 Correctness contract (tests/test_streaming.py): after any drain /
-compaction interleaving, `load_ivf_state` postings equal
-``assign_cells(frozen centroids, union of all ingested batches)``
-row-for-row — and therefore `ivf_batch_probe` over the streamed index
-equals the batch-built probe (v14's oracle-pinned kernel) for any
-query batch.
+compaction / refresh interleaving, `load_ivf_state` postings equal
+``assign_cells(current quantizer, union of all ingested batches)``
+row-for-row, and a committed epoch's quantizer equals `lloyd_refresh`
+over exactly the state it covered — therefore `ivf_batch_probe` over
+the streamed index equals the batch-built probe (v14's oracle-pinned
+kernel) for any query batch.
 """
 
 from __future__ import annotations
