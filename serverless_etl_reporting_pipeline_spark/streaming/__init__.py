@@ -1,4 +1,27 @@
+"""Streaming surface: checkpointed AvailableNow ingest, watermarked
+windows, stateful operators, and the three stateful ingest twins
+(curation funnel, vector-dedup band index, IVF retrieval index)."""
+
+from serverless_etl_reporting_pipeline_spark.streaming.funnel import incremental_funnel_drain
 from serverless_etl_reporting_pipeline_spark.streaming.ingest import available_now_ingest
+from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+    compact_ivf_segments,
+    incremental_ivf_ingest_drain,
+    load_ivf_state,
+    refresh_ivf_state,
+)
+from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+    incremental_vector_dedup_drain,
+)
 from serverless_etl_reporting_pipeline_spark.streaming.windows import windowed_counts
 
-__all__ = ["available_now_ingest", "windowed_counts"]
+__all__ = [
+    "available_now_ingest",
+    "windowed_counts",
+    "incremental_funnel_drain",
+    "incremental_vector_dedup_drain",
+    "incremental_ivf_ingest_drain",
+    "compact_ivf_segments",
+    "refresh_ivf_state",
+    "load_ivf_state",
+]
