@@ -1165,6 +1165,22 @@ def batch_knn(
     )
 
 
+def _collect_centroid_matrix(centroids: DataFrame):
+    """Collect a centroid table (cells × dims: aggregate-sized) into
+    ``(cells, C, cn)`` with columns SORTED BY CELL ID ascending — the
+    shared prologue of `assign_cells` and `ivf_batch_probe`, so the
+    zero-norm-centroid guard logic has exactly one implementation. The
+    `cv` arrays are already exact 1e-6 integers (`ivf_centroids`); no
+    re-quantization happens here."""
+    import numpy as np
+
+    rows = centroids.collect()
+    order = np.argsort(np.asarray([r[0] for r in rows], dtype=np.int64), kind="stable")
+    cells = np.asarray([rows[i][0] for i in order], dtype=np.int64)
+    C = np.asarray([[float(x) for x in rows[i][1]] for i in order], dtype=np.float64)
+    return cells, C, np.sqrt((C * C).sum(axis=1))
+
+
 def ivf_centroids(
     corpus: DataFrame, vec_col: str = "embedding", cell_col: str = "label"
 ) -> DataFrame:
@@ -1248,10 +1264,7 @@ def ivf_batch_probe(
     import numpy as np
 
     qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
-    cent_rows = centroids.collect()  # cells × dims: aggregate-sized
-    cells = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
-    C = np.asarray([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
-    cn = np.sqrt((C * C).sum(axis=1))
+    cells, C, cn = _collect_centroid_matrix(centroids)
     # zero-norm guards (cosine undefined; the semdedup_map discipline):
     # a zero-norm CENTROID is never anyone's probe target; a zero-norm
     # QUERY probes the lowest cells deterministically and its candidate
@@ -1346,23 +1359,17 @@ def assign_cells(
     array<double>), ready to append under the `ivf_index_write` layout.
 
     Degenerate inputs (the semdedup_map discipline): a zero-norm
-    centroid is never an assignment target; a zero-norm ARRIVAL has no
-    defined cosine against any cell and is quarantined in `_cell = -1`
-    — deterministic, never NaN, and invisible to probes (probe pairs
-    reference real cells only).
+    centroid is never an assignment target; a zero-norm ARRIVAL — or
+    any arrival when EVERY centroid is zero-norm — has no defined
+    cosine against any assignable cell and is quarantined in
+    `_cell = -1`: deterministic, never NaN, and invisible to probes
+    (probe pairs reference real cells only).
     """
     import numpy as np
 
-    cent_rows = centroids.collect()  # cells × dims: aggregate-sized
-    order = np.argsort(np.asarray([r[0] for r in cent_rows], dtype=np.int64))
-    cells = np.asarray([cent_rows[i][0] for i in order], dtype=np.int64)
-    C = np.asarray(
-        [[float(x) for x in cent_rows[i][1]] for i in order], dtype=np.float64
-    )
-    cn = np.sqrt((C * C).sum(axis=1))
-    zc = cn == 0.0
+    cells, C, cn = _collect_centroid_matrix(centroids)
     spark = arrivals.sparkSession
-    bc = spark.sparkContext.broadcast((cells, C, cn, zc))
+    bc = spark.sparkContext.broadcast((cells, C, cn, cn == 0.0))
 
     def kernel(batches):
         import numpy as _np
@@ -1382,9 +1389,12 @@ def assign_cells(
             # argmax's first-max rule IS the ties→lowest-cell rule
             Sq = _np.copysign(_np.floor(_np.abs(S * QUANT) + 0.5), S)
             best = cl[_np.argmax(Sq, axis=1)]
+            # a row with no finite score has no assignable cell (every
+            # centroid zero-norm) — quarantine, don't argmax into -inf
+            assignable = valid & _np.isfinite(_np.max(Sq, axis=1))
             yield _pd.DataFrame(
                 {
-                    "_cell": _np.where(valid, best, _np.int64(-1)),
+                    "_cell": _np.where(assignable, best, _np.int64(-1)),
                     "_id": pdf["_id"].to_numpy(dtype=_np.int64),
                     "_qv": pdf["_qv"],
                 }

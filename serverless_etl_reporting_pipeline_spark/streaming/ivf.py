@@ -81,6 +81,22 @@ def _fs_touch(spark: SparkSession, path: str) -> None:
     p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
 
 
+def _committed_dirs(
+    spark: SparkSession, dir_path: str, prefix: str = "batch="
+) -> list[tuple[int, str]]:
+    """`_batch_dirs` restricted to dirs whose parquet commit finished
+    (`_SUCCESS` present). The drain's strictly-per-batch writes don't
+    need this — a replayed micro-batch overwrites its own partial dir
+    before anyone reads it — but the MAINTENANCE ops (compact, refresh,
+    load) read the latest segment too, and folding or trusting a
+    half-written dir would bake the loss in permanently."""
+    return [
+        (i, uri)
+        for i, uri in _batch_dirs(spark, dir_path, prefix)
+        if _fs_exists(spark, f"{uri}/_SUCCESS")
+    ]
+
+
 def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None:
     """Newest COMMITTED refresh epoch ``(id, uri)``, or None. Epochs
     missing their ``_COMMITTED`` marker (crashed refresh) are invisible
@@ -162,12 +178,17 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
     floor_id = epoch[0] if epoch else -1
     segs = [
         (bid, uri)
-        for bid, uri in _batch_dirs(spark, os.path.join(work_dir, "postings"))
+        for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings"))
         if bid > floor_id
     ]
     if not segs:
         return None
     upto = max(bid for bid, _ in segs)
+    newest = _committed_dirs(
+        spark, os.path.join(work_dir, "postings_compacted"), "upto="
+    )
+    if newest and newest[-1][0] == upto:
+        return upto  # idempotent no-op: that exact span is already folded
     df = spark.read.parquet(*[uri for _, uri in segs])
     df.write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(work_dir, "postings_compacted", f"upto={upto}")
@@ -192,7 +213,7 @@ def refresh_ivf_state(spark: SparkSession, work_dir: str) -> int | None:
     there is no state or nothing new since the last committed epoch
     (re-refreshing the same data would silently iterate k-means a
     second step — an explicit policy call, not a default)."""
-    segs = _batch_dirs(spark, os.path.join(work_dir, "postings"))
+    segs = _committed_dirs(spark, os.path.join(work_dir, "postings"))
     if not segs:
         return None
     new_e = max(bid for bid, _ in segs)
@@ -233,13 +254,15 @@ def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataF
     floor_id = epoch[0] if epoch else -1
     comps = [
         c
-        for c in _batch_dirs(spark, os.path.join(work_dir, "postings_compacted"), "upto=")
+        for c in _committed_dirs(
+            spark, os.path.join(work_dir, "postings_compacted"), "upto="
+        )
         if c[0] > floor_id
     ]
     if comps:
         parts.append(_sel(spark.read.parquet(comps[-1][1])))
     upto = comps[-1][0] if comps else floor_id
-    for bid, uri in _batch_dirs(spark, os.path.join(work_dir, "postings")):
+    for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings")):
         if bid > upto:
             parts.append(_sel(spark.read.parquet(uri)))
     if not parts:

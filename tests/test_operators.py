@@ -884,7 +884,8 @@ def test_assign_cells_matches_numpy_brute_force_property(spark, corpus, arrivals
         m = cn > 0.0
         s[m] = (C[m] @ a) / (cn[m] * an)
         sq = np.copysign(np.floor(np.abs(s * QUANT) + 0.5), s)
-        want[100 + i] = int(cells[int(np.argmax(sq))])
+        # no finite score (every centroid zero-norm) -> quarantine
+        want[100 + i] = int(cells[int(np.argmax(sq))]) if m.any() else -1
     assert got == want
 
 
@@ -927,3 +928,24 @@ def test_lloyd_refresh_moves_centroids_and_drops_empty_cells(spark):
     assert got[2] == q([0.9, 0.1])
     # cell 1's centroid = rounded mean of quantized [0,1] and [0,0.8]
     assert got[1] == [0.0, round((1000000 + 800000) / 2)]
+
+
+def test_assign_cells_all_zero_quantizer_quarantines(spark):
+    """When EVERY centroid is zero-norm (symmetric members cancel), no
+    cell is assignable and every arrival lands in the -1 quarantine —
+    never argmax'd into a zero-norm cell."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        ivf_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0)],  # label-0 mean = zero vector
+        "vec_id long, embedding array<float>, label long",
+    )
+    cent = ivf_centroids(corpus)
+    arrivals = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r["_id"]: r["_cell"] for r in assign_cells(cent, arrivals).collect()}
+    assert got == {10: -1, 11: -1}

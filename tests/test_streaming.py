@@ -860,3 +860,53 @@ def test_streaming_ivf_uncommitted_epoch_invisible(spark, tmp_path):
     cent2, post2 = load_ivf_state(spark, work)
     assert {r[0] for r in cent2.collect()} == {0, 1}
     assert {(r["_cell"], r["_id"]) for r in post2.collect()} == {(0, 0), (1, 1)}
+
+
+def test_streaming_ivf_crashed_maintenance_dirs_ignored(spark, tmp_path):
+    """Durability of the maintenance surface: a compaction dir without
+    _SUCCESS (crashed fold) is invisible to loaders and healed by the
+    next compact; a partial posting segment without _SUCCESS is never
+    folded or refreshed over, so the stream's replay can still heal it."""
+    import os
+
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        compact_ivf_segments,
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+        refresh_ivf_state,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    b0 = spark.createDataFrame([(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)], schema)
+    b1 = spark.createDataFrame([(2, [0.9, 0.1], 0)], schema)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_ivf_ingest_drain(spark, src, b0.schema, work) == 2
+
+    # crashed compaction: parquet written but _SUCCESS removed
+    spark.createDataFrame(
+        [(99, 99, [9.0, 9.0])], "_cell long, _id long, _qv array<double>"
+    ).write.partitionBy("_cell").mode("overwrite").parquet(
+        f"{work}/postings_compacted/upto=1"
+    )
+    os.remove(f"{work}/postings_compacted/upto=1/_SUCCESS")
+    _, postings = load_ivf_state(spark, work)
+    assert {r["_id"] for r in postings.collect()} == {0, 1, 2}
+    # the next compact heals it (same span, but the crashed dir doesn't
+    # trigger the idempotent short-circuit — it never committed)
+    assert compact_ivf_segments(spark, work) == 1
+    _, post2 = load_ivf_state(spark, work)
+    assert {r["_id"] for r in post2.collect()} == {0, 1, 2}
+    # committed span already folded -> idempotent no-op, same answer
+    assert compact_ivf_segments(spark, work) == 1
+
+    # partial posting segment (crashed drain write): invisible to
+    # refresh (epoch floor stays at the committed max) and loaders
+    spark.createDataFrame(
+        [(77, 77, [9.0, 9.0])], "_cell long, _id long, _qv array<double>"
+    ).write.mode("overwrite").parquet(f"{work}/postings/batch=7")
+    os.remove(f"{work}/postings/batch=7/_SUCCESS")
+    assert refresh_ivf_state(spark, work) == 1  # not 7
+    cent, post3 = load_ivf_state(spark, work)
+    assert {r["_id"] for r in post3.collect()} == {0, 1, 2}
