@@ -2,7 +2,10 @@
 windows, stateful operators, and the three stateful ingest twins
 (curation funnel, vector-dedup band index, IVF retrieval index)."""
 
-from serverless_etl_reporting_pipeline_spark.streaming.funnel import incremental_funnel_drain
+from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+    compact_hash_state,
+    incremental_funnel_drain,
+)
 from serverless_etl_reporting_pipeline_spark.streaming.ingest import available_now_ingest
 from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
     compact_ivf_segments,
@@ -11,6 +14,7 @@ from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
     refresh_ivf_state,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+    compact_band_index,
     incremental_vector_dedup_drain,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.windows import windowed_counts
@@ -19,7 +23,9 @@ __all__ = [
     "available_now_ingest",
     "windowed_counts",
     "incremental_funnel_drain",
+    "compact_hash_state",
     "incremental_vector_dedup_drain",
+    "compact_band_index",
     "incremental_ivf_ingest_drain",
     "compact_ivf_segments",
     "refresh_ivf_state",

@@ -145,6 +145,78 @@ def _batch_dirs(
     return sorted(out)
 
 
+def _committed_dirs(
+    spark: SparkSession, dir_path: str, prefix: str = "batch="
+) -> list[tuple[int, str]]:
+    """`_batch_dirs` restricted to dirs whose parquet commit finished
+    (`_SUCCESS` present). The drains' strictly-earlier per-batch reads
+    don't need this — a crashed batch write means the checkpoint never
+    advanced, so the replay IS that batch and overwrites the partial
+    dir before anyone reads it — but MAINTENANCE ops (compaction,
+    refresh, state loads) also read the LATEST segment, and folding or
+    trusting a half-written dir would bake the loss in permanently."""
+    return [
+        (i, uri)
+        for i, uri in _batch_dirs(spark, dir_path, prefix)
+        if _fs_exists(spark, f"{uri}/_SUCCESS")
+    ]
+
+
+def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
+    """Fold every committed ``batch=<id>`` segment under ``seg_dir``
+    into ONE parquet at ``comp_dir/upto=<max id>``, each row tagged
+    with its origin batch id (``_bid``) — the small-files answer for a
+    long-running ingest, shared by the hash-state and band-index
+    compactions. The tag is what lets `_prior_segments`' strictly-
+    earlier reads SURVIVE compaction: a replayed micro-batch whose own
+    committed segment was folded before the crash-recovery replay
+    still excludes its own rows at the row level. Supersedes earlier
+    compactions; folded segments are RETAINED (garbage collection is a
+    retention policy, not an ingest concern). Returns the new ``upto``
+    id, None when there is nothing to fold, and short-circuits when
+    the committed span is already folded."""
+    segs = _committed_dirs(spark, seg_dir)
+    if not segs:
+        return None
+    upto = max(bid for bid, _ in segs)
+    newest = _committed_dirs(spark, comp_dir, "upto=")
+    if newest and newest[-1][0] == upto:
+        return upto  # idempotent no-op: that exact span is already folded
+    folded = None
+    for bid, uri in segs:
+        part = spark.read.parquet(uri).withColumn("_bid", F.lit(bid))
+        folded = part if folded is None else folded.unionByName(part)
+    folded.write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
+    return upto
+
+
+def _prior_segments(
+    spark: SparkSession, seg_dir: str, comp_dir: str, batch_id: int
+) -> DataFrame | None:
+    """State from batches STRICTLY before ``batch_id``: the newest
+    committed compaction (row-level ``_bid < batch_id`` filter — see
+    `_fold_segments`) plus the uncompacted segment tail. None when no
+    strictly-earlier state exists (first batch)."""
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    parts, upto = [], -1
+    if comps:
+        upto = comps[-1][0]
+        parts.append(
+            spark.read.parquet(comps[-1][1])
+            .filter(F.col("_bid") < batch_id)
+            .drop("_bid")
+        )
+    tail = [uri for bid, uri in _batch_dirs(spark, seg_dir) if upto < bid < batch_id]
+    if tail:
+        parts.append(spark.read.parquet(*tail))
+    if not parts:
+        return None
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> DataFrame | None:
     """Hash-index state from batches STRICTLY before ``batch_id``.
 
@@ -153,15 +225,25 @@ def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> Da
     attempt; reading it back would anti-join the batch's quality docs
     away against their own hashes, flipping dd/clean to False for the
     whole batch and breaking the overwrite-idempotence contract. Only
-    strictly-earlier batch dirs are visible state. Missing state (first
-    batch) returns None; any OTHER read error propagates — a corrupt
+    strictly-earlier state is visible — whether it still sits in
+    per-batch dirs or was folded by `compact_hash_state` (the row-level
+    ``_bid`` filter, see `_fold_segments`). Missing state (first batch)
+    returns None; any OTHER read error propagates — a corrupt
     half-written state dir must fail the drain, not silently disable
     cross-batch dedup.
     """
-    prior = [uri for bid, uri in _batch_dirs(spark, hashes_dir) if bid < batch_id]
-    if not prior:
-        return None
-    return spark.read.parquet(*prior)
+    return _prior_segments(spark, hashes_dir, hashes_dir + "_compacted", batch_id)
+
+
+def compact_hash_state(spark: SparkSession, work_dir: str) -> int | None:
+    """Fold the accumulated ``state_hashes/batch=<id>`` dirs into one
+    ``_bid``-tagged parquet (`_fold_segments`) — at streaming rates the
+    hash index otherwise becomes thousands of tiny files, each listed
+    and opened by every micro-batch's anti-join. Returns the folded
+    ``upto`` id (None if nothing to fold); `_prior_hash_state` reads
+    compaction + tail transparently."""
+    hashes_dir = os.path.join(work_dir, "state_hashes")
+    return _fold_segments(spark, hashes_dir, hashes_dir + "_compacted")
 
 
 def incremental_mixture_report(

@@ -69,6 +69,7 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
 )
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     _batch_dirs,
+    _committed_dirs,
     _fs_exists,
 )
 
@@ -80,21 +81,6 @@ def _fs_touch(spark: SparkSession, path: str) -> None:
     p = jvm.org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
 
-
-def _committed_dirs(
-    spark: SparkSession, dir_path: str, prefix: str = "batch="
-) -> list[tuple[int, str]]:
-    """`_batch_dirs` restricted to dirs whose parquet commit finished
-    (`_SUCCESS` present). The drain's strictly-per-batch writes don't
-    need this — a replayed micro-batch overwrites its own partial dir
-    before anyone reads it — but the MAINTENANCE ops (compact, refresh,
-    load) read the latest segment too, and folding or trusting a
-    half-written dir would bake the loss in permanently."""
-    return [
-        (i, uri)
-        for i, uri in _batch_dirs(spark, dir_path, prefix)
-        if _fs_exists(spark, f"{uri}/_SUCCESS")
-    ]
 
 
 def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None:

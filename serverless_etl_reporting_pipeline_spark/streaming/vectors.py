@@ -9,6 +9,10 @@ batch), then its own band fan is appended as a new index segment:
 - ``band_index/batch=N/`` — the stored index: one (_band, _code, id,
   vector) fan segment per drained batch. A batch's fan is computed
   exactly once, ever — later batches probe it from disk.
+- ``band_index_compacted/upto=K/`` — optional: `compact_band_index`
+  folds committed segments into ONE parquet with a row-level origin
+  batch id (``_bid``), so probes read one file set instead of K tiny
+  segments while replays keep their strictly-earlier exclusion.
 - ``vec_ann/batch=N/`` — per-vector annotations (vec_id, is_dup,
   dup_src, cos): dup iff a cosine >= threshold near-dup exists among
   STRICTLY EARLIER batches, dup_src the smallest such id (v12's
@@ -39,7 +43,37 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
     probe_band_index,
     random_hyperplanes,
 )
-from serverless_etl_reporting_pipeline_spark.streaming.funnel import _batch_dirs
+from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+    _fold_segments,
+    _prior_segments,
+)
+
+
+def _prior_fan(spark: SparkSession, work_dir: str, batch_id: int) -> DataFrame | None:
+    """Corpus band fan from batches STRICTLY before ``batch_id``: the
+    newest committed compaction plus the uncompacted segment tail
+    (`_prior_segments` — the row-level ``_bid`` filter keeps the
+    strictly-earlier contract through compaction)."""
+    return _prior_segments(
+        spark,
+        os.path.join(work_dir, "band_index"),
+        os.path.join(work_dir, "band_index_compacted"),
+        batch_id,
+    )
+
+
+def compact_band_index(spark: SparkSession, work_dir: str) -> int | None:
+    """Fold every committed ``band_index/batch=<id>`` segment into ONE
+    ``_bid``-tagged parquet under ``band_index_compacted/upto=<max id>``
+    (`_fold_segments`) — the small-files answer for a long-running
+    dedup ingest, mirroring `compact_ivf_segments` and
+    `compact_hash_state`. Probes keep their strictly-earlier reads
+    through the row-level tag (see `_prior_fan`)."""
+    return _fold_segments(
+        spark,
+        os.path.join(work_dir, "band_index"),
+        os.path.join(work_dir, "band_index_compacted"),
+    )
 
 
 def incremental_vector_dedup_drain(
@@ -75,11 +109,11 @@ def incremental_vector_dedup_drain(
         P = np.array(
             random_hyperplanes(n_bits, _dim_of(batch, vec_col), seed), dtype=np.float64
         )
-        # probe ONLY strictly-earlier segments (replay idempotence: a
-        # failed prior attempt's own batch=<id> segment is invisible)
-        prior = [uri for bid, uri in _batch_dirs(s, index_dir) if bid < batch_id]
-        if prior:
-            corpus_fan = s.read.parquet(*prior)
+        # probe ONLY strictly-earlier state (replay idempotence: a
+        # failed prior attempt's own batch=<id> segment — or its own
+        # rows inside a compaction — is invisible)
+        corpus_fan = _prior_fan(s, work_dir, batch_id)
+        if corpus_fan is not None:
             ann = probe_band_index(
                 corpus_fan, batch, P, bands, rpb, threshold, id_col, vec_col
             )

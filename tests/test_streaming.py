@@ -910,3 +910,152 @@ def test_streaming_ivf_crashed_maintenance_dirs_ignored(spark, tmp_path):
     assert refresh_ivf_state(spark, work) == 1  # not 7
     cent, post3 = load_ivf_state(spark, work)
     assert {r["_id"] for r in post3.collect()} == {0, 1, 2}
+
+
+def test_streaming_vector_dedup_compaction_preserves_probes(spark, sf_dir, tmp_path):
+    """compact_band_index folds segments with a row-level _bid tag;
+    probes of later batches must see exactly the same prior state as
+    the uncompacted layout (batch ann ≡ the v12-oracle-pinned operator
+    over the folded prior batches)."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        neardup_vector_index_probe,
+    )
+    from serverless_etl_reporting_pipeline_spark.plans.vectors import (
+        _V09_BANDS,
+        _V09_BITS,
+        _V09_SEED,
+        _V12_TAU,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        compact_band_index,
+        incremental_vector_dedup_drain,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    c1, c2 = int(0.5 * max_id), int(0.8 * max_id)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    kw = dict(
+        threshold=float(_V12_TAU), n_bits=_V09_BITS, bands=_V09_BANDS, seed=_V09_SEED
+    )
+
+    emb.filter(f"vec_id < {c1}").coalesce(1).write.mode("append").parquet(src)
+    emb.filter(f"vec_id >= {c1} and vec_id < {c2}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 2
+    assert compact_band_index(spark, work) == 1
+    assert compact_band_index(spark, work) == 1  # idempotent no-op
+
+    emb.filter(f"vec_id >= {c2}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
+
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"], r["cos"])
+        for r in spark.read.parquet(f"{work}/vec_ann/batch=2").collect()
+    }
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"], r["cos"])
+        for r in neardup_vector_index_probe(
+            emb.filter(f"vec_id < {c2}"), emb.filter(f"vec_id >= {c2}"), **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
+
+
+def test_streaming_vector_dedup_replay_after_compaction_excludes_self(spark, tmp_path):
+    """The hard replay case compaction could break: a batch's OWN
+    committed segment is folded into the compaction before the
+    checkpoint-recovery replay. The row-level _bid filter must still
+    exclude the batch's own rows — its vectors may not be flagged as
+    duplicates of themselves."""
+    import numpy as np
+
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        _band_code_fan,
+        random_hyperplanes,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        compact_band_index,
+        incremental_vector_dedup_drain,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    v, w = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    d1 = spark.createDataFrame([(0, v)], schema)
+    d2 = spark.createDataFrame([(10, v), (11, w)], schema)  # 10 dups batch-0's vector
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    kw = dict(threshold=0.9, n_bits=8, bands=4, seed=7)
+
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, d1.schema, work, **kw) == 1
+
+    # crashed attempt of batch 1: its index segment COMMITTED (written
+    # with _SUCCESS) but the checkpoint never advanced...
+    d2.coalesce(1).write.mode("append").parquet(src)
+    P = np.array(random_hyperplanes(8, 4, 7), dtype=np.float64)
+    _band_code_fan(d2, P, 4, 2, "vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{work}/band_index/batch=1"
+    )
+    # ...and a compaction ran between the crash and the replay,
+    # folding the orphaned segment
+    assert compact_band_index(spark, work) == 1
+
+    assert incremental_vector_dedup_drain(spark, src, d1.schema, work, **kw) == 1
+    ann = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/vec_ann/batch=*").collect()
+    }
+    assert ann[0] == (False, None)
+    assert ann[10] == (True, 0)   # dups the compacted batch-0 vector
+    assert ann[11] == (False, None)  # NOT a dup of its own folded rows
+
+
+def test_streaming_funnel_hash_compaction_and_replay(spark, tmp_path):
+    """compact_hash_state folds the hash index with row-level _bid
+    tags: cross-batch dedup still hits through the compacted state, and
+    the hard replay case — a batch's own committed hash segment folded
+    before its checkpoint-recovery replay — must NOT anti-join the
+    batch's docs away against their own hashes."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        compact_hash_state,
+        incremental_funnel_drain,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    fresh = " ".join(f"qqq{i} and the of to is in a" for i in range(8))
+    schema = "doc_id long, source string, lang string, text string"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    d1 = spark.createDataFrame([(6, "s", "en", good), (7, "s", "en", uniq)], schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+    assert compact_hash_state(spark, work) == 0
+    assert compact_hash_state(spark, work) == 0  # idempotent no-op
+
+    # batch 1 arrives; fake its crashed first attempt: the hash segment
+    # COMMITTED on disk, then a compaction folded it — but the
+    # checkpoint never advanced, so the drain replays batch 1
+    d2 = spark.createDataFrame(
+        [(10, "s", "en", uniq), (12, "s", "en", fresh)], schema
+    )
+    d2.coalesce(1).write.mode("append").parquet(src)
+    import hashlib
+
+    h12 = hashlib.md5(fresh.encode()).hexdigest()
+    spark.createDataFrame([(h12,)], "h string").write.mode("overwrite").parquet(
+        f"{work}/state_hashes/batch=1"
+    )
+    assert compact_hash_state(spark, work) == 1
+
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+    ann = {
+        r["doc_id"]: (r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=*").collect()
+    }
+    # 10 loses dedup to batch-0's stored hash THROUGH the compaction;
+    # 12's own folded hash (_bid=1) must not debounce itself
+    assert ann[10] == (False, False)
+    assert ann[12] == (True, True)
