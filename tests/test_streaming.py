@@ -1059,3 +1059,43 @@ def test_streaming_funnel_hash_compaction_and_replay(spark, tmp_path):
     # 12's own folded hash (_bid=1) must not debounce itself
     assert ann[10] == (False, False)
     assert ann[12] == (True, True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    segments=st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=0, max_size=4),
+        min_size=1,
+        max_size=4,
+    ),
+    fold_after=st.integers(min_value=0, max_value=4),
+    probe_id=st.integers(min_value=0, max_value=5),
+)
+def test_prior_segments_equals_uncompacted_read_property(
+    spark, tmp_path_factory, segments, fold_after, probe_id
+):
+    """For ANY segment contents, fold point, and probing batch id,
+    _prior_segments must return exactly the rows of the segments with
+    id < probe_id — compaction (including of the probing batch's own
+    committed segment) must never change what a batch sees."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        _fold_segments,
+        _prior_segments,
+    )
+
+    root = str(tmp_path_factory.mktemp("ps"))
+    seg_dir, comp_dir = f"{root}/segs", f"{root}/comp"
+    for i, vals in enumerate(segments):
+        spark.createDataFrame([(i, v) for v in vals] or [], "seg int, v int").write.mode(
+            "overwrite"
+        ).parquet(f"{seg_dir}/batch={i}")
+        if i + 1 == fold_after:
+            _fold_segments(spark, seg_dir, comp_dir)
+    got = _prior_segments(spark, seg_dir, comp_dir, probe_id)
+    want = sorted(
+        (i, v) for i, vals in enumerate(segments) if i < probe_id for v in vals
+    )
+    if got is None:
+        assert not want
+    else:
+        assert sorted((r["seg"], r["v"]) for r in got.collect()) == want
