@@ -1099,3 +1099,56 @@ def test_prior_segments_equals_uncompacted_read_property(
         assert not want
     else:
         assert sorted((r["seg"], r["v"]) for r in got.collect()) == want
+
+
+def test_streaming_ivf_deep_interleaving_invariant(spark, sf_dir, tmp_path):
+    """Scripted drain/compact/refresh walk: after EVERY maintenance
+    step, the loaded state must equal assign_cells(current quantizer,
+    union of everything ingested) — covering compaction superseded by
+    a later refresh, post-epoch compaction floors, and a second
+    refresh built on an epoch base."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import assign_cells
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        compact_ivf_segments,
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+        refresh_ivf_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 10")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    cuts = [10, int(0.3 * mx), int(0.5 * mx), int(0.7 * mx), int(0.85 * mx), mx]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    def feed(i):
+        emb.filter(f"vec_id >= {cuts[i]} and vec_id < {cuts[i + 1]}").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def check(upto_slice):
+        cent, postings = load_ivf_state(spark, work)
+        ingested = emb.filter(f"vec_id < {cuts[upto_slice + 1]}")
+        want = {(r["_cell"], r["_id"]) for r in assign_cells(cent, ingested).collect()}
+        assert {(r["_cell"], r["_id"]) for r in postings.collect()} == want
+        assert postings.count() == ingested.count()
+
+    feed(0); feed(1)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 2
+    check(1)
+    assert compact_ivf_segments(spark, work) == 1
+    check(1)
+    feed(2)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    check(2)
+    assert refresh_ivf_state(spark, work) == 2  # supersedes the upto=1 compaction
+    check(2)
+    feed(3)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    check(3)
+    assert compact_ivf_segments(spark, work) == 3  # folds ONLY batch 3 (floor = epoch 2)
+    check(3)
+    assert refresh_ivf_state(spark, work) == 3  # second refresh, built on epoch-2 state
+    check(3)
+    feed(4)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    check(4)
