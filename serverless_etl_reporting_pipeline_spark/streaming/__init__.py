@@ -3,6 +3,7 @@ windows, stateful operators, and the three stateful ingest twins
 (curation funnel, vector-dedup band index, IVF retrieval index)."""
 
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+    compact_funnel_lake,
     compact_hash_state,
     incremental_funnel_drain,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "windowed_counts",
     "incremental_funnel_drain",
     "compact_hash_state",
+    "compact_funnel_lake",
     "incremental_vector_dedup_drain",
     "compact_band_index",
     "incremental_ivf_ingest_drain",

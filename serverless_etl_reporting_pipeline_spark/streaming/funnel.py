@@ -235,6 +235,28 @@ def _prior_hash_state(spark: SparkSession, hashes_dir: str, batch_id: int) -> Da
     return _prior_segments(spark, hashes_dir, hashes_dir + "_compacted", batch_id)
 
 
+def compact_funnel_lake(spark: SparkSession, work_dir: str) -> int | None:
+    """Fold the annotated funnel lake's ``batch=<id>`` dirs into one
+    ``_bid``-tagged parquet (`_fold_segments`) — the lake is re-read in
+    full by every mixture report / funnel table, so at streaming rates
+    it is the module's biggest small-files surface. Safe under replay:
+    a replayed micro-batch's annotations are bit-identical by the
+    module's idempotence contract, so a stale folded copy and the
+    re-written segment agree row-for-row."""
+    ann_dir = os.path.join(work_dir, "funnel_ann")
+    return _fold_segments(spark, ann_dir, ann_dir + "_compacted")
+
+
+def _lake(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The FULL annotation lake: newest committed compaction plus the
+    segment tail (`_prior_segments` probed above every batch id)."""
+    ann_dir = os.path.join(work_dir, "funnel_ann")
+    ann = _prior_segments(spark, ann_dir, ann_dir + "_compacted", 2**62)
+    if ann is None:
+        raise FileNotFoundError(f"no annotation lake under {work_dir}")
+    return ann
+
+
 def compact_hash_state(spark: SparkSession, work_dir: str) -> int | None:
     """Fold the accumulated ``state_hashes/batch=<id>`` dirs into one
     ``_bid``-tagged parquet (`_fold_segments`) — at streaming rates the
@@ -274,7 +296,7 @@ def incremental_mixture_report(
 
     ann_dir = os.path.join(work_dir, "funnel_ann")
     latest = max(bid for bid, _ in _batch_dirs(spark, ann_dir))
-    ann_all = spark.read.parquet(os.path.join(ann_dir, "batch=*"))
+    ann_all = _lake(spark, work_dir)
     ann_latest = spark.read.parquet(os.path.join(ann_dir, f"batch={latest}"))
 
     cum_dom = (
@@ -296,7 +318,7 @@ def funnel_table(spark: SparkSession, work_dir: str) -> DataFrame:
     """The cumulative per-(source, lang) funnel over every drained batch
     — the same accounting table pipe01 reports, read from the annotated
     lake instead of recomputed from the corpus."""
-    ann = spark.read.parquet(os.path.join(work_dir, "funnel_ann", "batch=*"))
+    ann = _lake(spark, work_dir)
     return (
         ann.groupBy("source", "lang")
         .agg(

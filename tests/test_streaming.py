@@ -1152,3 +1152,40 @@ def test_streaming_ivf_deep_interleaving_invariant(spark, sf_dir, tmp_path):
     feed(4)
     assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
     check(4)
+
+
+def test_streaming_funnel_lake_compaction_invariant(spark, tmp_path):
+    """compact_funnel_lake must leave the funnel table and the mixture
+    report bit-identical — the lake readers see compaction + tail as
+    one seamless log, including a fold in the middle of a drain
+    sequence."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        compact_funnel_lake,
+        funnel_table,
+        incremental_funnel_drain,
+        incremental_mixture_report,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    fresh = " ".join(f"qqq{i} and the of to is in a" for i in range(8))
+    schema = "doc_id long, source string, lang string, text string"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    d1 = spark.createDataFrame([(6, "s", "en", good), (7, "t", "en", uniq)], schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+    assert compact_funnel_lake(spark, work) == 0
+
+    d2 = spark.createDataFrame([(10, "s", "en", uniq), (12, "t", "en", fresh)], schema)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+
+    before_tbl = [tuple(r) for r in funnel_table(spark, work).collect()]
+    before_rep = sorted(tuple(r) for r in incremental_mixture_report(spark, work).collect())
+    assert compact_funnel_lake(spark, work) == 1
+    assert [tuple(r) for r in funnel_table(spark, work).collect()] == before_tbl
+    assert (
+        sorted(tuple(r) for r in incremental_mixture_report(spark, work).collect())
+        == before_rep
+    )
