@@ -6,6 +6,8 @@ from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     compact_funnel_lake,
     compact_hash_state,
     incremental_funnel_drain,
+    vacuum_funnel_lake,
+    vacuum_hash_state,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.ingest import available_now_ingest
 from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
@@ -13,10 +15,12 @@ from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
     incremental_ivf_ingest_drain,
     load_ivf_state,
     refresh_ivf_state,
+    vacuum_ivf_segments,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
     compact_band_index,
     incremental_vector_dedup_drain,
+    vacuum_band_index,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.windows import windowed_counts
 
@@ -26,10 +30,14 @@ __all__ = [
     "incremental_funnel_drain",
     "compact_hash_state",
     "compact_funnel_lake",
+    "vacuum_hash_state",
+    "vacuum_funnel_lake",
     "incremental_vector_dedup_drain",
     "compact_band_index",
+    "vacuum_band_index",
     "incremental_ivf_ingest_drain",
     "compact_ivf_segments",
+    "vacuum_ivf_segments",
     "refresh_ivf_state",
     "load_ivf_state",
 ]

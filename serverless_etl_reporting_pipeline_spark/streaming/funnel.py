@@ -20,6 +20,13 @@ union with the benchmark frozen at the first snapshot.
 Idempotence: every state/lake write lands in a ``batch=<id>`` subdir
 with mode=overwrite, so a replayed micro-batch (checkpoint recovery)
 overwrites its own output instead of duplicating it.
+
+State lifecycle (shared with streaming/vectors.py and streaming/ivf.py
+via `_fold_segments` / `_prior_segments` / `_vacuum_segments`):
+segments accumulate per batch → a compaction folds them into one
+``_bid``-tagged parquet (small-files) → a vacuum deletes the folded
+dirs (retention). Every reader sees newest-fold-plus-newer-tail, so
+both maintenance steps are invisible to drains, reports, and replays.
 """
 
 from __future__ import annotations
@@ -163,52 +170,101 @@ def _committed_dirs(
 
 
 def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
-    """Fold every committed ``batch=<id>`` segment under ``seg_dir``
-    into ONE parquet at ``comp_dir/upto=<max id>``, each row tagged
-    with its origin batch id (``_bid``) — the small-files answer for a
-    long-running ingest, shared by the hash-state and band-index
-    compactions. The tag is what lets `_prior_segments`' strictly-
-    earlier reads SURVIVE compaction: a replayed micro-batch whose own
-    committed segment was folded before the crash-recovery replay
-    still excludes its own rows at the row level. Supersedes earlier
-    compactions; folded segments are RETAINED (garbage collection is a
-    retention policy, not an ingest concern). Returns the new ``upto``
-    id, None when there is nothing to fold, and short-circuits when
-    the committed span is already folded."""
-    segs = _committed_dirs(spark, seg_dir)
-    if not segs:
-        return None
-    upto = max(bid for bid, _ in segs)
-    newest = _committed_dirs(spark, comp_dir, "upto=")
-    if newest and newest[-1][0] == upto:
-        return upto  # idempotent no-op: that exact span is already folded
-    folded = None
-    for bid, uri in segs:
-        part = spark.read.parquet(uri).withColumn("_bid", F.lit(bid))
-        folded = part if folded is None else folded.unionByName(part)
+    """Fold the committed state under ``seg_dir`` into ONE parquet at
+    ``comp_dir/upto=<max id>``, each row tagged with its origin batch
+    id (``_bid``) — the small-files answer for a long-running ingest,
+    shared by the hash-state, funnel-lake, and band-index compactions.
+    The tag is what lets `_prior_segments`' strictly-earlier reads
+    SURVIVE compaction: a replayed micro-batch whose own committed
+    segment was folded before the crash-recovery replay still excludes
+    its own rows at the row level.
+
+    Folds FROM the newest earlier compaction plus the segment tail
+    above it — never from raw segments alone — so a fold stays
+    lossless after `_vacuum_segments` has deleted folded segment dirs
+    (and re-folding reads one parquet + the short tail instead of
+    every historical segment). Equivalent when everything is retained:
+    by the idempotence contract the folded copy of a segment is
+    bit-identical to the segment itself. A segment dir at or below the
+    previous ``upto`` (a replayed batch re-writing its vacuumed dir)
+    is deliberately ignored — its rows are already in the fold.
+    Returns the new ``upto`` id, None when no state exists, and
+    short-circuits when the committed span is already folded."""
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    prev = comps[-1][0] if comps else -1
+    tail = [(bid, uri) for bid, uri in _committed_dirs(spark, seg_dir) if bid > prev]
+    if not tail:
+        return prev if comps else None  # nothing new: current fold stands
+    upto = max(bid for bid, _ in tail)
+    parts = [spark.read.parquet(comps[-1][1])] if comps else []
+    parts += [
+        spark.read.parquet(uri).withColumn("_bid", F.lit(bid)) for bid, uri in tail
+    ]
+    folded = parts[0]
+    for part in parts[1:]:
+        folded = folded.unionByName(part)
     folded.write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
     return upto
 
 
+def _fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API (same scheme
+    coverage as `_fs_exists`) — the primitive behind retention."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def _vacuum_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> list[int]:
+    """Retention for a compacted segment log: delete state the newest
+    committed compaction makes redundant — per-batch segment dirs with
+    id ≤ ``upto`` (their rows live on in the fold, ``_bid``-tagged) and
+    superseded older ``upto=`` compactions. Safe because every reader
+    sees newest-compaction-plus-newer-tail (`_prior_segments`,
+    `_fold_segments`), so the observable log is unchanged; a replayed
+    micro-batch that re-writes a vacuumed segment dir is ignored by
+    readers and by later folds (id ≤ upto), and still excludes its OWN
+    rows via the row-level ``_bid`` filter. GC is the operator's call —
+    drains and compactions never delete anything. Returns the deleted
+    segment batch ids."""
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    if not comps:
+        return []
+    upto = comps[-1][0]
+    gone = []
+    for bid, uri in _committed_dirs(spark, seg_dir):
+        if bid <= upto:
+            _fs_delete(spark, uri)
+            gone.append(bid)
+    for _, uri in comps[:-1]:
+        _fs_delete(spark, uri)
+    return gone
+
+
 def _prior_segments(
-    spark: SparkSession, seg_dir: str, comp_dir: str, batch_id: int
+    spark: SparkSession,
+    seg_dir: str,
+    comp_dir: str,
+    batch_id: int,
+    keep_bid: bool = False,
 ) -> DataFrame | None:
     """State from batches STRICTLY before ``batch_id``: the newest
     committed compaction (row-level ``_bid < batch_id`` filter — see
     `_fold_segments`) plus the uncompacted segment tail. None when no
-    strictly-earlier state exists (first batch)."""
+    strictly-earlier state exists (first batch). With ``keep_bid`` the
+    origin batch id stays as a ``_bid`` column on every row (tail
+    segments tagged from their dir name) — what lets lake readers
+    identify the latest batch after its dir was vacuumed."""
     comps = _committed_dirs(spark, comp_dir, "upto=")
     parts, upto = [], -1
     if comps:
         upto = comps[-1][0]
-        parts.append(
-            spark.read.parquet(comps[-1][1])
-            .filter(F.col("_bid") < batch_id)
-            .drop("_bid")
-        )
-    tail = [uri for bid, uri in _batch_dirs(spark, seg_dir) if upto < bid < batch_id]
-    if tail:
-        parts.append(spark.read.parquet(*tail))
+        comp = spark.read.parquet(comps[-1][1]).filter(F.col("_bid") < batch_id)
+        parts.append(comp if keep_bid else comp.drop("_bid"))
+    for bid, uri in _batch_dirs(spark, seg_dir):
+        if upto < bid < batch_id:
+            seg = spark.read.parquet(uri)
+            parts.append(seg.withColumn("_bid", F.lit(bid)) if keep_bid else seg)
     if not parts:
         return None
     out = parts[0]
@@ -247,14 +303,30 @@ def compact_funnel_lake(spark: SparkSession, work_dir: str) -> int | None:
     return _fold_segments(spark, ann_dir, ann_dir + "_compacted")
 
 
-def _lake(spark: SparkSession, work_dir: str) -> DataFrame:
+def _lake(spark: SparkSession, work_dir: str, keep_bid: bool = False) -> DataFrame:
     """The FULL annotation lake: newest committed compaction plus the
     segment tail (`_prior_segments` probed above every batch id)."""
     ann_dir = os.path.join(work_dir, "funnel_ann")
-    ann = _prior_segments(spark, ann_dir, ann_dir + "_compacted", 2**62)
+    ann = _prior_segments(spark, ann_dir, ann_dir + "_compacted", 2**62, keep_bid)
     if ann is None:
         raise FileNotFoundError(f"no annotation lake under {work_dir}")
     return ann
+
+
+def vacuum_funnel_lake(spark: SparkSession, work_dir: str) -> list[int]:
+    """Delete funnel-lake ``batch=`` dirs already folded by
+    `compact_funnel_lake` (and superseded older folds). Returns the
+    deleted batch ids; see `_vacuum_segments` for the safety argument."""
+    ann_dir = os.path.join(work_dir, "funnel_ann")
+    return _vacuum_segments(spark, ann_dir, ann_dir + "_compacted")
+
+
+def vacuum_hash_state(spark: SparkSession, work_dir: str) -> list[int]:
+    """Delete hash-state ``batch=`` dirs already folded by
+    `compact_hash_state` (and superseded older folds). Returns the
+    deleted batch ids; see `_vacuum_segments` for the safety argument."""
+    hashes_dir = os.path.join(work_dir, "state_hashes")
+    return _vacuum_segments(spark, hashes_dir, hashes_dir + "_compacted")
 
 
 def compact_hash_state(spark: SparkSession, work_dir: str) -> int | None:
@@ -294,10 +366,18 @@ def incremental_mixture_report(
         _mixture_targets_from_counts,
     )
 
+    # latest batch id from directory LISTINGS (segment dirs + fold
+    # upto), never a data scan; its rows come from the _bid-tagged lake
+    # so the report survives the latest segment dir being vacuumed
+    # after a fold
     ann_dir = os.path.join(work_dir, "funnel_ann")
-    latest = max(bid for bid, _ in _batch_dirs(spark, ann_dir))
-    ann_all = _lake(spark, work_dir)
-    ann_latest = spark.read.parquet(os.path.join(ann_dir, f"batch={latest}"))
+    comps = _committed_dirs(spark, ann_dir + "_compacted", "upto=")
+    ids = [bid for bid, _ in _batch_dirs(spark, ann_dir)]
+    ids += [comps[-1][0]] if comps else []
+    latest = max(ids)
+    tagged = _lake(spark, work_dir, keep_bid=True)
+    ann_all = tagged.drop("_bid")
+    ann_latest = tagged.filter(F.col("_bid") == latest).drop("_bid")
 
     cum_dom = (
         ann_all.filter("clean")

@@ -70,6 +70,7 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     _batch_dirs,
     _committed_dirs,
+    _fs_delete,
     _fs_exists,
 )
 
@@ -159,27 +160,82 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
 
     Segments at or below the epoch are never folded: their cells were
     assigned under a superseded quantizer, and the epoch's re-filed
-    postings already cover those vectors."""
+    postings already cover those vectors.
+
+    Folds FROM the newest post-epoch compaction plus the segment tail
+    above it (the `_fold_segments` discipline) — lossless after
+    `vacuum_ivf_segments` has deleted folded segment dirs, and
+    re-folding reads one cell-partitioned parquet + the short tail."""
     epoch = _current_epoch(spark, work_dir)
     floor_id = epoch[0] if epoch else -1
+    comps = [
+        c
+        for c in _committed_dirs(
+            spark, os.path.join(work_dir, "postings_compacted"), "upto="
+        )
+        if c[0] > floor_id
+    ]
+    prev = comps[-1][0] if comps else floor_id
     segs = [
         (bid, uri)
         for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings"))
-        if bid > floor_id
+        if bid > prev
     ]
     if not segs:
-        return None
+        return prev if comps else None  # nothing new beyond the current fold
     upto = max(bid for bid, _ in segs)
-    newest = _committed_dirs(
-        spark, os.path.join(work_dir, "postings_compacted"), "upto="
-    )
-    if newest and newest[-1][0] == upto:
-        return upto  # idempotent no-op: that exact span is already folded
-    df = spark.read.parquet(*[uri for _, uri in segs])
+
+    def _sel(df: DataFrame) -> DataFrame:
+        return df.select(F.col("_cell").cast("long").alias("_cell"), "_id", "_qv")
+
+    parts = [_sel(spark.read.parquet(comps[-1][1]))] if comps else []
+    parts += [_sel(spark.read.parquet(uri)) for _, uri in segs]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     df.write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(work_dir, "postings_compacted", f"upto={upto}")
     )
     return upto
+
+
+def vacuum_ivf_segments(spark: SparkSession, work_dir: str) -> list[int]:
+    """Retention for the streamed IVF index: delete state superseded by
+    the current refresh epoch and the newest post-epoch compaction —
+
+    - posting ``batch=`` dirs at or below the floor (epoch re-file
+      covers ids ≤ E; the newest post-epoch fold covers (E, K]);
+    - compactions other than the newest post-epoch one (those ≤ E are
+      dead under `load_ivf_state`'s floor filter, older post-epoch
+      folds are superseded by the newest);
+    - refresh epochs older than the current one (committed or crashed).
+
+    `load_ivf_state`, `compact_ivf_segments`, and `refresh_ivf_state`
+    all read epoch + newest-fold + newer-tail, so the observable index
+    is unchanged; a replayed micro-batch re-writing a vacuumed posting
+    dir is ignored by all of them (id ≤ floor). GC is the operator's
+    call — drains, folds, and refreshes never delete anything. Returns
+    the deleted posting batch ids."""
+    epoch = _current_epoch(spark, work_dir)
+    e = epoch[0] if epoch else -1
+    comps = _committed_dirs(
+        spark, os.path.join(work_dir, "postings_compacted"), "upto="
+    )
+    live = [c for c in comps if c[0] > e]
+    floor = live[-1][0] if live else e
+    gone = []
+    for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings")):
+        if bid <= floor:
+            _fs_delete(spark, uri)
+            gone.append(bid)
+    keep = live[-1][1] if live else None
+    for _, uri in comps:
+        if uri != keep:
+            _fs_delete(spark, uri)
+    for eid, uri in _batch_dirs(spark, os.path.join(work_dir, "refresh"), "epoch="):
+        if eid < e:
+            _fs_delete(spark, uri)
+    return gone
 
 
 def refresh_ivf_state(spark: SparkSession, work_dir: str) -> int | None:
@@ -199,10 +255,19 @@ def refresh_ivf_state(spark: SparkSession, work_dir: str) -> int | None:
     there is no state or nothing new since the last committed epoch
     (re-refreshing the same data would silently iterate k-means a
     second step — an explicit policy call, not a default)."""
-    segs = _committed_dirs(spark, os.path.join(work_dir, "postings"))
-    if not segs:
+    # newest ingested batch id across BOTH state stores: segment dirs
+    # and the newest compaction's upto (a vacuum may have deleted every
+    # folded segment dir, leaving the fold as the only witness)
+    ids = [
+        bid for bid, _ in _committed_dirs(spark, os.path.join(work_dir, "postings"))
+    ]
+    comps = _committed_dirs(
+        spark, os.path.join(work_dir, "postings_compacted"), "upto="
+    )
+    ids += [comps[-1][0]] if comps else []
+    if not ids:
         return None
-    new_e = max(bid for bid, _ in segs)
+    new_e = max(ids)
     epoch = _current_epoch(spark, work_dir)
     if epoch is not None and epoch[0] >= new_e:
         return None

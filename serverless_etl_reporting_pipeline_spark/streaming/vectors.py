@@ -46,6 +46,7 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     _fold_segments,
     _prior_segments,
+    _vacuum_segments,
 )
 
 
@@ -70,6 +71,17 @@ def compact_band_index(spark: SparkSession, work_dir: str) -> int | None:
     `compact_hash_state`. Probes keep their strictly-earlier reads
     through the row-level tag (see `_prior_fan`)."""
     return _fold_segments(
+        spark,
+        os.path.join(work_dir, "band_index"),
+        os.path.join(work_dir, "band_index_compacted"),
+    )
+
+
+def vacuum_band_index(spark: SparkSession, work_dir: str) -> list[int]:
+    """Delete band-index ``batch=`` dirs already folded by
+    `compact_band_index` (and superseded older folds). Returns the
+    deleted batch ids; see `_vacuum_segments` for the safety argument."""
+    return _vacuum_segments(
         spark,
         os.path.join(work_dir, "band_index"),
         os.path.join(work_dir, "band_index_compacted"),

@@ -4,6 +4,8 @@ operator (SURVEY.md §2.9, §7.1 step 7)."""
 
 from __future__ import annotations
 
+import glob
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -1189,3 +1191,268 @@ def test_streaming_funnel_lake_compaction_invariant(spark, tmp_path):
         sorted(tuple(r) for r in incremental_mixture_report(spark, work).collect())
         == before_rep
     )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    segments=st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=0, max_size=4),
+        min_size=1,
+        max_size=4,
+    ),
+    fold_after=st.integers(min_value=1, max_value=4),
+    refold=st.booleans(),
+    probe_id=st.integers(min_value=0, max_value=5),
+)
+def test_prior_segments_survives_vacuum_property(
+    spark, tmp_path_factory, segments, fold_after, refold, probe_id
+):
+    """For ANY segment contents, fold/vacuum point, and probing batch
+    id, vacuuming the folded segment dirs (and optionally folding AGAIN
+    afterwards — the fold-from-fold path over a vacuumed log) must
+    never change what _prior_segments returns: still exactly the rows
+    of the segments with id < probe_id."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        _fold_segments,
+        _prior_segments,
+        _vacuum_segments,
+    )
+
+    root = str(tmp_path_factory.mktemp("pv"))
+    seg_dir, comp_dir = f"{root}/segs", f"{root}/comp"
+    for i, vals in enumerate(segments):
+        spark.createDataFrame([(i, v) for v in vals] or [], "seg int, v int").write.mode(
+            "overwrite"
+        ).parquet(f"{seg_dir}/batch={i}")
+        if i + 1 == fold_after:
+            upto = _fold_segments(spark, seg_dir, comp_dir)
+            assert sorted(_vacuum_segments(spark, seg_dir, comp_dir)) == list(
+                range(upto + 1)
+            )
+    if refold:
+        _fold_segments(spark, seg_dir, comp_dir)
+    got = _prior_segments(spark, seg_dir, comp_dir, probe_id)
+    want = sorted(
+        (i, v) for i, vals in enumerate(segments) if i < probe_id for v in vals
+    )
+    if got is None:
+        assert not want
+    else:
+        assert sorted((r["seg"], r["v"]) for r in got.collect()) == want
+
+
+def test_streaming_funnel_vacuum_preserves_reports(spark, tmp_path):
+    """Vacuuming the folded hash-state and funnel-lake segments must
+    leave the funnel table, the mixture report, and later batches'
+    cross-batch dedup identical to an unvacuumed twin draining the same
+    source — including a re-fold after the vacuum."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        compact_funnel_lake,
+        compact_hash_state,
+        funnel_table,
+        incremental_funnel_drain,
+        incremental_mixture_report,
+        vacuum_funnel_lake,
+        vacuum_hash_state,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    fresh = " ".join(f"qqq{i} and the of to is in a" for i in range(8))
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "src")
+    w_vac, w_ref = str(tmp_path / "vac"), str(tmp_path / "ref")
+
+    d1 = spark.createDataFrame([(6, "s", "en", good), (7, "t", "en", uniq)], schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    for w in (w_vac, w_ref):
+        assert incremental_funnel_drain(spark, src, d1.schema, w) == 1
+    assert compact_hash_state(spark, w_vac) == 0
+    assert compact_funnel_lake(spark, w_vac) == 0
+    assert vacuum_hash_state(spark, w_vac) == [0]
+    assert vacuum_funnel_lake(spark, w_vac) == [0]
+    assert not glob.glob(f"{w_vac}/state_hashes/batch=*")
+    assert not glob.glob(f"{w_vac}/funnel_ann/batch=*")
+
+    # batch 1: doc 10 must STILL lose dedup to batch-0's hash, now
+    # only reachable through the vacuumed-and-folded state
+    d2 = spark.createDataFrame([(10, "s", "en", uniq), (12, "t", "en", fresh)], schema)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    for w in (w_vac, w_ref):
+        assert incremental_funnel_drain(spark, src, d1.schema, w) == 1
+
+    ref_tbl = [tuple(r) for r in funnel_table(spark, w_ref).collect()]
+    ref_rep = sorted(tuple(r) for r in incremental_mixture_report(spark, w_ref).collect())
+    assert [tuple(r) for r in funnel_table(spark, w_vac).collect()] == ref_tbl
+    assert (
+        sorted(tuple(r) for r in incremental_mixture_report(spark, w_vac).collect())
+        == ref_rep
+    )
+
+    # re-fold over the vacuumed log (fold-from-fold) + vacuum again:
+    # the mixture report's latest-batch rows now live ONLY in the fold
+    assert compact_funnel_lake(spark, w_vac) == 1
+    assert vacuum_funnel_lake(spark, w_vac) == [1]
+    assert compact_hash_state(spark, w_vac) == 1
+    assert vacuum_hash_state(spark, w_vac) == [1]
+    assert [tuple(r) for r in funnel_table(spark, w_vac).collect()] == ref_tbl
+    assert (
+        sorted(tuple(r) for r in incremental_mixture_report(spark, w_vac).collect())
+        == ref_rep
+    )
+
+
+def test_streaming_funnel_replay_after_vacuum_excludes_self(spark, tmp_path):
+    """The hardest retention case: a batch's own committed hash segment
+    is folded AND the segment dir vacuumed before the checkpoint-
+    recovery replay. The replay must still exclude its own hashes via
+    the row-level _bid filter on the fold — not anti-join its docs
+    away against themselves."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        compact_hash_state,
+        incremental_funnel_drain,
+        vacuum_hash_state,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    fresh = " ".join(f"qqq{i} and the of to is in a" for i in range(8))
+    schema = "doc_id long, source string, lang string, text string"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    d1 = spark.createDataFrame([(6, "s", "en", good), (7, "s", "en", uniq)], schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+
+    d2 = spark.createDataFrame([(10, "s", "en", uniq), (12, "s", "en", fresh)], schema)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    import hashlib
+
+    h12 = hashlib.md5(fresh.encode()).hexdigest()
+    spark.createDataFrame([(h12,)], "h string").write.mode("overwrite").parquet(
+        f"{work}/state_hashes/batch=1"
+    )
+    assert compact_hash_state(spark, work) == 1
+    assert sorted(vacuum_hash_state(spark, work)) == [0, 1]
+    assert not glob.glob(f"{work}/state_hashes/batch=*")
+
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+    ann = {
+        r["doc_id"]: (r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=*").collect()
+    }
+    assert ann[10] == (False, False)  # still dedups against batch 0's fold
+    assert ann[12] == (True, True)    # its own vacuumed+folded hash: no self-dedup
+
+
+def test_streaming_vector_dedup_vacuum_preserves_probes(spark, sf_dir, tmp_path):
+    """vacuum_band_index after a fold must not change any later probe:
+    batch ann ≡ the v12-oracle-pinned operator over the prior batches,
+    with every prior segment dir deleted."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        neardup_vector_index_probe,
+    )
+    from serverless_etl_reporting_pipeline_spark.plans.vectors import (
+        _V09_BANDS,
+        _V09_BITS,
+        _V09_SEED,
+        _V12_TAU,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        compact_band_index,
+        incremental_vector_dedup_drain,
+        vacuum_band_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    c1, c2 = int(0.5 * max_id), int(0.8 * max_id)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    kw = dict(
+        threshold=float(_V12_TAU), n_bits=_V09_BITS, bands=_V09_BANDS, seed=_V09_SEED
+    )
+
+    emb.filter(f"vec_id < {c1}").coalesce(1).write.mode("append").parquet(src)
+    emb.filter(f"vec_id >= {c1} and vec_id < {c2}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 2
+    assert compact_band_index(spark, work) == 1
+    assert sorted(vacuum_band_index(spark, work)) == [0, 1]
+    assert not glob.glob(f"{work}/band_index/batch=*")
+    assert vacuum_band_index(spark, work) == []  # idempotent no-op
+
+    emb.filter(f"vec_id >= {c2}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
+
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"], r["cos"])
+        for r in spark.read.parquet(f"{work}/vec_ann/batch=2").collect()
+    }
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"], r["cos"])
+        for r in neardup_vector_index_probe(
+            emb.filter(f"vec_id < {c2}"), emb.filter(f"vec_id >= {c2}"), **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
+
+
+def test_streaming_ivf_vacuum_interleaving_invariant(spark, sf_dir, tmp_path):
+    """The deep drain/compact/refresh walk with a vacuum after every
+    maintenance step: the loaded state must stay equal to
+    assign_cells(current quantizer, union of everything ingested), with
+    the superseded posting segments, folds, and epochs actually gone."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import assign_cells
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        compact_ivf_segments,
+        incremental_ivf_ingest_drain,
+        load_ivf_state,
+        refresh_ivf_state,
+        vacuum_ivf_segments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 10")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    cuts = [10, int(0.3 * mx), int(0.5 * mx), int(0.7 * mx), int(0.85 * mx), mx]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    def feed(i):
+        emb.filter(f"vec_id >= {cuts[i]} and vec_id < {cuts[i + 1]}").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def check(upto_slice):
+        cent, postings = load_ivf_state(spark, work)
+        ingested = emb.filter(f"vec_id < {cuts[upto_slice + 1]}")
+        want = {(r["_cell"], r["_id"]) for r in assign_cells(cent, ingested).collect()}
+        assert {(r["_cell"], r["_id"]) for r in postings.collect()} == want
+        assert postings.count() == ingested.count()
+
+    feed(0); feed(1)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 2
+    assert compact_ivf_segments(spark, work) == 1
+    assert sorted(vacuum_ivf_segments(spark, work)) == [0, 1]
+    assert not glob.glob(f"{work}/postings/batch=*")
+    check(1)
+    feed(2)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 1
+    check(2)
+    # refresh sees the vacuumed log: new_e from the fold's upto + tail
+    assert refresh_ivf_state(spark, work) == 2
+    assert vacuum_ivf_segments(spark, work) == [2]
+    assert not glob.glob(f"{work}/postings_compacted/upto=*")
+    check(2)
+    feed(3); feed(4)
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, work) == 2
+    assert compact_ivf_segments(spark, work) == 4
+    assert sorted(vacuum_ivf_segments(spark, work)) == [3, 4]
+    check(4)
+    # second refresh on a fully vacuumed log, then final vacuum: only
+    # the newest epoch remains
+    assert refresh_ivf_state(spark, work) == 4
+    assert vacuum_ivf_segments(spark, work) == []
+    assert glob.glob(f"{work}/refresh/epoch=4")
+    assert not glob.glob(f"{work}/refresh/epoch=2")
+    check(4)
