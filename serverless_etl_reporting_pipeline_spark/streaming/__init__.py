@@ -1,6 +1,7 @@
 """Streaming surface: checkpointed AvailableNow ingest, watermarked
-windows, stateful operators, and the three stateful ingest twins
-(curation funnel, vector-dedup band index, IVF retrieval index)."""
+windows, stateful operators, and the four stateful ingest twins
+(curation funnel, vector-dedup band index, IVF retrieval index,
+SCD2 version log)."""
 
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     compact_funnel_lake,
@@ -16,6 +17,12 @@ from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
     load_ivf_state,
     refresh_ivf_state,
     vacuum_ivf_segments,
+)
+from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+    compact_scd2_hist,
+    incremental_scd2_drain,
+    scd2_table,
+    vacuum_scd2_hist,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
     compact_band_index,
@@ -40,4 +47,8 @@ __all__ = [
     "vacuum_ivf_segments",
     "refresh_ivf_state",
     "load_ivf_state",
+    "incremental_scd2_drain",
+    "scd2_table",
+    "compact_scd2_hist",
+    "vacuum_scd2_hist",
 ]

@@ -1,0 +1,157 @@
+"""Streaming SCD2 (slowly-changing-dimension type 2) ingest: the
+e01/e08 lakehouse history as a checkpointed ``Trigger.AvailableNow``
+incremental job — the streaming mirror of e08's incremental apply, the
+way `streaming/funnel.py` mirrors pipe02. The reference's nightly
+extract + append (`pipeline/ETL/extract.py:36-81`, `load.py:20-108`)
+is the degenerate form: it appends raw events and rebuilds any
+versioned view from scratch; here each micro-batch lands as a final
+SCD2 segment and nothing is ever rebuilt.
+
+CDC contract (the same one e08 documents): event time is monotone
+ACROSS batches — every ``ts`` in batch j follows every ``ts`` in batch
+i < j, exactly what a watermark extract emits. Order WITHIN a batch is
+arbitrary.
+
+Each micro-batch of change events is chained into SCD2 version rows
+with ONE per-user window over the batch alone and written to
+``scd2_hist/batch=<id>``. A row whose successor arrived in the same
+batch is FINAL immediately; each user's last row of the batch is
+provisionally open (``valid_to`` NULL, ``is_current`` true) and
+carries the user's first event time of the batch (``_first_ts``). No
+earlier segment is ever touched: the close that e08 materializes
+eagerly is deferred to the reader, where it costs almost nothing —
+`scd2_table` passes every closed row through untouched (map-only) and
+closes the OPEN rows (at most one per user per batch) with one
+lead-window over ``_first_ts`` in batch order.
+
+Scale shape: ingest work ∝ batch (one keyed window over the delta);
+read work = closed-row pass-through + one window over a users×batches
+frame; the copy-on-write history rewrite a mutable-table merge needs
+is gone entirely. At 100 TB the version log is just parquet segments —
+compaction and retention are the SAME shared helpers as every other
+streaming state log here.
+
+Idempotence: a segment is a pure function of its batch's source rows,
+written with mode=overwrite under ``batch=<id>`` — a checkpoint-
+recovery replay reproduces it byte-identically. Unlike the funnel's
+hash state, the drain reads NO prior state, so there is no
+self-exclusion hazard to guard.
+
+Maintenance: `compact_scd2_hist` folds committed segments into one
+``_bid``-tagged parquet (shared `_fold_segments`) and
+`vacuum_scd2_hist` deletes what the fold supersedes (shared
+`_vacuum_segments`). `scd2_table` reads newest-fold-plus-tail via
+`_prior_segments` with ``keep_bid`` — the origin batch id doubles as
+the fix-up window's sort key, so compaction and vacuum are invisible
+to it by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+    _fold_segments,
+    _prior_segments,
+    _vacuum_segments,
+)
+
+
+def incremental_scd2_drain(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    work_dir: str,
+    event_type: str = "purchase",
+) -> int:
+    """Drain all unprocessed event files into the SCD2 version log, one
+    micro-batch per file, appending ``scd2_hist/batch=<id>`` segments
+    under ``work_dir``. Only rows of ``event_type`` become versions
+    (the e01 filter, pushed into each micro-batch). Returns the number
+    of non-empty micro-batches processed this drain."""
+    hist_dir = os.path.join(work_dir, "scd2_hist")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    n_batches = {"n": 0}
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        changes = batch.filter(F.col("event_type") == event_type)
+        if changes.isEmpty():
+            return
+        n_batches["n"] += 1
+        # ONE shuffle keyed by user_id; both windows share the
+        # partitioning, so Catalyst reuses the exchange
+        wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(wseq)
+        first = F.min("ts").over(Window.partitionBy("user_id"))
+        changes.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            # carried ONLY on the open row: what the next batch's
+            # fix-up closes the row with
+            F.when(nxt.isNull(), first).alias("_first_ts"),
+        ).write.mode("overwrite").parquet(os.path.join(hist_dir, f"batch={batch_id}"))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def scd2_table(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The current SCD2 history over everything drained so far —
+    column-for-column the e01 build over the union of all batches
+    (asserted by tests/test_streaming.py). Closed rows stream through
+    map-only; open rows (≤ one per user per batch) are closed by the
+    user's NEXT batch's ``_first_ts`` via one lead-window ordered by
+    origin batch id, the only shuffle whose input grows with history —
+    and it grows with users×batches, not versions."""
+    hist_dir = os.path.join(work_dir, "scd2_hist")
+    tagged = _prior_segments(
+        spark, hist_dir, hist_dir + "_compacted", 2**62, keep_bid=True
+    )
+    if tagged is None:
+        raise FileNotFoundError(f"no SCD2 history under {work_dir}")
+    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
+    closed = tagged.filter(~F.col("is_current")).select(*cols)
+    opens = tagged.filter("is_current")
+    nxt = F.lead("_first_ts").over(Window.partitionBy("user_id").orderBy("_bid"))
+    fixed = opens.select(
+        "user_id",
+        "event_id",
+        "value",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+    return closed.unionByName(fixed).orderBy("user_id", "valid_from")
+
+
+def compact_scd2_hist(spark: SparkSession, work_dir: str) -> int | None:
+    """Fold the committed ``scd2_hist/batch=<id>`` segments into one
+    ``_bid``-tagged parquet (`_fold_segments`) — the small-files answer
+    for a long-running CDC feed. Returns the fold's ``upto`` id."""
+    hist_dir = os.path.join(work_dir, "scd2_hist")
+    return _fold_segments(spark, hist_dir, hist_dir + "_compacted")
+
+
+def vacuum_scd2_hist(spark: SparkSession, work_dir: str) -> list[int]:
+    """Delete ``scd2_hist`` segment dirs already folded by
+    `compact_scd2_hist` (and superseded older folds). Returns the
+    deleted batch ids; see `_vacuum_segments` for the safety argument."""
+    hist_dir = os.path.join(work_dir, "scd2_hist")
+    return _vacuum_segments(spark, hist_dir, hist_dir + "_compacted")

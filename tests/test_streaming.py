@@ -1456,3 +1456,211 @@ def test_streaming_ivf_vacuum_interleaving_invariant(spark, sf_dir, tmp_path):
     assert glob.glob(f"{work}/refresh/epoch=4")
     assert not glob.glob(f"{work}/refresh/epoch=2")
     check(4)
+
+
+def _scd2_rebuild(events_df):
+    """The e01 SCD2 construction (plans/lakehouse.py) over a batch
+    frame — the expected table for the streaming twin's equality
+    assertions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        events_df.filter("event_type = 'purchase'")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+def _rows(df):
+    # event_id (position 2) is unique, so mixed None/datetime columns
+    # further right are never compared during the sort
+    return sorted((r["user_id"], r["event_id"], r["value"], r["valid_from"], r["valid_to"], r["is_current"]) for r in df.collect())
+
+
+def test_streaming_scd2_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """Draining the events table in two time-ordered arrival files (the
+    CDC contract: event time monotone across batches) must yield the
+    SAME SCD2 history as e01's one-shot build over the union — open
+    rows from the first batch closed by the second batch's first event
+    per user, untouched rows byte-identical."""
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    events.filter("ts <= '2024-01-24'").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+    events.filter("ts > '2024-01-24'").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+
+    assert _rows(scd2_table(spark, work)) == _rows(_scd2_rebuild(events))
+
+
+def test_streaming_scd2_cross_batch_close(spark, tmp_path):
+    """Hand-checkable chain: a user spanning batches gets its open row
+    closed by ITS first event of the next batch; single-batch users
+    stay open; non-purchase events never become versions."""
+    import datetime as dt
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    t = [dt.datetime(2024, 1, 1 + i) for i in range(6)]
+    b0 = [
+        (1, t[0], 1, "purchase", 10.0, "{}"),
+        (2, t[1], 1, "purchase", 11.0, "{}"),
+        (3, t[0], 2, "purchase", 20.0, "{}"),
+        (4, t[1], 2, "click", 0.0, "{}"),
+    ]
+    b1 = [
+        (5, t[2], 1, "purchase", 12.0, "{}"),
+        (6, t[3], 3, "purchase", 30.0, "{}"),
+    ]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for rows in (b0, b1):
+        spark.createDataFrame(rows, SCHEMAS["events"]).select(cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+
+    got = {r["event_id"]: (r["valid_to"], r["is_current"]) for r in scd2_table(spark, work).collect()}
+    assert set(got) == {1, 2, 3, 5, 6}          # click (4) filtered out
+    assert got[1] == (t[1], False)               # closed within batch 0
+    assert got[2] == (t[2], False)               # closed ACROSS batches by event 5
+    assert got[3] == (None, True)                # user 2 never reappears
+    assert got[5] == (None, True)                # user 1's new current row
+    assert got[6] == (None, True)                # user 3 first seen in batch 1
+
+
+def test_streaming_scd2_replay_idempotent(spark, tmp_path):
+    """A failed first attempt leaves a wrong/partial batch=1 segment on
+    disk; the checkpoint-recovery replay must overwrite it — the drain
+    reads no prior state, so the segment is a pure function of the
+    batch's source rows."""
+    import datetime as dt
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    t = [dt.datetime(2024, 1, 1 + i) for i in range(4)]
+    b0 = [(1, t[0], 1, "purchase", 10.0, "{}")]
+    b1 = [(2, t[1], 1, "purchase", 11.0, "{}"), (3, t[2], 2, "purchase", 20.0, "{}")]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d0 = spark.createDataFrame(b0, SCHEMAS["events"]).select(cols)
+    d0.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+
+    # stage batch 1's file, then fake the failed attempt: a segment
+    # with WRONG contents already sits under batch=1
+    d1 = spark.createDataFrame(b1, SCHEMAS["events"]).select(cols)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(99, 99.0, 99, t[3], None, True, None)],
+        "event_id long, value double, user_id long, valid_from timestamp_ntz, "
+        "valid_to timestamp_ntz, is_current boolean, _first_ts timestamp_ntz",
+    ).write.mode("overwrite").parquet(f"{work}/scd2_hist/batch=1")
+
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+    union = d0.unionByName(d1)
+    assert _rows(scd2_table(spark, work)) == _rows(_scd2_rebuild(union))
+
+
+def test_streaming_scd2_compaction_vacuum_invariant(spark, sf_dir, tmp_path):
+    """Fold + vacuum of the version log between (and after) drains must
+    never change the SCD2 table: three time-ordered arrival batches
+    with maintenance interleaved always read back as e01's one-shot
+    rebuild over everything drained so far."""
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        compact_scd2_hist,
+        incremental_scd2_drain,
+        scd2_table,
+        vacuum_scd2_hist,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cuts = ["ts <= '2024-01-12'", "ts > '2024-01-12' AND ts <= '2024-01-24'", "ts > '2024-01-24'"]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    events.filter(cuts[0]).coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+    events.filter(cuts[1]).coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+
+    two = _rows(scd2_table(spark, work))
+    assert two == _rows(_scd2_rebuild(events.filter(f"({cuts[0]}) OR ({cuts[1]})")))
+    assert compact_scd2_hist(spark, work) == 1
+    assert _rows(scd2_table(spark, work)) == two
+    assert sorted(vacuum_scd2_hist(spark, work)) == [0, 1]
+    assert not glob.glob(f"{work}/scd2_hist/batch=*")
+    assert _rows(scd2_table(spark, work)) == two
+
+    # drain over the vacuumed log, then fold-from-fold + vacuum again
+    events.filter(cuts[2]).coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+    full = _rows(_scd2_rebuild(events))
+    assert _rows(scd2_table(spark, work)) == full
+    assert compact_scd2_hist(spark, work) == 2
+    assert vacuum_scd2_hist(spark, work) == [2]
+    assert _rows(scd2_table(spark, work)) == full
+
+
+def test_streaming_scd2_table_plan_shape(spark, tmp_path):
+    """The read-side fix-up must stay metadata-sized: the is_current
+    split reaches both parquet scans as pushed filters, the closed path
+    prunes _first_ts (map-only into the union), there is NO join, and
+    the only hash exchange is the open-rows fix-up window — the
+    trailing range exchange is the presentation ORDER BY."""
+    import datetime as dt
+    import re
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    t = [dt.datetime(2024, 1, 1 + i) for i in range(2)]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(
+        [[(1, t[0], 1, "purchase", 1.0, "{}")], [(2, t[1], 1, "purchase", 2.0, "{}")]]
+    ):
+        spark.createDataFrame(rows, SCHEMAS["events"]).select(cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+
+    df = scd2_table(spark, work)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert not re.findall(r"Join", tree), tree
+    assert "BroadcastExchange" not in tree, tree
+    # both halves of the is_current split are pushed into the scans
+    assert "Not(EqualTo(is_current,true))" in plan, plan
+    assert "EqualTo(is_current,true)]" in plan, plan
+    # the closed path never reads _first_ts or _bid off disk
+    closed_schemas = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "valid_to" in s
+    ]
+    assert closed_schemas and all("_first_ts" not in s for s in closed_schemas), plan
+    # one hash exchange (the fix-up window); one range exchange (ORDER BY)
+    assert len(re.findall(r"Arguments: hashpartitioning\(user_id", plan)) == 1, plan
+    assert len(re.findall(r"Arguments: rangepartitioning", plan)) == 1, plan
