@@ -21,6 +21,8 @@ from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
 from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
     compact_scd2_hist,
     incremental_scd2_drain,
+    scd2_current,
+    scd2_snapshot,
     scd2_table,
     vacuum_scd2_hist,
 )
@@ -49,6 +51,8 @@ __all__ = [
     "load_ivf_state",
     "incremental_scd2_drain",
     "scd2_table",
+    "scd2_current",
+    "scd2_snapshot",
     "compact_scd2_hist",
     "vacuum_scd2_hist",
 ]

@@ -112,25 +112,25 @@ def incremental_scd2_drain(
     return n_batches["n"]
 
 
-def scd2_table(spark: SparkSession, work_dir: str) -> DataFrame:
-    """The current SCD2 history over everything drained so far —
-    column-for-column the e01 build over the union of all batches
-    (asserted by tests/test_streaming.py). Closed rows stream through
-    map-only; open rows (≤ one per user per batch) are closed by the
-    user's NEXT batch's ``_first_ts`` via one lead-window ordered by
-    origin batch id, the only shuffle whose input grows with history —
-    and it grows with users×batches, not versions."""
+def _tagged_log(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The full ``_bid``-tagged version log (newest fold + tail)."""
     hist_dir = os.path.join(work_dir, "scd2_hist")
     tagged = _prior_segments(
         spark, hist_dir, hist_dir + "_compacted", 2**62, keep_bid=True
     )
     if tagged is None:
         raise FileNotFoundError(f"no SCD2 history under {work_dir}")
-    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
-    closed = tagged.filter(~F.col("is_current")).select(*cols)
-    opens = tagged.filter("is_current")
+    return tagged
+
+
+def _open_rows_fixed(tagged: DataFrame) -> DataFrame:
+    """The open rows (≤ one per user per batch) with their deferred
+    close applied: each is closed by the user's NEXT batch's
+    ``_first_ts`` via one lead-window ordered by origin batch id — the
+    only shuffle whose input grows with history, and it grows with
+    users×batches, not versions."""
     nxt = F.lead("_first_ts").over(Window.partitionBy("user_id").orderBy("_bid"))
-    fixed = opens.select(
+    return tagged.filter("is_current").select(
         "user_id",
         "event_id",
         "value",
@@ -138,7 +138,49 @@ def scd2_table(spark: SparkSession, work_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
-    return closed.unionByName(fixed).orderBy("user_id", "valid_from")
+
+
+def scd2_table(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The full SCD2 history over everything drained so far —
+    column-for-column the e01 build over the union of all batches
+    (asserted by tests/test_streaming.py). Closed rows stream through
+    map-only; open rows go through the `_open_rows_fixed` close."""
+    tagged = _tagged_log(spark, work_dir)
+    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
+    closed = tagged.filter(~F.col("is_current")).select(*cols)
+    return closed.unionByName(_open_rows_fixed(tagged)).orderBy("user_id", "valid_from")
+
+
+def scd2_current(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The CURRENT dimension snapshot — each user's one open version.
+    Reads ONLY the open rows (the ``is_current`` filter is pushed into
+    every segment scan, so closed history is never materialized): the
+    current-state lookup costs O(users×batches) IO regardless of how
+    many versions the log holds — the property a filter over the full
+    table cannot guarantee."""
+    return (
+        _open_rows_fixed(_tagged_log(spark, work_dir))
+        .filter("is_current")
+        .orderBy("user_id")
+    )
+
+
+def scd2_snapshot(spark: SparkSession, work_dir: str, as_of) -> DataFrame:
+    """Point-in-time read (``FOR TIMESTAMP AS OF``, the e06 semantics
+    on the streamed log): each user's version whose validity interval
+    covers ``as_of`` — at most one row per user; users whose first
+    version postdates ``as_of`` are absent. ``as_of`` may be a string
+    or datetime. The ``valid_from <= as_of`` bound is pushed into the
+    closed-path parquet scans."""
+    t = F.lit(as_of).cast("timestamp_ntz")
+    tagged = _tagged_log(spark, work_dir)
+    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
+    closed = tagged.filter(~F.col("is_current")).select(*cols)
+    full = closed.unionByName(_open_rows_fixed(tagged))
+    return full.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).orderBy("user_id")
 
 
 def compact_scd2_hist(spark: SparkSession, work_dir: str) -> int | None:

@@ -1664,3 +1664,54 @@ def test_streaming_scd2_table_plan_shape(spark, tmp_path):
     # one hash exchange (the fix-up window); one range exchange (ORDER BY)
     assert len(re.findall(r"Arguments: hashpartitioning\(user_id", plan)) == 1, plan
     assert len(re.findall(r"Arguments: rangepartitioning", plan)) == 1, plan
+
+
+def test_streaming_scd2_current_and_snapshot(spark, sf_dir, tmp_path):
+    """scd2_current ≡ the rebuild's is_current rows; scd2_snapshot(T) ≡
+    the rebuild's interval covering T — before, at, and after the batch
+    boundary, and unchanged by fold+vacuum. The current read must also
+    never scan closed rows (is_current=true pushed into every scan)."""
+    import re
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        compact_scd2_hist,
+        incremental_scd2_drain,
+        scd2_current,
+        scd2_snapshot,
+        vacuum_scd2_hist,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    events.filter("ts <= '2024-01-24'").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+    events.filter("ts > '2024-01-24'").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_scd2_drain(spark, src, SCHEMAS["events"], work) == 1
+
+    rebuild = _scd2_rebuild(events)
+    assert _rows(scd2_current(spark, work)) == _rows(rebuild.filter("is_current"))
+    for t in ("2024-01-05", "2024-01-24", "2024-01-29"):
+        want = rebuild.filter(
+            f"valid_from <= '{t}' AND (valid_to IS NULL OR valid_to > '{t}')"
+        )
+        assert _rows(scd2_snapshot(spark, work, t)) == _rows(want)
+        # at most one version per user is visible at any instant
+        n_users = scd2_snapshot(spark, work, t).select("user_id").distinct().count()
+        assert scd2_snapshot(spark, work, t).count() == n_users
+
+    # current must read only open rows: every scan carries the pushed
+    # is_current=true filter, none the closed path's negation
+    plan = scd2_current(spark, work)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Not(EqualTo(is_current,true))" not in plan, plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == len(re.findall(r"EqualTo\(is_current,true\)\]", plan)) == 2, plan
+
+    # maintenance-invisible, like every other reader
+    cur = _rows(scd2_current(spark, work))
+    snap = _rows(scd2_snapshot(spark, work, "2024-01-24"))
+    assert compact_scd2_hist(spark, work) == 1
+    assert sorted(vacuum_scd2_hist(spark, work)) == [0, 1]
+    assert _rows(scd2_current(spark, work)) == cur
+    assert _rows(scd2_snapshot(spark, work, "2024-01-24")) == snap
