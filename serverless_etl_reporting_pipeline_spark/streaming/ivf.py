@@ -67,7 +67,7 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
     ivf_centroids,
     lloyd_refresh,
 )
-from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _batch_dirs,
     _committed_dirs,
     _fs_delete,

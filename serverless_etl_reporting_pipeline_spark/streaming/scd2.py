@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
     _prior_segments,
     _vacuum_segments,

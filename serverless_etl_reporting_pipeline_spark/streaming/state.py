@@ -1,0 +1,175 @@
+"""Shared segment-log state machinery for the stateful streaming
+ingest twins (funnel, vector-dedup band index, IVF postings, SCD2
+version log).
+
+The pattern every module follows: each micro-batch writes its state
+contribution to a ``batch=<id>`` dir with mode=overwrite (a pure
+function of the batch's source rows — checkpoint-recovery replay
+reproduces it byte-identically); a compaction folds committed segments
+into ONE ``_bid``-tagged parquet under ``<comp_dir>/upto=<id>``
+(small-files); a vacuum deletes what the fold supersedes (retention).
+Every reader sees newest-fold-plus-newer-tail, so both maintenance
+steps are invisible to drains, reports, and replays — the ``_bid`` tag
+is what lets a replayed micro-batch still exclude its OWN rows after
+its committed segment was folded (and possibly vacuumed).
+
+All filesystem access goes through the Hadoop FileSystem API so state
+dirs behave identically on local disk, HDFS, and object stores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so state dirs
+    work on HDFS/S3/… exactly as on local disk (os.path would silently
+    answer False for every non-local URI)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API (same scheme
+    coverage as `_fs_exists`) — the primitive behind retention."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def _batch_dirs(
+    spark: SparkSession, dir_path: str, prefix: str = "batch="
+) -> list[tuple[int, str]]:
+    """(id, uri) for every ``<prefix><id>`` child of ``dir_path``,
+    listed through the Hadoop FileSystem API (any supported scheme).
+    The default prefix enumerates per-micro-batch state segments; the
+    IVF module also lists its ``upto=<id>`` compaction dirs with it."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
+    return sorted(out)
+
+
+def _committed_dirs(
+    spark: SparkSession, dir_path: str, prefix: str = "batch="
+) -> list[tuple[int, str]]:
+    """`_batch_dirs` restricted to dirs whose parquet commit finished
+    (`_SUCCESS` present). The drains' strictly-earlier per-batch reads
+    don't need this — a crashed batch write means the checkpoint never
+    advanced, so the replay IS that batch and overwrites the partial
+    dir before anyone reads it — but MAINTENANCE ops (compaction,
+    refresh, state loads) also read the LATEST segment, and folding or
+    trusting a half-written dir would bake the loss in permanently."""
+    return [
+        (i, uri)
+        for i, uri in _batch_dirs(spark, dir_path, prefix)
+        if _fs_exists(spark, f"{uri}/_SUCCESS")
+    ]
+
+
+def _prior_segments(
+    spark: SparkSession,
+    seg_dir: str,
+    comp_dir: str,
+    batch_id: int,
+    keep_bid: bool = False,
+) -> DataFrame | None:
+    """State from batches STRICTLY before ``batch_id``: the newest
+    committed compaction (row-level ``_bid < batch_id`` filter — see
+    `_fold_segments`) plus the uncompacted segment tail. None when no
+    strictly-earlier state exists (first batch). With ``keep_bid`` the
+    origin batch id stays as a ``_bid`` column on every row (tail
+    segments tagged from their dir name) — what lets lake readers
+    identify the latest batch after its dir was vacuumed."""
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    parts, upto = [], -1
+    if comps:
+        upto = comps[-1][0]
+        comp = spark.read.parquet(comps[-1][1]).filter(F.col("_bid") < batch_id)
+        parts.append(comp if keep_bid else comp.drop("_bid"))
+    for bid, uri in _batch_dirs(spark, seg_dir):
+        if upto < bid < batch_id:
+            seg = spark.read.parquet(uri)
+            parts.append(seg.withColumn("_bid", F.lit(bid)) if keep_bid else seg)
+    if not parts:
+        return None
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
+    """Fold the committed state under ``seg_dir`` into ONE parquet at
+    ``comp_dir/upto=<max id>``, each row tagged with its origin batch
+    id (``_bid``) — the small-files answer for a long-running ingest,
+    shared by the hash-state, funnel-lake, band-index, and SCD2-log
+    compactions. The tag is what lets `_prior_segments`' strictly-
+    earlier reads SURVIVE compaction: a replayed micro-batch whose own
+    committed segment was folded before the crash-recovery replay
+    still excludes its own rows at the row level.
+
+    Folds FROM the newest earlier compaction plus the segment tail
+    above it — never from raw segments alone — so a fold stays
+    lossless after `_vacuum_segments` has deleted folded segment dirs
+    (and re-folding reads one parquet + the short tail instead of
+    every historical segment). Equivalent when everything is retained:
+    by the idempotence contract the folded copy of a segment is
+    bit-identical to the segment itself. A segment dir at or below the
+    previous ``upto`` (a replayed batch re-writing its vacuumed dir)
+    is deliberately ignored — its rows are already in the fold.
+    Returns the new ``upto`` id, None when no state exists, and
+    short-circuits when the committed span is already folded."""
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    prev = comps[-1][0] if comps else -1
+    tail = [(bid, uri) for bid, uri in _committed_dirs(spark, seg_dir) if bid > prev]
+    if not tail:
+        return prev if comps else None  # nothing new: current fold stands
+    upto = max(bid for bid, _ in tail)
+    parts = [spark.read.parquet(comps[-1][1])] if comps else []
+    parts += [
+        spark.read.parquet(uri).withColumn("_bid", F.lit(bid)) for bid, uri in tail
+    ]
+    folded = parts[0]
+    for part in parts[1:]:
+        folded = folded.unionByName(part)
+    folded.write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
+    return upto
+
+
+def _vacuum_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> list[int]:
+    """Retention for a compacted segment log: delete state the newest
+    committed compaction makes redundant — per-batch segment dirs with
+    id ≤ ``upto`` (their rows live on in the fold, ``_bid``-tagged) and
+    superseded older ``upto=`` compactions. Safe because every reader
+    sees newest-compaction-plus-newer-tail (`_prior_segments`,
+    `_fold_segments`), so the observable log is unchanged; a replayed
+    micro-batch that re-writes a vacuumed segment dir is ignored by
+    readers and by later folds (id ≤ upto), and still excludes its OWN
+    rows via the row-level ``_bid`` filter. GC is the operator's call —
+    drains and compactions never delete anything. Returns the deleted
+    segment batch ids."""
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    if not comps:
+        return []
+    upto = comps[-1][0]
+    gone = []
+    for bid, uri in _committed_dirs(spark, seg_dir):
+        if bid <= upto:
+            _fs_delete(spark, uri)
+            gone.append(bid)
+    for _, uri in comps[:-1]:
+        _fs_delete(spark, uri)
+    return gone

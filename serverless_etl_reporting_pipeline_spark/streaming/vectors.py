@@ -43,7 +43,7 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
     probe_band_index,
     random_hyperplanes,
 )
-from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
     _prior_segments,
     _vacuum_segments,

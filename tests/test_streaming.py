@@ -1080,7 +1080,7 @@ def test_prior_segments_equals_uncompacted_read_property(
     _prior_segments must return exactly the rows of the segments with
     id < probe_id — compaction (including of the probing batch's own
     committed segment) must never change what a batch sees."""
-    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+    from serverless_etl_reporting_pipeline_spark.streaming.state import (
         _fold_segments,
         _prior_segments,
     )
@@ -1212,7 +1212,7 @@ def test_prior_segments_survives_vacuum_property(
     afterwards — the fold-from-fold path over a vacuumed log) must
     never change what _prior_segments returns: still exactly the rows
     of the segments with id < probe_id."""
-    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+    from serverless_etl_reporting_pipeline_spark.streaming.state import (
         _fold_segments,
         _prior_segments,
         _vacuum_segments,
