@@ -45,10 +45,9 @@ from serverless_etl_reporting_pipeline_spark.operators.funnel import (
     shingle_set,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
-    _batch_dirs,
-    _committed_dirs,
     _fold_segments,
     _fs_exists,
+    _log_state,
     _prior_segments,
     _vacuum_segments,
 )
@@ -163,14 +162,18 @@ def compact_funnel_lake(spark: SparkSession, work_dir: str) -> int | None:
     return _fold_segments(spark, ann_dir, ann_dir + "_compacted")
 
 
-def _lake(spark: SparkSession, work_dir: str, keep_bid: bool = False) -> DataFrame:
-    """The FULL annotation lake: newest committed compaction plus the
-    segment tail (`_prior_segments` probed above every batch id)."""
+def _lake(
+    spark: SparkSession, work_dir: str, keep_bid: bool = False
+) -> tuple[DataFrame, int]:
+    """The FULL annotation lake (newest committed compaction plus the
+    committed segment tail) and its tip batch id — `_log_state`, so an
+    in-flight or crashed drain's partial segment above the tip never
+    leaks into a report."""
     ann_dir = os.path.join(work_dir, "funnel_ann")
-    ann = _prior_segments(spark, ann_dir, ann_dir + "_compacted", 2**62, keep_bid)
+    ann, tip = _log_state(spark, ann_dir, ann_dir + "_compacted", keep_bid)
     if ann is None:
         raise FileNotFoundError(f"no annotation lake under {work_dir}")
-    return ann
+    return ann, tip
 
 
 def vacuum_funnel_lake(spark: SparkSession, work_dir: str) -> list[int]:
@@ -194,7 +197,9 @@ def compact_hash_state(spark: SparkSession, work_dir: str) -> int | None:
     ``_bid``-tagged parquet (`_fold_segments`) — at streaming rates the
     hash index otherwise becomes thousands of tiny files, each listed
     and opened by every micro-batch's anti-join. Returns the folded
-    ``upto`` id (None if nothing to fold); `_prior_hash_state` reads
+    standing fold's ``upto`` id — the new one when fresh segments were
+    folded, the existing one on an idempotent no-op re-run — or None
+    when no state exists at all; `_prior_hash_state` reads
     compaction + tail transparently."""
     hashes_dir = os.path.join(work_dir, "state_hashes")
     return _fold_segments(spark, hashes_dir, hashes_dir + "_compacted")
@@ -226,16 +231,13 @@ def incremental_mixture_report(
         _mixture_targets_from_counts,
     )
 
-    # latest batch id from directory LISTINGS (segment dirs + fold
-    # upto), never a data scan; its rows come from the _bid-tagged lake
-    # so the report survives the latest segment dir being vacuumed
-    # after a fold
-    ann_dir = os.path.join(work_dir, "funnel_ann")
-    comps = _committed_dirs(spark, ann_dir + "_compacted", "upto=")
-    ids = [bid for bid, _ in _batch_dirs(spark, ann_dir)]
-    ids += [comps[-1][0]] if comps else []
-    latest = max(ids)
-    tagged = _lake(spark, work_dir, keep_bid=True)
+    # the lake read and the latest-COMMITTED-batch id come from ONE
+    # `_log_state` pass (a single round of directory listings, never a
+    # data scan); the _bid tags key the latest batch's rows, so the
+    # report survives the latest segment dir being vacuumed after a
+    # fold, and a crashed drain's partial segment above the tip is
+    # invisible rather than silently reported as the latest batch
+    tagged, latest = _lake(spark, work_dir, keep_bid=True)
     ann_all = tagged.drop("_bid")
     ann_latest = tagged.filter(F.col("_bid") == latest).drop("_bid")
 
@@ -258,7 +260,7 @@ def funnel_table(spark: SparkSession, work_dir: str) -> DataFrame:
     """The cumulative per-(source, lang) funnel over every drained batch
     — the same accounting table pipe01 reports, read from the annotated
     lake instead of recomputed from the corpus."""
-    ann = _lake(spark, work_dir)
+    ann, _ = _lake(spark, work_dir)
     return (
         ann.groupBy("source", "lang")
         .agg(

@@ -96,6 +96,14 @@ def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None
     return committed[-1] if committed else None
 
 
+def _sel_postings(df: DataFrame) -> DataFrame:
+    """Normalize a posting frame to the index schema ``(_cell BIGINT,
+    _id, _qv)`` — Hive partition discovery types ``_cell`` as INT on
+    some reads; every fold/load site MUST project through this one
+    helper so compactions and the loader can never drift apart."""
+    return df.select(F.col("_cell").cast("long").alias("_cell"), "_id", "_qv")
+
+
 def incremental_ivf_ingest_drain(
     spark: SparkSession,
     source_dir: str,
@@ -155,8 +163,10 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
     compactions — `load_ivf_state` reads only the newest). One
     shuffle-free write re-bucketed by directory; after it, probes of
     the compacted span read exactly the cell directories they hit
-    instead of every tiny segment file. Returns the new ``upto`` id,
-    or None when there is nothing to fold.
+    instead of every tiny segment file. Returns the ``upto`` id of the
+    STANDING fold — the new one when fresh segments were folded, the
+    existing one when nothing new arrived (idempotent no-op) — or None
+    when no post-epoch state exists at all.
 
     Segments at or below the epoch are never folded: their cells were
     assigned under a superseded quantizer, and the epoch's re-filed
@@ -184,12 +194,8 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
     if not segs:
         return prev if comps else None  # nothing new beyond the current fold
     upto = max(bid for bid, _ in segs)
-
-    def _sel(df: DataFrame) -> DataFrame:
-        return df.select(F.col("_cell").cast("long").alias("_cell"), "_id", "_qv")
-
-    parts = [_sel(spark.read.parquet(comps[-1][1]))] if comps else []
-    parts += [_sel(spark.read.parquet(uri)) for _, uri in segs]
+    parts = [_sel_postings(spark.read.parquet(comps[-1][1]))] if comps else []
+    parts += [_sel_postings(spark.read.parquet(uri)) for _, uri in segs]
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -204,36 +210,43 @@ def vacuum_ivf_segments(spark: SparkSession, work_dir: str) -> list[int]:
     the current refresh epoch and the newest post-epoch compaction —
 
     - posting ``batch=`` dirs at or below the floor (epoch re-file
-      covers ids ≤ E; the newest post-epoch fold covers (E, K]);
-    - compactions other than the newest post-epoch one (those ≤ E are
-      dead under `load_ivf_state`'s floor filter, older post-epoch
-      folds are superseded by the newest);
-    - refresh epochs older than the current one (committed or crashed).
+      covers ids ≤ E; the newest post-epoch fold covers (E, K]) —
+      including uncommitted ones (a replay's re-write of a vacuumed
+      dir, dead by id range either way);
+    - compactions other than the newest COMMITTED post-epoch one
+      (those ≤ E are dead under `load_ivf_state`'s floor filter, older
+      post-epoch folds are superseded, and an uncommitted dir is a
+      crashed fold that would otherwise leak forever — later folds
+      target higher ``upto`` ids and never overwrite it);
+    - refresh epochs other than the current committed one (older ones
+      are superseded; an uncommitted one is a crashed refresh whose
+      retry regenerates it from the same inputs).
 
     `load_ivf_state`, `compact_ivf_segments`, and `refresh_ivf_state`
     all read epoch + newest-fold + newer-tail, so the observable index
     is unchanged; a replayed micro-batch re-writing a vacuumed posting
     dir is ignored by all of them (id ≤ floor). GC is the operator's
-    call — drains, folds, and refreshes never delete anything. Returns
-    the deleted posting batch ids."""
+    call — drains, folds, and refreshes never delete anything; like
+    them, vacuum runs quiesced (never concurrently with a drain, fold,
+    or refresh), which is what makes reclaiming in-flight-looking
+    crashed dirs safe. Returns the deleted posting batch ids."""
     epoch = _current_epoch(spark, work_dir)
     e = epoch[0] if epoch else -1
-    comps = _committed_dirs(
-        spark, os.path.join(work_dir, "postings_compacted"), "upto="
-    )
-    live = [c for c in comps if c[0] > e]
+    comp_dir = os.path.join(work_dir, "postings_compacted")
+    live = [c for c in _committed_dirs(spark, comp_dir, "upto=") if c[0] > e]
     floor = live[-1][0] if live else e
     gone = []
-    for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings")):
+    for bid, uri in _batch_dirs(spark, os.path.join(work_dir, "postings")):
         if bid <= floor:
             _fs_delete(spark, uri)
             gone.append(bid)
     keep = live[-1][1] if live else None
-    for _, uri in comps:
+    for _, uri in _batch_dirs(spark, comp_dir, "upto="):
         if uri != keep:
             _fs_delete(spark, uri)
-    for eid, uri in _batch_dirs(spark, os.path.join(work_dir, "refresh"), "epoch="):
-        if eid < e:
+    cur = epoch[1] if epoch else None
+    for _, uri in _batch_dirs(spark, os.path.join(work_dir, "refresh"), "epoch="):
+        if uri != cur:
             _fs_delete(spark, uri)
     return gone
 
@@ -291,15 +304,11 @@ def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataF
     sources — epoch re-file (ids ≤ E), newest post-epoch compaction
     (E < ids ≤ K), uncompacted segment tail (ids > max(E, K)). Feed
     straight into `ivf_batch_probe`."""
-
-    def _sel(df: DataFrame) -> DataFrame:
-        return df.select(F.col("_cell").cast("long").alias("_cell"), "_id", "_qv")
-
     parts = []
     epoch = _current_epoch(spark, work_dir)
     if epoch is not None:
         cent = spark.read.parquet(f"{epoch[1]}/centroids")
-        parts.append(_sel(spark.read.parquet(f"{epoch[1]}/postings")))
+        parts.append(_sel_postings(spark.read.parquet(f"{epoch[1]}/postings")))
     else:
         cent = spark.read.parquet(os.path.join(work_dir, "centroids"))
     floor_id = epoch[0] if epoch else -1
@@ -311,11 +320,11 @@ def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataF
         if c[0] > floor_id
     ]
     if comps:
-        parts.append(_sel(spark.read.parquet(comps[-1][1])))
+        parts.append(_sel_postings(spark.read.parquet(comps[-1][1])))
     upto = comps[-1][0] if comps else floor_id
     for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings")):
         if bid > upto:
-            parts.append(_sel(spark.read.parquet(uri)))
+            parts.append(_sel_postings(spark.read.parquet(uri)))
     if not parts:
         raise FileNotFoundError(f"no posting state under {work_dir}")
     postings = parts[0]

@@ -41,7 +41,7 @@ Maintenance: `compact_scd2_hist` folds committed segments into one
 ``_bid``-tagged parquet (shared `_fold_segments`) and
 `vacuum_scd2_hist` deletes what the fold supersedes (shared
 `_vacuum_segments`). `scd2_table` reads newest-fold-plus-tail via
-`_prior_segments` with ``keep_bid`` — the origin batch id doubles as
+`_log_state` with ``keep_bid`` — the origin batch id doubles as
 the fix-up window's sort key, so compaction and vacuum are invisible
 to it by construction.
 """
@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
-    _prior_segments,
+    _log_state,
     _vacuum_segments,
 )
 
@@ -113,11 +113,11 @@ def incremental_scd2_drain(
 
 
 def _tagged_log(spark: SparkSession, work_dir: str) -> DataFrame:
-    """The full ``_bid``-tagged version log (newest fold + tail)."""
+    """The full committed ``_bid``-tagged version log (newest fold +
+    tail, bounded at the committed tip via `_log_state` so an in-flight
+    drain's partial segment never leaks into a read)."""
     hist_dir = os.path.join(work_dir, "scd2_hist")
-    tagged = _prior_segments(
-        spark, hist_dir, hist_dir + "_compacted", 2**62, keep_bid=True
-    )
+    tagged, _ = _log_state(spark, hist_dir, hist_dir + "_compacted", keep_bid=True)
     if tagged is None:
         raise FileNotFoundError(f"no SCD2 history under {work_dir}")
     return tagged

@@ -79,6 +79,34 @@ def _committed_dirs(
     ]
 
 
+def _assemble(
+    spark: SparkSession,
+    segs: list[tuple[int, str]],
+    comps: list[tuple[int, str]],
+    batch_id: int,
+    keep_bid: bool,
+) -> DataFrame | None:
+    """Assemble the newest fold + segment tail below ``batch_id`` from
+    already-listed dirs — the shared body of `_prior_segments` and
+    `_log_state`, so callers that need the listings themselves don't
+    pay the filesystem round-trips twice."""
+    parts, upto = [], -1
+    if comps:
+        upto = comps[-1][0]
+        comp = spark.read.parquet(comps[-1][1]).filter(F.col("_bid") < batch_id)
+        parts.append(comp if keep_bid else comp.drop("_bid"))
+    for bid, uri in segs:
+        if upto < bid < batch_id:
+            seg = spark.read.parquet(uri)
+            parts.append(seg.withColumn("_bid", F.lit(bid)) if keep_bid else seg)
+    if not parts:
+        return None
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
 def _prior_segments(
     spark: SparkSession,
     seg_dir: str,
@@ -92,23 +120,45 @@ def _prior_segments(
     strictly-earlier state exists (first batch). With ``keep_bid`` the
     origin batch id stays as a ``_bid`` column on every row (tail
     segments tagged from their dir name) — what lets lake readers
-    identify the latest batch after its dir was vacuumed."""
+    identify the latest batch after its dir was vacuumed.
+
+    Deliberately reads tail dirs WITHOUT requiring ``_SUCCESS``: a
+    strictly-earlier batch always committed (the checkpoint advanced
+    past it), so a malformed dir below the probing batch is corruption
+    and must surface as a read error, never be silently skipped
+    (dropping a quality-hash segment would quietly disable cross-batch
+    dedup). Whole-log READERS must not call this with an arbitrary
+    upper bound — an in-flight batch's partial dir is legitimate, not
+    corrupt; they go through `_log_state`, which bounds at the
+    committed tip."""
+    return _assemble(
+        spark,
+        _batch_dirs(spark, seg_dir),
+        _committed_dirs(spark, comp_dir, "upto="),
+        batch_id,
+        keep_bid,
+    )
+
+
+def _log_state(
+    spark: SparkSession, seg_dir: str, comp_dir: str, keep_bid: bool = False
+) -> tuple[DataFrame | None, int | None]:
+    """The FULL committed state of a segment log, as ``(frame, tip)``
+    where ``tip`` is the newest committed batch id across segments and
+    fold (both None when no committed state exists). Reads are bounded
+    at the tip, so a crashed or in-flight write ABOVE it is invisible
+    (its replay will overwrite the dir before the checkpoint ever
+    admits it), while a malformed dir at or below the tip still
+    surfaces as a read error. One listing per dir — callers that need
+    the tip (reports keying on the latest batch) don't re-list."""
+    segs = _batch_dirs(spark, seg_dir)
     comps = _committed_dirs(spark, comp_dir, "upto=")
-    parts, upto = [], -1
-    if comps:
-        upto = comps[-1][0]
-        comp = spark.read.parquet(comps[-1][1]).filter(F.col("_bid") < batch_id)
-        parts.append(comp if keep_bid else comp.drop("_bid"))
-    for bid, uri in _batch_dirs(spark, seg_dir):
-        if upto < bid < batch_id:
-            seg = spark.read.parquet(uri)
-            parts.append(seg.withColumn("_bid", F.lit(bid)) if keep_bid else seg)
-    if not parts:
-        return None
-    out = parts[0]
-    for pt in parts[1:]:
-        out = out.unionByName(pt)
-    return out
+    ids = [bid for bid, uri in segs if _fs_exists(spark, f"{uri}/_SUCCESS")]
+    ids += [comps[-1][0]] if comps else []
+    if not ids:
+        return None, None
+    tip = max(ids)
+    return _assemble(spark, segs, comps, tip + 1, keep_bid), tip
 
 
 def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
@@ -159,17 +209,24 @@ def _vacuum_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> list[i
     micro-batch that re-writes a vacuumed segment dir is ignored by
     readers and by later folds (id ≤ upto), and still excludes its OWN
     rows via the row-level ``_bid`` filter. GC is the operator's call —
-    drains and compactions never delete anything. Returns the deleted
+    drains and compactions never delete anything. Like every
+    maintenance op here, must not run concurrently with a fold or
+    drain (the quiesced contract), which is what makes it safe to also
+    reclaim CRASHED leftovers: uncommitted ``upto=`` dirs (a fold that
+    died mid-write and was later superseded) and uncommitted segment
+    dirs at or below the fold (a replay's re-write of a vacuumed dir —
+    readers ignore the id range either way). Returns the deleted
     segment batch ids."""
     comps = _committed_dirs(spark, comp_dir, "upto=")
     if not comps:
         return []
-    upto = comps[-1][0]
+    upto, keep = comps[-1]
     gone = []
-    for bid, uri in _committed_dirs(spark, seg_dir):
+    for bid, uri in _batch_dirs(spark, seg_dir):
         if bid <= upto:
             _fs_delete(spark, uri)
             gone.append(bid)
-    for _, uri in comps[:-1]:
-        _fs_delete(spark, uri)
+    for _, uri in _batch_dirs(spark, comp_dir, "upto="):
+        if uri != keep:
+            _fs_delete(spark, uri)
     return gone

@@ -1715,3 +1715,90 @@ def test_streaming_scd2_current_and_snapshot(spark, sf_dir, tmp_path):
     assert sorted(vacuum_scd2_hist(spark, work)) == [0, 1]
     assert _rows(scd2_current(spark, work)) == cur
     assert _rows(scd2_snapshot(spark, work, "2024-01-24")) == snap
+
+
+def test_log_state_bounds_at_committed_tip_and_vacuum_reclaims_crashed_fold(
+    spark, tmp_path
+):
+    """Whole-log readers must stop at the committed tip: a partial
+    segment above it (in-flight or crashed drain — parquet files
+    present, no _SUCCESS) is invisible instead of silently read as the
+    latest batch. And vacuum must reclaim a crashed fold dir (no
+    _SUCCESS) — later folds target higher upto ids and would otherwise
+    leak it forever."""
+    import os
+
+    from serverless_etl_reporting_pipeline_spark.streaming.state import (
+        _fold_segments,
+        _log_state,
+        _vacuum_segments,
+    )
+
+    seg, comp = str(tmp_path / "segs"), str(tmp_path / "comp")
+    for i in (0, 1):
+        spark.createDataFrame([(i, 10 + i)], "seg int, v int").write.mode(
+            "overwrite"
+        ).parquet(f"{seg}/batch={i}")
+    df, tip = _log_state(spark, seg, comp)
+    assert tip == 1 and sorted(r["seg"] for r in df.collect()) == [0, 1]
+
+    # in-flight batch=2: committed marker stripped
+    spark.createDataFrame([(2, 12)], "seg int, v int").write.mode("overwrite").parquet(
+        f"{seg}/batch=2"
+    )
+    os.remove(f"{seg}/batch=2/_SUCCESS")
+    df, tip = _log_state(spark, seg, comp)
+    assert tip == 1 and sorted(r["seg"] for r in df.collect()) == [0, 1]
+
+    # crashed fold at upto=0 (no _SUCCESS), then a real fold at upto=1:
+    # vacuum must delete the crashed dir, the folded segments, and spare
+    # the in-flight batch=2 (above the fold)
+    spark.createDataFrame([(0, 10)], "seg int, v int").withColumn(
+        "_bid", F.lit(0)
+    ).write.mode("overwrite").parquet(f"{comp}/upto=0")
+    os.remove(f"{comp}/upto=0/_SUCCESS")
+    assert _fold_segments(spark, seg, comp) == 1
+    assert sorted(_vacuum_segments(spark, seg, comp)) == [0, 1]
+    assert not os.path.exists(f"{comp}/upto=0")
+    assert os.path.exists(f"{comp}/upto=1/_SUCCESS")
+    assert os.path.exists(f"{seg}/batch=2")
+    df, tip = _log_state(spark, seg, comp)
+    assert tip == 1 and sorted(r["seg"] for r in df.collect()) == [0, 1]
+
+
+def test_streaming_funnel_report_ignores_partial_inflight_segment(spark, tmp_path):
+    """A crashed drain's partial funnel_ann segment (no _SUCCESS) must
+    not become the mixture report's 'latest batch' — the report keys on
+    the committed tip and reads identical results before and after the
+    partial dir appears."""
+    import os
+
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        funnel_table,
+        incremental_funnel_drain,
+        incremental_mixture_report,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    uniq = " ".join(f"zzz{i} and the of to is in a" for i in range(8))
+    schema = "doc_id long, source string, lang string, text string"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    d1 = spark.createDataFrame([(6, "s", "en", good), (7, "t", "en", uniq)], schema)
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
+
+    tbl = [tuple(r) for r in funnel_table(spark, work).collect()]
+    rep = sorted(tuple(r) for r in incremental_mixture_report(spark, work).collect())
+
+    # fake the crash: a partial batch=9 annotation dir, no _SUCCESS
+    spark.createDataFrame(
+        [(99, "x", "en", False, False, False)],
+        "doc_id long, source string, lang string, q boolean, dd boolean, clean boolean",
+    ).write.mode("overwrite").parquet(f"{work}/funnel_ann/batch=9")
+    os.remove(f"{work}/funnel_ann/batch=9/_SUCCESS")
+
+    assert [tuple(r) for r in funnel_table(spark, work).collect()] == tbl
+    assert (
+        sorted(tuple(r) for r in incremental_mixture_report(spark, work).collect())
+        == rep
+    )
