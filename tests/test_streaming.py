@@ -1802,3 +1802,51 @@ def test_streaming_funnel_report_ignores_partial_inflight_segment(spark, tmp_pat
         sorted(tuple(r) for r in incremental_mixture_report(spark, work).collect())
         == rep
     )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    segments=st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=0, max_size=3),
+        min_size=1,
+        max_size=4,
+    ),
+    n_inflight=st.integers(min_value=0, max_value=2),
+    fold=st.booleans(),
+    vacuum=st.booleans(),
+)
+def test_log_state_property(spark, tmp_path_factory, segments, n_inflight, fold, vacuum):
+    """For ANY committed segment log with a trailing run of in-flight
+    (uncommitted) writes — the only pattern a crashed AvailableNow
+    drain can leave — and any fold/vacuum state, _log_state returns
+    exactly the committed rows with tip = the newest committed id."""
+    import os
+
+    from serverless_etl_reporting_pipeline_spark.streaming.state import (
+        _fold_segments,
+        _log_state,
+        _vacuum_segments,
+    )
+
+    root = str(tmp_path_factory.mktemp("ls"))
+    seg_dir, comp_dir = f"{root}/segs", f"{root}/comp"
+    n_committed = len(segments)
+    # trailing in-flight dirs carry rows that must never be visible
+    all_segs = list(segments) + [[77]] * n_inflight
+    for i, vals in enumerate(all_segs):
+        spark.createDataFrame([(i, v) for v in vals] or [], "seg int, v int").write.mode(
+            "overwrite"
+        ).parquet(f"{seg_dir}/batch={i}")
+        if i >= n_committed:
+            os.remove(f"{seg_dir}/batch={i}/_SUCCESS")
+    if fold:
+        _fold_segments(spark, seg_dir, comp_dir)
+        if vacuum:
+            _vacuum_segments(spark, seg_dir, comp_dir)
+    got, tip = _log_state(spark, seg_dir, comp_dir)
+    want = sorted((i, v) for i, vals in enumerate(segments) for v in vals)
+    assert tip == n_committed - 1
+    if got is None:
+        assert not want
+    else:
+        assert sorted((r["seg"], r["v"]) for r in got.collect()) == want
