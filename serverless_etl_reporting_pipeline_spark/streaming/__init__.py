@@ -1,7 +1,7 @@
 """Streaming surface: checkpointed AvailableNow ingest, watermarked
-windows, stateful operators, and the four stateful ingest twins
-(curation funnel, vector-dedup band index, IVF retrieval index,
-SCD2 version log)."""
+windows, stateful operators, and the five stateful ingest twins
+(curation funnel, vector-dedup band index, text MinHash index, IVF
+retrieval index, SCD2 version log)."""
 
 from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     compact_funnel_lake,
@@ -11,6 +11,11 @@ from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
     vacuum_hash_state,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.ingest import available_now_ingest
+from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+    compact_text_index,
+    incremental_text_dedup_drain,
+    vacuum_text_index,
+)
 from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
     compact_ivf_segments,
     incremental_ivf_ingest_drain,
@@ -44,6 +49,9 @@ __all__ = [
     "incremental_vector_dedup_drain",
     "compact_band_index",
     "vacuum_band_index",
+    "incremental_text_dedup_drain",
+    "compact_text_index",
+    "vacuum_text_index",
     "incremental_ivf_ingest_drain",
     "compact_ivf_segments",
     "vacuum_ivf_segments",

@@ -1850,3 +1850,139 @@ def test_log_state_property(spark, tmp_path_factory, segments, n_inflight, fold,
         assert not want
     else:
         assert sorted((r["seg"], r["v"]) for r in got.collect()) == want
+
+
+def test_streaming_text_dedup_equals_batch_probe(spark, sf_dir, tmp_path):
+    """The document twin of the vector-dedup capstone: draining doc
+    micro-batches through the on-disk MinHash index must give each
+    batch EXACTLY the annotations of incremental_neardup_flags(prior
+    batches, batch) — the operator t20's oracle pins — and a re-drain
+    with no new files processes nothing."""
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+        incremental_neardup_flags,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        incremental_text_dedup_drain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    wm = int(0.8 * (max_id + 1))
+    src, work = str(tmp_path / "doc_src"), str(tmp_path / "doc_work")
+
+    base = docs.filter(f"doc_id < {wm}")
+    delta = docs.filter(f"doc_id >= {wm}")
+    base.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_text_dedup_drain(spark, src, docs.schema, work) == 1
+    delta.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_text_dedup_drain(spark, src, docs.schema, work) == 1
+    assert incremental_text_dedup_drain(spark, src, docs.schema, work) == 0
+
+    # batch 0: no prior state — nothing may be flagged
+    b0 = spark.read.parquet(f"{work}/doc_ann/batch=0")
+    assert b0.count() == base.count() and b0.filter("is_dup").count() == 0
+    # batch 1 must equal the t20-oracle-pinned operator on (base, delta)
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=1").collect()
+    }
+    want = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in incremental_neardup_flags(base, delta).collect()
+    }
+    assert got == want
+    assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
+
+
+def test_streaming_text_dedup_replay_idempotent(spark, tmp_path):
+    """Checkpoint-recovery replay for the text module: a micro-batch
+    whose OWN index segments and annotations were written by a failed
+    prior attempt must overwrite them and must NOT flag its documents
+    as duplicates of themselves (every doc is jaccard-1.0 with itself,
+    so a leaked own-segment probe would flag the whole batch)."""
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+        _shingle_sets,
+        minhash_signatures,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        incremental_text_dedup_drain,
+    )
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tb = "completely different words appear here instead tonight my friend"
+    d1 = spark.createDataFrame([(0, ta)], schema)
+    d2 = spark.createDataFrame([(10, ta), (11, tb)], schema)  # 10 dups batch-0's doc
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 1
+
+    # stage batch 2, then fake its failed first attempt on disk: both
+    # index segments committed, garbage annotations written
+    d2.coalesce(1).write.mode("append").parquet(src)
+    sh = _shingle_sets(d2, "doc_id", "text", 3)
+    sh.write.mode("overwrite").parquet(f"{work}/shingle_index/batch=1")
+    minhash_signatures(sh, "doc_id", 64).write.mode("overwrite").parquet(
+        f"{work}/sig_index/batch=1"
+    )
+    d2.select(
+        F.col("doc_id"), F.lit(True).alias("is_dup"), F.lit(999).cast("long").alias("dup_src")
+    ).write.mode("overwrite").parquet(f"{work}/doc_ann/batch=1")
+
+    assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 1
+    ann = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
+    }
+    # 10 dups the STORED batch-0 doc; 11 must NOT be flagged against its
+    # own replayed segments, and the garbage annotations are gone
+    assert ann[0] == (False, None)
+    assert ann[10] == (True, 0)
+    assert ann[11] == (False, None)
+
+
+def test_streaming_text_dedup_compaction_and_vacuum_preserve_probes(spark, sf_dir, tmp_path):
+    """compact_text_index folds BOTH index logs with row-level _bid
+    tags and vacuum_text_index reclaims the folded dirs; probes of
+    later batches must see exactly the same prior state as the
+    uncompacted layout (batch ann ≡ the t20-oracle-pinned operator over
+    the folded prior batches)."""
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+        incremental_neardup_flags,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
+        incremental_text_dedup_drain,
+        vacuum_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    c1, c2 = int(0.5 * max_id), int(0.8 * max_id)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    docs.filter(f"doc_id < {c1}").coalesce(1).write.mode("append").parquet(src)
+    docs.filter(f"doc_id >= {c1} and doc_id < {c2}").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert incremental_text_dedup_drain(spark, src, docs.schema, work) == 2
+    assert compact_text_index(spark, work) == 1
+    assert compact_text_index(spark, work) == 1  # idempotent no-op
+    assert vacuum_text_index(spark, work) == [0, 1]
+
+    docs.filter(f"doc_id >= {c2}").coalesce(1).write.mode("append").parquet(src)
+    assert incremental_text_dedup_drain(spark, src, docs.schema, work) == 1
+
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=2").collect()
+    }
+    want = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in incremental_neardup_flags(
+            docs.filter(f"doc_id < {c2}"), docs.filter(f"doc_id >= {c2}")
+        ).collect()
+    }
+    assert got == want
+    assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
