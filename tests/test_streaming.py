@@ -1986,3 +1986,46 @@ def test_streaming_text_dedup_compaction_and_vacuum_preserve_probes(spark, sf_di
     }
     assert got == want
     assert any(v[0] for v in want.values()), "fixture should contain cross-side near-dups"
+
+
+def test_streaming_text_dedup_half_written_batch_heals(spark, tmp_path):
+    """Crash window unique to the two-log module: a drain that died
+    between the shingle write and the signature write leaves the logs
+    out of lockstep. compact_text_index must surface that loudly (not
+    fold a skewed view silently), probes must stay correct throughout,
+    and the checkpoint replay must heal everything."""
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.operators.minhash import _shingle_sets
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
+        incremental_text_dedup_drain,
+    )
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tb = "completely different words appear here instead tonight my friend"
+    d1 = spark.createDataFrame([(0, ta)], schema)
+    d2 = spark.createDataFrame([(10, ta), (11, tb)], schema)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 1
+
+    # crashed attempt of batch 1: shingle segment COMMITTED, signature
+    # segment never written, checkpoint never advanced
+    d2.coalesce(1).write.mode("append").parquet(src)
+    _shingle_sets(d2, "doc_id", "text", 3).write.mode("overwrite").parquet(
+        f"{work}/shingle_index/batch=1"
+    )
+    with _pytest.raises(RuntimeError, match="lockstep"):
+        compact_text_index(spark, work)
+
+    # the replay overwrites both segments and the logs re-converge
+    assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 1
+    assert compact_text_index(spark, work) == 1
+    ann = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
+    }
+    assert ann == {0: (False, None), 10: (True, 0), 11: (False, None)}
