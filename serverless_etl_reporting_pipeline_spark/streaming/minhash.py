@@ -38,10 +38,14 @@ that contract through compaction), so a checkpoint-recovery replay
 overwrites its own segments and can never flag its documents as
 duplicates of themselves.
 
-Correctness contract (tests/test_streaming.py): each drained batch's
-annotations equal ``incremental_neardup_flags(union of prior batches,
-batch)`` — the operator whose DuckDB oracle pins t20
-(plans/text.py:792). Reference parity: this is the streaming form of
+Correctness contract (tests/test_streaming.py): with doc_ids UNIQUE
+across batches (the monotone-id feed contract, same as the vector
+twin), each drained batch's annotations equal
+``incremental_neardup_flags(union of prior batches, batch)`` — the
+operator whose DuckDB oracle pins t20 (plans/text.py:792). A re-ingest
+of an existing doc_id with different text violates that precondition:
+the stored index would hold one signature per (batch, doc) while the
+batch operator computes one over the unioned shingles. Reference parity: this is the streaming form of
 the reference's 3-hourly incremental batch
 (/root/reference/pipeline/ETL/extract.py:36-57 watermark loop), with
 near-dup state in place of the timestamp watermark.
@@ -159,6 +163,10 @@ def incremental_text_dedup_drain(
             return
         n_batches["n"] += 1
         s = batch.sparkSession
+        # normalize the id up front so every artifact (segments, ann,
+        # dup_src = min over corpus ids) carries ONE parquet type across
+        # batches regardless of the source schema's integer width
+        batch = batch.withColumn(id_col, F.col(id_col).cast("long"))
         # write this batch's index contribution FIRST (overwrite ⇒
         # replay-idempotent), then read it back: the tokenize→shingle→
         # 64-hash aggregate runs once, ever — the probe and every later

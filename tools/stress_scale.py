@@ -132,7 +132,8 @@ def build(spark, n: int) -> str:
 
 
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [4, 16]
+    # ascending: the summary table's column headers assume it
+    sizes = sorted(int(a) for a in sys.argv[1:]) or [4, 16]
     only = os.environ.get("SPARK_GRAFT_STRESS_ONLY")
     spark = get_spark()
     results = []

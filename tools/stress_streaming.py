@@ -43,7 +43,7 @@ def _stage_batches(df, id_col: str, src: str) -> None:
         ).coalesce(1).write.mode("append").parquet(src)
 
 
-def drain_text(spark, sf_dir: str, work: str) -> int:
+def drain_text(spark, sf_dir: str, work: str) -> float:
     from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
         incremental_text_dedup_drain,
     )
@@ -57,7 +57,7 @@ def drain_text(spark, sf_dir: str, work: str) -> int:
     return time.time() - t0
 
 
-def drain_vector(spark, sf_dir: str, work: str) -> int:
+def drain_vector(spark, sf_dir: str, work: str) -> float:
     # 48-bit bands: the grown-corpus geometry (see stress_scale.wideband)
     from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
         incremental_vector_dedup_drain,
@@ -75,7 +75,7 @@ def drain_vector(spark, sf_dir: str, work: str) -> int:
     return time.time() - t0
 
 
-def drain_ivf(spark, sf_dir: str, work: str) -> int:
+def drain_ivf(spark, sf_dir: str, work: str) -> float:
     from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
         incremental_ivf_ingest_drain,
     )
@@ -95,14 +95,20 @@ MODULES = {"text": drain_text, "vector": drain_vector, "ivf": drain_ivf}
 
 
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [4, 16]
+    # ascending: the summary table's column headers assume it
+    sizes = sorted(int(a) for a in sys.argv[1:]) or [4, 16]
     only = os.environ.get("SPARK_GRAFT_STRESS_ONLY")
+    toks = [t.strip() for t in only.split(",")] if only else None
+    selected = {m for m in MODULES if not toks or any(t and t in m for t in toks)}
+    if not selected:
+        print(f"SPARK_GRAFT_STRESS_ONLY={only!r} matches none of {sorted(MODULES)}")
+        return 1
     spark = get_spark()
     results = []
     for n in sizes:
         sf_dir = build(spark, n)
         for name, fn in MODULES.items():
-            if only and name not in only.split(","):
+            if name not in selected:
                 continue
             work = os.path.join(OUT, f"drain_{name}_x{n}")
             shutil.rmtree(work, ignore_errors=True)
