@@ -39,10 +39,19 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def shingles(tokens_col: str, k: int = 3) -> Column:
-    """k-word shingles from a token-array column (0-based array expr)."""
+    """k-word shingles from a token-array column (0-based array expr).
+
+    A document with fewer than k tokens yields an EMPTY array — the
+    size guard matters: ``sequence(1, 0)`` in Spark DESCENDS to
+    ``[1, 0]`` (it infers step -1) rather than being empty like
+    DuckDB's ``generate_series(1, 0)``, so the unguarded form indexes
+    past the token array and, under Spark 4's default ANSI mode,
+    crashes every shingle consumer on the first short document."""
     parts = ", ' ', ".join(f"{tokens_col}[i - 1 + {j}]" for j in range(k))
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {k - 1}, 0)), i -> concat({parts}))"
+        f"if(size({tokens_col}) >= {k}, "
+        f"transform(sequence(1, size({tokens_col}) - {k - 1}), i -> concat({parts})), "
+        f"array())"
     )
 
 

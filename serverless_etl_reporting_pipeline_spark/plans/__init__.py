@@ -55,6 +55,11 @@ _PRIORITY = (
     "v14", "x05", "e08", "v15", "v16",
     # code/oracle changed this round (x03: _kmin_sets extraction)
     "x01", "v11", "pipe01", "pipe02", "x03", "v12",
+    # late-r7 shingles() short-doc guard (operators/text.py): every
+    # registry consumer of the changed expression rotates in — direct
+    # (t07/t15/t19/t24) and via minhash._shingle_sets (t09/t11/t20/c08);
+    # pipe01/pipe02 (via funnel.shingle_set) and c02 are already above
+    "t07", "t15", "t19", "t24", "t09", "t11", "t20", "c08",
 ) + tuple(sorted(_R4_ERA))
 
 # oldest r5-era greens (last driver row round 5, code untouched):

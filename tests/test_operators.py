@@ -949,3 +949,29 @@ def test_assign_cells_all_zero_quantizer_quarantines(spark):
     )
     got = {r["_id"]: r["_cell"] for r in assign_cells(cent, arrivals).collect()}
     assert got == {10: -1, 11: -1}
+
+
+def test_shingles_short_docs_empty_not_descending(spark):
+    """Docs with fewer tokens than the shingle width must yield an
+    EMPTY shingle array. The unguarded construction crashes here:
+    Spark's sequence(1, 0) infers step -1 and DESCENDS to [1, 0]
+    (unlike DuckDB's empty generate_series), indexing past the token
+    array — an ANSI-mode crash on the first short document in any
+    shingle consumer (t09/t19/t20/c02/c08/pipe01/funnel/...)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
+
+    df = spark.createDataFrame(
+        [(0, "one two three four"), (1, "one two"), (2, "one"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", shingles("t", 3).alias("s"))
+        .collect()
+    }
+    assert got[0] == ["one two three", "two three four"]
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] in ([], None)  # null text: no shingles either way

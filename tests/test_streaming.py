@@ -2029,3 +2029,44 @@ def test_streaming_text_dedup_half_written_batch_heals(spark, tmp_path):
         for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
     }
     assert ann == {0: (False, None), 10: (True, 0), 11: (False, None)}
+
+
+def test_streaming_text_dedup_short_docs_and_gap_batches(spark, tmp_path):
+    """Degenerate inputs through the streaming path: a doc with fewer
+    tokens than the shingle width has no index rows but must still be
+    annotated (is_dup=false), an exact re-arrival of a short doc also
+    stays unflagged (no shingles -> no candidates, the t20 operator's
+    own semantics), and the segment-id gap left by a batch that
+    processed zero rows is invisible to later probes and compaction."""
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
+        incremental_text_dedup_drain,
+    )
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    d1 = spark.createDataFrame([(0, ta), (1, "too short")], schema)
+    d2 = spark.createDataFrame([], schema)  # drained, writes nothing
+    d3 = spark.createDataFrame([(20, ta), (21, "too short")], schema)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    for d in (d1, d2, d3):
+        d.coalesce(1).write.mode("append").parquet(src)
+    # the empty file is still a micro-batch for the checkpoint, but
+    # processes zero rows -> only 2 count as processed, and batch ids
+    # on disk are {0, 2}
+    assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 2
+    assert sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{work}/shingle_index/batch=*")
+    ) == [0, 2]
+
+    ann = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
+    }
+    # 20 dups doc 0 across the gap; both short docs unflagged
+    assert ann == {
+        0: (False, None), 1: (False, None), 20: (True, 0), 21: (False, None)
+    }
+    # compaction folds across the gap and stays in lockstep
+    assert compact_text_index(spark, work) == 2
