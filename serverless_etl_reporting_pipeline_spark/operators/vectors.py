@@ -74,6 +74,13 @@ def knn_bruteforce(
     earlier formulation used interpreted `zip_with`+`aggregate` folds —
     correct, but ~µs/element (4 s at sf0.1 vs <1 s for this kernel).
 
+    Degenerate inputs: a zero-norm corpus vector yields a NaN cosine in
+    this kernel AND in the oracle (0/0 on both engines — oracle-stable),
+    and NaN sorts ABOVE every real cosine under DESC in both, so such a
+    row would top the k. Filter or impute zero-norm vectors upstream;
+    the newer kernels (`semdedup_map`, `assign_cells`, `ivf_batch_probe`)
+    exclude them explicitly and are the template for aligning this one.
+
     `query_vec_quantized` must already be 1e-6-quantized (see
     `quantize_np`; Python round() is half-to-even and would drift).
     """
