@@ -70,8 +70,10 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _batch_dirs,
     _committed_dirs,
+    _committed_tip,
     _fs_delete,
     _fs_exists,
+    _union_all,
 )
 
 
@@ -87,12 +89,11 @@ def _fs_touch(spark: SparkSession, path: str) -> None:
 def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None:
     """Newest COMMITTED refresh epoch ``(id, uri)``, or None. Epochs
     missing their ``_COMMITTED`` marker (crashed refresh) are invisible
-    to drains and loaders."""
-    committed = [
-        (e, uri)
-        for e, uri in _batch_dirs(spark, os.path.join(work_dir, "refresh"), "epoch=")
-        if _fs_exists(spark, f"{uri}/_COMMITTED")
-    ]
+    to drains and loaders — the shared commit-marker discipline
+    (`_committed_dirs`), with the refresh's own marker name."""
+    committed = _committed_dirs(
+        spark, os.path.join(work_dir, "refresh"), "epoch=", marker="_COMMITTED"
+    )
     return committed[-1] if committed else None
 
 
@@ -196,10 +197,7 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
     upto = max(bid for bid, _ in segs)
     parts = [_sel_postings(spark.read.parquet(comps[-1][1]))] if comps else []
     parts += [_sel_postings(spark.read.parquet(uri)) for _, uri in segs]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    df.write.mode("overwrite").partitionBy("_cell").parquet(
+    _union_all(parts).write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(work_dir, "postings_compacted", f"upto={upto}")
     )
     return upto
@@ -268,31 +266,35 @@ def refresh_ivf_state(spark: SparkSession, work_dir: str) -> int | None:
     there is no state or nothing new since the last committed epoch
     (re-refreshing the same data would silently iterate k-means a
     second step — an explicit policy call, not a default)."""
-    # newest ingested batch id across BOTH state stores: segment dirs
-    # and the newest compaction's upto (a vacuum may have deleted every
-    # folded segment dir, leaving the fold as the only witness)
-    ids = [
-        bid for bid, _ in _committed_dirs(spark, os.path.join(work_dir, "postings"))
-    ]
-    comps = _committed_dirs(
-        spark, os.path.join(work_dir, "postings_compacted"), "upto="
+    # newest ingested batch id across BOTH state stores — the shared
+    # tip definition (a vacuum may have deleted every folded segment
+    # dir, leaving the fold as the only witness)
+    new_e = _committed_tip(
+        spark,
+        os.path.join(work_dir, "postings"),
+        os.path.join(work_dir, "postings_compacted"),
     )
-    ids += [comps[-1][0]] if comps else []
-    if not ids:
+    if new_e is None:
         return None
-    new_e = max(ids)
     epoch = _current_epoch(spark, work_dir)
     if epoch is not None and epoch[0] >= new_e:
         return None
     cent, postings = load_ivf_state(spark, work_dir)
+    # the accumulated postings feed TWO write jobs (the Lloyd step and
+    # the re-file); persist between them or the whole epoch+fold+tail
+    # union is re-scanned from parquet a second time
+    postings = postings.persist()
     ep_dir = os.path.join(work_dir, "refresh", f"epoch={new_e}")
-    lloyd_refresh(cent, postings, id_col="_id", vec_col="_qv").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(ep_dir, "centroids"))
-    refreshed = spark.read.parquet(os.path.join(ep_dir, "centroids"))
-    assign_cells(refreshed, postings, id_col="_id", vec_col="_qv").write.mode(
-        "overwrite"
-    ).partitionBy("_cell").parquet(os.path.join(ep_dir, "postings"))
+    try:
+        lloyd_refresh(cent, postings, id_col="_id", vec_col="_qv").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ep_dir, "centroids"))
+        refreshed = spark.read.parquet(os.path.join(ep_dir, "centroids"))
+        assign_cells(refreshed, postings, id_col="_id", vec_col="_qv").write.mode(
+            "overwrite"
+        ).partitionBy("_cell").parquet(os.path.join(ep_dir, "postings"))
+    finally:
+        postings.unpersist()
     _fs_touch(spark, os.path.join(ep_dir, "_COMMITTED"))
     return new_e
 
@@ -327,7 +329,4 @@ def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataF
             parts.append(_sel_postings(spark.read.parquet(uri)))
     if not parts:
         raise FileNotFoundError(f"no posting state under {work_dir}")
-    postings = parts[0]
-    for p in parts[1:]:
-        postings = postings.unionByName(p)
-    return cent, postings
+    return cent, _union_all(parts)

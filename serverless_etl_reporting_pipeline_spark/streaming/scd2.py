@@ -140,15 +140,22 @@ def _open_rows_fixed(tagged: DataFrame) -> DataFrame:
     )
 
 
+def _full_history(tagged: DataFrame) -> DataFrame:
+    """Closed rows (map-only pass-through) unioned with the deferred-
+    close open rows — the ONE assembly `scd2_table` and `scd2_snapshot`
+    both read, so the version-row schema and close logic cannot drift
+    between them."""
+    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
+    closed = tagged.filter(~F.col("is_current")).select(*cols)
+    return closed.unionByName(_open_rows_fixed(tagged))
+
+
 def scd2_table(spark: SparkSession, work_dir: str) -> DataFrame:
     """The full SCD2 history over everything drained so far —
     column-for-column the e01 build over the union of all batches
     (asserted by tests/test_streaming.py). Closed rows stream through
     map-only; open rows go through the `_open_rows_fixed` close."""
-    tagged = _tagged_log(spark, work_dir)
-    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
-    closed = tagged.filter(~F.col("is_current")).select(*cols)
-    return closed.unionByName(_open_rows_fixed(tagged)).orderBy("user_id", "valid_from")
+    return _full_history(_tagged_log(spark, work_dir)).orderBy("user_id", "valid_from")
 
 
 def scd2_current(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -173,10 +180,7 @@ def scd2_snapshot(spark: SparkSession, work_dir: str, as_of) -> DataFrame:
     or datetime. The ``valid_from <= as_of`` bound is pushed into the
     closed-path parquet scans."""
     t = F.lit(as_of).cast("timestamp_ntz")
-    tagged = _tagged_log(spark, work_dir)
-    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
-    closed = tagged.filter(~F.col("is_current")).select(*cols)
-    full = closed.unionByName(_open_rows_fixed(tagged))
+    full = _full_history(_tagged_log(spark, work_dir))
     return full.filter(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))

@@ -63,20 +63,49 @@ def _batch_dirs(
 
 
 def _committed_dirs(
-    spark: SparkSession, dir_path: str, prefix: str = "batch="
+    spark: SparkSession, dir_path: str, prefix: str = "batch=", marker: str = "_SUCCESS"
 ) -> list[tuple[int, str]]:
-    """`_batch_dirs` restricted to dirs whose parquet commit finished
-    (`_SUCCESS` present). The drains' strictly-earlier per-batch reads
-    don't need this — a crashed batch write means the checkpoint never
-    advanced, so the replay IS that batch and overwrites the partial
-    dir before anyone reads it — but MAINTENANCE ops (compaction,
-    refresh, state loads) also read the LATEST segment, and folding or
-    trusting a half-written dir would bake the loss in permanently."""
-    return [
-        (i, uri)
-        for i, uri in _batch_dirs(spark, dir_path, prefix)
-        if _fs_exists(spark, f"{uri}/_SUCCESS")
-    ]
+    """`_batch_dirs` restricted to dirs whose commit finished (the
+    ``marker`` file present — parquet's ``_SUCCESS``, or the IVF
+    refresh's ``_COMMITTED``). The drains' strictly-earlier per-batch
+    reads don't need this — a crashed batch write means the checkpoint
+    never advanced, so the replay IS that batch and overwrites the
+    partial dir before anyone reads it — but MAINTENANCE ops
+    (compaction, refresh, state loads) also read the LATEST segment,
+    and folding or trusting a half-written dir would bake the loss in
+    permanently.
+
+    One ``globStatus`` call fetches every commit marker — not one
+    exists() RPC per child dir, which on an object store would turn a
+    500-segment listing into 500 sequential round-trips."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    glob = jvm.org.apache.hadoop.fs.Path(os.path.join(dir_path, f"{prefix}*", marker))
+    have = {st.getPath().getParent().toString() for st in (fs.globStatus(glob) or [])}
+    return [(i, uri) for i, uri in _batch_dirs(spark, dir_path, prefix) if uri in have]
+
+
+def _committed_tip(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
+    """Newest committed batch id across a log's segments and its newest
+    committed fold — None when no committed state exists. THE
+    definition of a log's tip; `_log_state` and the IVF refresh both
+    derive from it."""
+    ids = [bid for bid, _ in _committed_dirs(spark, seg_dir)]
+    comps = _committed_dirs(spark, comp_dir, "upto=")
+    ids += [comps[-1][0]] if comps else []
+    return max(ids) if ids else None
+
+
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    """unionByName over a non-empty part list — the one fold loop every
+    segment assembler shares."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _assemble(
@@ -99,12 +128,7 @@ def _assemble(
         if upto < bid < batch_id:
             seg = spark.read.parquet(uri)
             parts.append(seg.withColumn("_bid", F.lit(bid)) if keep_bid else seg)
-    if not parts:
-        return None
-    out = parts[0]
-    for pt in parts[1:]:
-        out = out.unionByName(pt)
-    return out
+    return _union_all(parts) if parts else None
 
 
 def _prior_segments(
@@ -148,16 +172,27 @@ def _log_state(
     fold (both None when no committed state exists). Reads are bounded
     at the tip, so a crashed or in-flight write ABOVE it is invisible
     (its replay will overwrite the dir before the checkpoint ever
-    admits it), while a malformed dir at or below the tip still
-    surfaces as a read error. One listing per dir — callers that need
-    the tip (reports keying on the latest batch) don't re-list."""
+    admits it), while a bad dir at or below the tip surfaces LOUDLY: an
+    uncommitted segment inside the read span is raised here explicitly
+    (under the crash model it is unreachable — the checkpoint cannot
+    have advanced past it — so it means restore/sync damage, and
+    silently including its partial rows would bake the loss into every
+    report), and a malformed committed dir still errors at read time.
+    One listing per dir — callers that need the tip (reports keying on
+    the latest batch) don't re-list."""
     segs = _batch_dirs(spark, seg_dir)
+    committed = dict(_committed_dirs(spark, seg_dir))
     comps = _committed_dirs(spark, comp_dir, "upto=")
-    ids = [bid for bid, uri in segs if _fs_exists(spark, f"{uri}/_SUCCESS")]
-    ids += [comps[-1][0]] if comps else []
+    ids = list(committed) + ([comps[-1][0]] if comps else [])
     if not ids:
         return None, None
     tip = max(ids)
+    upto = comps[-1][0] if comps else -1
+    bad = [uri for bid, uri in segs if upto < bid <= tip and bid not in committed]
+    if bad:
+        raise RuntimeError(
+            f"uncommitted segment dir(s) below the committed tip {tip}: {bad}"
+        )
     return _assemble(spark, segs, comps, tip + 1, keep_bid), tip
 
 
@@ -192,10 +227,7 @@ def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | No
     parts += [
         spark.read.parquet(uri).withColumn("_bid", F.lit(bid)) for bid, uri in tail
     ]
-    folded = parts[0]
-    for part in parts[1:]:
-        folded = folded.unionByName(part)
-    folded.write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
+    _union_all(parts).write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
     return upto
 
 

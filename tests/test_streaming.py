@@ -2070,3 +2070,30 @@ def test_streaming_text_dedup_short_docs_and_gap_batches(spark, tmp_path):
     }
     # compaction folds across the gap and stays in lockstep
     assert compact_text_index(spark, work) == 2
+
+
+def test_log_state_raises_on_uncommitted_segment_below_tip(spark, tmp_path):
+    """An uncommitted segment dir BELOW the committed tip is unreachable
+    under the crash model (the checkpoint could not have advanced past
+    it), so _log_state must refuse loudly rather than silently fold the
+    partial dir's rows into reports — the documented contract."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.streaming.state import _log_state
+
+    seg_dir, comp_dir = str(tmp_path / "seg"), str(tmp_path / "comp")
+    for i in (0, 1, 2):
+        spark.createDataFrame([(i,)], "v int").write.mode("overwrite").parquet(
+            f"{seg_dir}/batch={i}"
+        )
+    _os.remove(f"{seg_dir}/batch=1/_SUCCESS")  # restore damage, not a crash
+
+    with _pytest.raises(RuntimeError, match="uncommitted segment"):
+        _log_state(spark, seg_dir, comp_dir)
+
+    # trailing in-flight dirs (above the tip) stay invisible, not fatal
+    _os.remove(f"{seg_dir}/batch=2/_SUCCESS")
+    frame, tip = _log_state(spark, seg_dir, comp_dir)
+    assert tip == 0 and [r["v"] for r in frame.collect()] == [0]
