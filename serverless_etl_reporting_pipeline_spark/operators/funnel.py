@@ -31,6 +31,7 @@ from serverless_etl_reporting_pipeline_spark.operators.text import (
 )
 
 SHINGLE_N = 8  # decontamination n-gram width (t19's)
+PIPE2_BUDGET = 120  # incremental-run selection budget (pipe02 + streaming twin)
 
 
 def quality_pred() -> Column:
@@ -48,6 +49,15 @@ def quality_pred() -> Column:
 def quality_hash() -> Column:
     """The normalized content hash keying exact keep-first dedup (t02)."""
     return F.md5(F.lower("text"))
+
+
+def eval_split(id_col: str = "doc_id") -> Column:
+    """Benchmark-membership predicate: docs whose md5 hex digest starts
+    with 0 or 1 (a deterministic ~1/8 split). THE definition of the
+    frozen eval set — pipe01, pipe02 and the streaming funnel must all
+    test the same predicate or the batch≡streaming decontamination
+    parity silently breaks."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin("0", "1")
 
 
 def shingle_set(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -90,13 +100,24 @@ def annotate_batch(
     correct for post-freeze batches). ``shingle_frame`` lets the caller
     pass an already-persisted ``shingle_set(docs)`` when the same frame
     also built ``hold_sh``.
+
+    Every input doc gets an output row: a doc with zero ``\\w+`` tokens
+    (empty/NULL/punctuation-only text) has no `_token_profile` row, so
+    the join is LEFT and q defaults to False — the doc is counted as
+    raw-but-not-quality in the funnel accounting instead of silently
+    vanishing from the lake (which would break the rows-in ≡ rows-out
+    invariant the streaming tests assert).
     """
     if ev is None:
         ev = F.lit(False)
     ann0 = (
         docs.select("doc_id", "source", "lang", "text")
-        .join(_token_profile(docs), "doc_id")
-        .select("doc_id", "source", "lang", "text", quality_pred().alias("q"), ev.alias("ev"))
+        .join(_token_profile(docs), "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang", "text",
+            F.coalesce(quality_pred(), F.lit(False)).alias("q"),
+            ev.alias("ev"),
+        )
     )
     firsts = (
         ann0.filter("q")

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+    PIPE2_BUDGET,
     annotate_batch,
+    eval_split,
     mixture_report,
     quality_hashes,
     shingle_set,
@@ -56,11 +58,11 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
     + f""",
     ann0 AS (
         SELECT d.doc_id, d.source, d.lang, d.text,
-               (p.n_tokens >= {_QF_MIN_TOKENS}
+               coalesce(p.n_tokens >= {_QF_MIN_TOKENS}
                 AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
-                AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}) AS q,
+                AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}, FALSE) AS q,
                substr(md5(CAST(d.doc_id AS STRING)), 1, 1) IN ('0', '1') AS ev
-        FROM documents d JOIN profile p USING (doc_id)
+        FROM documents d LEFT JOIN profile p USING (doc_id)
     ),
     ded AS (
         SELECT doc_id,
@@ -148,7 +150,7 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
 )
 def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ev = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ev = eval_split()
     # one persisted tokenize→shingle→distinct subtree feeds BOTH
     # decontamination sides (the t19 discipline)
     sh = shingle_set(docs).persist()
@@ -170,7 +172,9 @@ def pipe01_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_report(ann, tgt)
 
 
-_PIPE2_BUDGET = 120  # cumulative-corpus selection budget for the incremental run
+# cumulative-corpus selection budget for the incremental run — defined
+# in operators/funnel.py so the streaming twin's default cannot drift
+_PIPE2_BUDGET = PIPE2_BUDGET
 
 
 @query(
@@ -189,12 +193,12 @@ _PIPE2_BUDGET = 120  # cumulative-corpus selection budget for the incremental ru
     ),
     ann0 AS (
         SELECT d.doc_id, d.source, d.lang, d.text,
-               (p.n_tokens >= {_QF_MIN_TOKENS}
+               coalesce(p.n_tokens >= {_QF_MIN_TOKENS}
                 AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
-                AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}) AS q,
+                AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}, FALSE) AS q,
                (d.doc_id < wm.w
                 AND substr(md5(CAST(d.doc_id AS STRING)), 1, 1) IN ('0', '1')) AS ev
-        FROM documents d JOIN profile p USING (doc_id) CROSS JOIN wm
+        FROM documents d LEFT JOIN profile p USING (doc_id) CROSS JOIN wm
     ),
     ded AS (
         SELECT doc_id,
@@ -300,7 +304,7 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the benchmark split is FROZEN at base-ingestion time: eval docs are
     # drawn from the base snapshot only, so later deltas can't mutate the
     # benchmark (and base-side state stays valid as deltas arrive)
-    ev = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ev = eval_split()
 
     # ---- persisted base state: built once at base ingestion, reused per
     # delta batch (in-session stand-in for the stored index tables) ----
@@ -312,8 +316,9 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state 2: content-hash index of base quality docs (keep-first
     # blocker) — built from the profile subtree alone (quality_hashes),
     # not the full annotation tree: the index does not need the dedup
-    # window or the contamination join
-    base_hashes = quality_hashes(base).persist()
+    # window or the contamination join. NOT persisted: it feeds exactly
+    # one action (the delta anti-join)
+    base_hashes = quality_hashes(base)
     # state 3: cumulative per-domain clean counts (aggregate-sized)
     base_dom = (
         annotate_batch(base, hold_sh, ev=ev, shingle_frame=sh_b)

@@ -40,17 +40,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+    PIPE2_BUDGET,
     annotate_batch,
+    eval_split,
     mixture_report,
     shingle_set,
 )
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
+    _batch_dirs,
     _fold_segments,
-    _fs_exists,
+    _fs_touch,
     _log_state,
     _prior_segments,
     _vacuum_segments,
 )
+
+
+def _frozen_at(spark: SparkSession, hold_dir: str) -> int | None:
+    """The batch id that froze the benchmark, from the ``FROZEN_AT=<id>``
+    provenance marker in the sibling ``state_benchmark_meta/`` dir (a
+    sibling, not inside the index — Spark's partition discovery would
+    try to parse an ``=``-named file inside the parquet dir) — None when
+    the freeze never completed. The marker (touched AFTER the parquet
+    commit) is what lets a checkpoint-recovery REPLAY of the freezer
+    batch know it is the freezer: without it the replay would see the
+    committed index, treat itself as a post-freeze batch, and annotate
+    every benchmark member ev=False — overwriting the original
+    attempt's annotations with different ones, breaking replay
+    idempotence."""
+    ids = [i for i, _ in _batch_dirs(spark, hold_dir + "_meta", "FROZEN_AT=")]
+    return ids[-1] if ids else None
 
 
 def incremental_funnel_drain(
@@ -81,43 +100,57 @@ def incremental_funnel_drain(
             return
         n_batches["n"] += 1
         s = batch.sparkSession
-        # the benchmark is frozen only once its write COMMITTED (_SUCCESS
-        # marker): a crash mid-write leaves a partial dir, and replay must
-        # rebuild it rather than silently decontaminate against a
-        # truncated index (same contract as _prior_hash_state)
-        first = not _fs_exists(s, os.path.join(hold_dir, "_SUCCESS"))
+        # "this batch is the freezer" is decided by the PROVENANCE marker
+        # (_FROZEN_AT=<id>, touched after the parquet commit), not by the
+        # index's existence: a checkpoint-recovery replay of the freezer
+        # batch finds its own committed index but must still treat itself
+        # as the freezer — same md5-split ev, bit-identical annotations —
+        # or it would overwrite ev=True rows with ev=False ones. A crash
+        # anywhere in the freeze (partial parquet / committed parquet but
+        # no marker) leaves frozen=None and the replay redoes both steps
+        # idempotently.
+        frozen = _frozen_at(s, hold_dir)
+        first = frozen is None or frozen == batch_id
 
-        sh = shingle_set(batch)
-        # the benchmark split is FROZEN at first ingestion: later batches
-        # are pure training data and can never mutate the eval set
-        ev = (
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
-            if first
-            else F.lit(False)
-        )
-        if first:
-            sh.filter(ev).select("s").distinct().write.mode("overwrite").parquet(hold_dir)
-        hold = s.read.parquet(hold_dir)
-
-        # the shared funnel stage (operators/funnel.py): keep-first dedup
-        # against the accumulated hash index (plain keyed anti-join, never
-        # broadcast — the c08 lesson; batch ids are monotone so this equals
-        # union-wide keep-first) + decontamination against the frozen
-        # benchmark (the only broadcast)
-        seen = _prior_hash_state(s, hashes_dir, batch_id)
-        # persisted: the frame feeds TWO write actions (annotation lake +
-        # hash state) — without it the profile/window/anti-join/shingle
-        # subtree executes twice per micro-batch (the t19/pipe01 lesson)
-        ann = annotate_batch(batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh).persist()
+        # persisted: feeds the benchmark write (first batch) AND the
+        # annotation subtree below — shingle_set's own t19 discipline
+        sh = shingle_set(batch).persist()
         try:
-            ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(ann_dir, f"batch={batch_id}"))
-            ann.filter("q").select("h").distinct().write.mode("overwrite").parquet(
-                os.path.join(hashes_dir, f"batch={batch_id}")
-            )
+            # the benchmark split is FROZEN at first ingestion: later
+            # batches are pure training data and can never mutate the
+            # eval set (eval_split — THE shared pipe01/pipe02 predicate)
+            ev = eval_split() if first else F.lit(False)
+            if frozen is None:
+                sh.filter(ev).select("s").distinct().write.mode("overwrite").parquet(
+                    hold_dir
+                )
+                _fs_touch(s, os.path.join(hold_dir + "_meta", f"FROZEN_AT={batch_id}"))
+            hold = s.read.parquet(hold_dir)
+
+            # the shared funnel stage (operators/funnel.py): keep-first
+            # dedup against the accumulated hash index (plain keyed
+            # anti-join, never broadcast — the c08 lesson; batch ids are
+            # monotone so this equals union-wide keep-first) +
+            # decontamination against the frozen benchmark (the only
+            # broadcast)
+            seen = _prior_hash_state(s, hashes_dir, batch_id)
+            # persisted: the frame feeds TWO write actions (annotation
+            # lake + hash state) — without it the profile/window/
+            # anti-join/shingle subtree executes twice per micro-batch
+            ann = annotate_batch(
+                batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh
+            ).persist()
+            try:
+                ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(ann_dir, f"batch={batch_id}"))
+                ann.filter("q").select("h").distinct().write.mode("overwrite").parquet(
+                    os.path.join(hashes_dir, f"batch={batch_id}")
+                )
+            finally:
+                ann.unpersist()
         finally:
-            ann.unpersist()
+            sh.unpersist()
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)
@@ -206,7 +239,7 @@ def compact_hash_state(spark: SparkSession, work_dir: str) -> int | None:
 
 
 def incremental_mixture_report(
-    spark: SparkSession, work_dir: str, budget: int = 120
+    spark: SparkSession, work_dir: str, budget: int = PIPE2_BUDGET
 ) -> DataFrame:
     """pipe02's full per-domain report computed PURELY from streamed
     state — the mixture-draw stage that completes batch≡streaming parity

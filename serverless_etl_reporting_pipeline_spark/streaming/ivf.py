@@ -73,17 +73,9 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _committed_tip,
     _fs_delete,
     _fs_exists,
+    _fs_touch,
     _union_all,
 )
-
-
-def _fs_touch(spark: SparkSession, path: str) -> None:
-    """Create an empty marker file through the Hadoop FileSystem API
-    (any supported scheme) — the commit point of a refresh epoch."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
-
 
 
 def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None:

@@ -34,6 +34,15 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file through the Hadoop FileSystem API
+    (any supported scheme) — the commit point of an IVF refresh epoch
+    and the benchmark-freeze provenance marker."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True).close()
+
+
 def _fs_delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete through the Hadoop FileSystem API (same scheme
     coverage as `_fs_exists`) — the primitive behind retention."""

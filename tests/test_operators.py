@@ -975,3 +975,28 @@ def test_shingles_short_docs_empty_not_descending(spark):
     assert got[0] == ["one two three", "two three four"]
     assert got[1] == [] and got[2] == [] and got[3] == []
     assert got[4] in ([], None)  # null text: no shingles either way
+
+
+def test_annotate_batch_counts_zero_token_docs(spark):
+    """Docs with zero \\w+ tokens (empty/punctuation-only text) have no
+    _token_profile row; the stage must still emit them as raw-but-not-
+    quality rows (q=dd=clean=False) — the funnel accounting contract —
+    instead of dropping them through an inner profile join."""
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+        annotate_batch,
+        shingle_set,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "web", "en", " ".join(f"the word number {i} is fine and good" for i in range(5))),
+            (1, "web", "en", "!!! ???"),
+            (2, "web", "en", ""),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    hold = shingle_set(docs.filter("doc_id < 0")).select("s").distinct()  # empty benchmark
+    ann = {r["doc_id"]: r for r in annotate_batch(docs, hold).collect()}
+    assert set(ann) == {0, 1, 2}, "every input doc must get an output row"
+    for d in (1, 2):
+        assert (ann[d]["q"], ann[d]["dd"], ann[d]["clean"]) == (False, False, False)

@@ -2097,3 +2097,46 @@ def test_log_state_raises_on_uncommitted_segment_below_tip(spark, tmp_path):
     _os.remove(f"{seg_dir}/batch=2/_SUCCESS")
     frame, tip = _log_state(spark, seg_dir, comp_dir)
     assert tip == 0 and [r["v"] for r in frame.collect()] == [0]
+
+
+def test_streaming_funnel_freezer_batch_replay_keeps_ev(spark, sf_dir, tmp_path):
+    """Replay of the FIRST micro-batch after its benchmark write
+    committed (crash between the freeze and the checkpoint commit): the
+    _FROZEN_AT provenance marker tells the replay it IS the freezer, so
+    it re-annotates with the md5-split ev — bit-identical to the
+    original attempt — instead of flipping every benchmark member to
+    ev=False."""
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import eval_split
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        incremental_funnel_drain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    b0 = docs.filter("doc_id < 200")
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    b0.coalesce(1).write.mode("append").parquet(src)
+
+    # first drain freezes the benchmark and annotates batch 0
+    assert incremental_funnel_drain(spark, src, docs.schema, work) == 1
+    want = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=0").collect()
+    }
+    n_ev = b0.filter(eval_split()).count()
+    assert n_ev > 0 and not any(
+        want[r["doc_id"]][2] for r in b0.filter(eval_split()).collect()
+    ), "benchmark members must never be clean"
+
+    # simulate the crash: state written, checkpoint lost -> full replay
+    import shutil
+
+    shutil.rmtree(f"{work}/checkpoint")
+    spark.createDataFrame([], docs.schema).write.mode("append").parquet(src)
+    assert incremental_funnel_drain(spark, src, docs.schema, work) >= 1
+    got = {
+        r["doc_id"]: (r["q"], r["dd"], r["clean"])
+        for r in spark.read.parquet(f"{work}/funnel_ann/batch=0").collect()
+    }
+    assert got == want
