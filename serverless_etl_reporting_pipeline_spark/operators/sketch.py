@@ -17,12 +17,13 @@ and oracle-checkable (no RNG, no engine-private hash):
   exact merge (distinct → top-k) moves ≤ splits·k rows instead of one
   row per distinct key — that is the entire point at 100 TB.
 
-- **Frequent-items candidate pruning (Misra-Gries-style bound).** For a
-  threshold "freq > n/T", any qualifying key must have per-split
-  frequency > n_s/(m+1) in at least one split when m ≥ T (pigeonhole
-  over splits). The Arrow pass emits exactly those per-split frequent
-  keys as candidates; a broadcast semi-join + exact recount then
-  filters to the TRUE heavy hitters. Output is exact and deterministic
+- **Frequent-items candidate pruning (Misra-Gries).** For a threshold
+  "freq > n/T", any qualifying key must have per-split frequency
+  > n_s/(m+1) in at least one split when m ≥ T (pigeonhole over
+  splits), and such a key provably survives that split's m-counter
+  Misra-Gries summary. The Arrow pass maintains exactly that bounded
+  summary and emits its ≤ m survivors as candidates; a broadcast
+  semi-join + exact recount then filters to the TRUE heavy hitters. Output is exact and deterministic
   — only the amount of shuffled data is approximate (candidate keys
   instead of the full key space).
 
@@ -50,10 +51,11 @@ _K_MAX = 32768  # (k-1)·2^48 must stay inside BIGINT (see comment above)
 
 
 def _check_k(k: int) -> None:
-    if not 0 < k <= _K_MAX:
+    if not 1 < k <= _K_MAX:
         raise ValueError(
-            f"KMV sketch size k={k} outside (0, {_K_MAX}]: (k-1)*2^48 "
-            "must fit BIGINT or the estimator overflows"
+            f"KMV sketch size k={k} outside [2, {_K_MAX}]: k=1 degenerates "
+            "the (k-1)*2^48 estimator to 0 on any input, and above the cap "
+            "(k-1)*2^48 overflows BIGINT"
         )
 
 
@@ -75,28 +77,42 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     estimate is exact), ``kth_hash`` (the largest retained hash),
     ``est_distinct``.
 
-    Plan shape: map-only hash projection → Arrow per-split top-k
-    partial (≤ splits·k rows survive) → exact distinct+top-k merge on
-    the pruned set → 1-row aggregate. No full-cardinality shuffle.
+    Plan shape: map-only hash projection → ONE Arrow partial per split
+    that both prunes to the split's k smallest distinct hashes AND
+    counts the split's rows (≤ splits·(k+1) rows survive — the partial
+    accumulates across Arrow batches; a per-batch yield would let
+    batches·k rows through, and a separate count() would re-scan the
+    whole input) → exact distinct+top-k merge on the pruned set →
+    1-row aggregate. One pass over the data, no full-cardinality
+    shuffle. The pruned frame is persisted: it feeds the sketch branch
+    and the row-count branch, and is ≤ splits·(k+1) rows — bounded.
 
     NULL keys hash to NULL and are excluded from the sketch (but still
-    counted in ``n_rows``) — filtered explicitly so pandas ``nsmallest``
-    (NaN-dropping) and Spark's nulls-first ordering can never disagree.
+    counted in ``n_rows``) — dropped inside the partial so pandas
+    ``nsmallest`` (NaN-dropping) and Spark's nulls-first ordering can
+    never disagree.
     """
     _check_k(k)
-    hashed = (
-        df.select(key.alias("_k"))
-        .select(md5_hash48(F.col("_k")).alias("h"))
-        .filter(F.col("h").isNotNull())
-    )
+    hashed = df.select(key.alias("_k")).select(md5_hash48(F.col("_k")).alias("h"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc, n = None, 0
         for b in batches:
             if len(b):
-                yield pd.DataFrame({"h": b["h"].drop_duplicates().nsmallest(k)})
+                n += len(b)
+                s = b["h"].dropna().drop_duplicates()
+                acc = s if acc is None else pd.concat([acc, s]).drop_duplicates()
+                acc = acc.nsmallest(k)
+        if n:
+            yield pd.DataFrame(
+                {"h": acc.astype("Int64"), "cnt": pd.array([None] * len(acc), dtype="Int64")}
+            )
+            yield pd.DataFrame(
+                {"h": pd.array([None], dtype="Int64"), "cnt": pd.array([n], dtype="Int64")}
+            )
 
-    pruned = hashed.mapInPandas(partial, schema="h long")
-    topk = pruned.distinct().orderBy("h").limit(k)
+    pruned = hashed.mapInPandas(partial, schema="h long, cnt long").persist()
+    topk = pruned.filter(F.col("h").isNotNull()).select("h").distinct().orderBy("h").limit(k)
     sketch = topk.agg(
         F.count("*").cast("bigint").alias("k_used"),
         F.max("h").alias("kth_hash"),
@@ -109,7 +125,7 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     # combine the two 1-row aggregates by union + max — a join on a
     # constant key constant-folds into a nested-loop shape the corpus
     # lint (rightly) bans, so don't join at all
-    n = df.agg(F.count("*").cast("bigint").alias("n_rows")).select(
+    n = pruned.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows")).select(
         "n_rows",
         F.lit(None).cast("bigint").alias("k_used"),
         F.lit(None).cast("bigint").alias("kth_hash"),
@@ -130,21 +146,35 @@ def _kmin_sets(df: DataFrame, group_cols: list[str], key: Column, k: int) -> Dat
     (`kmv_sketch_grouped`) and the pairwise set algebra
     (`kmv_set_algebra`). Each split prunes to ≤k candidates per group
     (Arrow partial) BEFORE the distinct+rank shuffle, so the exchange
-    moves ≤ splits·k·groups rows, never the key space."""
+    moves ≤ splits·k·groups rows, never the key space. The partial
+    accumulates ACROSS Arrow batches and yields once per split — a
+    per-batch yield would let up to batches·k·groups rows survive,
+    silently voiding the bound at real split sizes (~10k rows/batch)."""
     _check_k(k)
+    bad = set(group_cols) & {"h", "rk"}
+    if bad:
+        raise ValueError(
+            f"group column(s) {sorted(bad)} collide with internal sketch "
+            "columns — rename them first (the kmv_set_algebra guard, here "
+            "for every _kmin_sets caller)"
+        )
     hashed = df.select(*group_cols, md5_hash48(key).alias("h")).filter(
         F.col("h").isNotNull()
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
         for b in batches:
             if len(b):
-                d = b.drop_duplicates()
-                yield (
-                    d.sort_values("h", kind="mergesort")
+                d = b if acc is None else pd.concat([acc, b], ignore_index=True)
+                acc = (
+                    d.drop_duplicates()
+                    .sort_values("h", kind="mergesort")
                     .groupby(group_cols, sort=False, dropna=False)
                     .head(k)
                 )
+        if acc is not None:
+            yield acc
 
     from pyspark.sql import Window
 
@@ -174,6 +204,12 @@ def kmv_sketch_grouped(
     SQL GROUP BY) — a NULL group would otherwise get an n_rows row but
     no sketch row and vanish through the inner join.
     """
+    bad = set(group_cols) & {"k_used", "kth_hash", "n_rows", "est_distinct"}
+    if bad:
+        raise ValueError(
+            f"group column(s) {sorted(bad)} collide with the estimator's "
+            "output columns — rename them first"
+        )
     ranked = _kmin_sets(df, group_cols, key, k)
     sk = ranked.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("k_used"),
@@ -199,9 +235,26 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
 
     ``capacity`` (m) must be ≥ ``threshold_denom`` (T) for the
     superset guarantee: freq > n/T ⇒ per-split freq > n_s/(m+1)
-    somewhere ⇒ the key reaches the candidate set. The recount pass is
-    exact, so the output equals the plain groupBy answer — verified by
-    the oracle stating the plain form.
+    somewhere ⇒ the key survives that split's m-counter Misra-Gries
+    summary (its counter stays > 0 through every decrement round) ⇒ it
+    reaches the candidate set. The recount pass is exact, so the output
+    equals the plain groupBy answer — verified by the oracle stating
+    the plain form.
+
+    The per-split summary is a true bounded Misra-Gries: counters are
+    merged batch-by-batch and, when more than ``capacity`` survive, the
+    (m+1)-th largest count is subtracted from all (the Agarwal et al.
+    mergeable-summaries step) — so split memory is O(capacity + batch)
+    and ≤ capacity candidates leave each split, instead of the
+    unbounded per-batch emission that would shuffle batches·capacity
+    rows.
+
+    NULL keys are excluded from candidates and the output (pandas
+    value_counts drops them; the final filter removes them explicitly)
+    while ``n`` still counts every row — i.e. the plain-groupBy
+    equality is over NON-NULL keys, with NULL rows raising the bar as
+    threshold mass. Callers needing the NULL group must count it
+    directly.
 
     Returns ``key_value, cnt`` (unsorted; caller orders/annotates).
     """
@@ -210,11 +263,19 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
     keyed = df.select(key.cast("string").alias("key_value"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = None
         for b in batches:
             if len(b):
                 vc = b["key_value"].value_counts()
-                keep = vc[vc * (capacity + 1) > len(b)]
-                yield pd.DataFrame({"key_value": keep.index})
+                counters = vc if counters is None else counters.add(vc, fill_value=0)
+                if len(counters) > capacity:
+                    # MG merge: subtract the (m+1)-th largest count, drop
+                    # non-positive counters — any key with split frequency
+                    # > n_split/(m+1) provably survives to the end
+                    sub = counters.nlargest(capacity + 1).iloc[-1]
+                    counters = counters[counters > sub] - sub
+        if counters is not None and len(counters):
+            yield pd.DataFrame({"key_value": counters.index})
 
     candidates = keyed.mapInPandas(partial, schema="key_value string").distinct()
     n = keyed.agg(F.count("*").cast("bigint").alias("n_rows"))

@@ -60,6 +60,10 @@ _PRIORITY = (
     # (t07/t15/t19/t24) and via minhash._shingle_sets (t09/t11/t20/c08);
     # pipe01/pipe02 (via funnel.shingle_set) and c02 are already above
     "t07", "t15", "t19", "t24", "t09", "t11", "t20", "c08",
+    # late-r7 sketch review: per-split (not per-batch) Arrow partials +
+    # count fold (x01), bounded Misra-Gries summary (x02); x03/x05
+    # (_kmin_sets) are already above
+    "x02",
 ) + tuple(sorted(_R4_ERA))
 
 # oldest r5-era greens (last driver row round 5, code untouched):
