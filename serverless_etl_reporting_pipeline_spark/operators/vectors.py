@@ -74,12 +74,12 @@ def knn_bruteforce(
     earlier formulation used interpreted `zip_with`+`aggregate` folds —
     correct, but ~µs/element (4 s at sf0.1 vs <1 s for this kernel).
 
-    Degenerate inputs: a zero-norm corpus vector yields a NaN cosine in
-    this kernel AND in the oracle (0/0 on both engines — oracle-stable),
-    and NaN sorts ABOVE every real cosine under DESC in both, so such a
-    row would top the k. Filter or impute zero-norm vectors upstream;
-    the newer kernels (`semdedup_map`, `assign_cells`, `ivf_batch_probe`)
-    exclude them explicitly and are the template for aligning this one.
+    Degenerate inputs (the `ivf_batch_probe` discipline): a zero-norm
+    corpus vector — whose cosine is undefined — is EXCLUDED from the
+    ranking deterministically (valid mask, never a NaN that would sort
+    first under DESC); a zero-norm QUERY has no defined neighbor set and
+    returns an empty frame. Mirrored in the v01 oracle's `nrm > 0`
+    predicate.
 
     `query_vec_quantized` must already be 1e-6-quantized (see
     `quantize_np`; Python round() is half-to-even and would drift).
@@ -95,12 +95,21 @@ def knn_bruteforce(
         import pandas as _pd
 
         q, qnorm = bc.value
+        if qnorm == 0.0:
+            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
-            cos = (A @ q) / (_np.sqrt((A * A).sum(axis=1)) * qnorm)
-            yield _pd.DataFrame({id_col: pdf["_id"].to_numpy(dtype=_np.int64), "_raw": cos})
+            an = _np.sqrt((A * A).sum(axis=1))
+            valid = an > 0.0
+            if not valid.any():
+                continue
+            Av = A[valid]
+            cos = (Av @ q) / (an[valid] * qnorm)
+            yield _pd.DataFrame(
+                {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[valid], "_raw": cos}
+            )
 
     out = df.select(
         F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
@@ -202,12 +211,22 @@ def ivf_topk(
     (3) a broadcast left-semi join prunes to the probed cells
     (partition-prunable when the table is laid out by cell) and one
     Arrow cosine kernel ranks the candidates.
+
+    Degenerate inputs (the `ivf_batch_probe` discipline): zero-norm
+    centroids are never probed, zero-norm corpus vectors are excluded
+    from the ranking, a zero-norm query returns an empty frame — no NaN
+    ever reaches a comparison. Mirrored in the v05 oracle.
     """
     import numpy as np
 
     qq_list = [float(x) for x in query_vec_quantized]
     qq = np.asarray(qq_list, dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
+    if qn == 0.0:
+        # zero-norm query: no defined neighbors. Short-circuit BEFORE the
+        # probe ranking — its JVM cosine would raise DIVIDE_BY_ZERO under
+        # ANSI mode (the shingles-crash hazard class, r7 commit 61a3a72).
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
 
     ex = df.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
@@ -222,9 +241,12 @@ def ivf_topk(
             ).alias("cv")
         )
     )
-    # n_cells rows: the interpreted HOF cosine is fine at this cardinality
+    # n_cells rows: the interpreted HOF cosine is fine at this cardinality.
+    # Zero-norm centroids (undefined cosine) are never probe targets —
+    # the ivf_batch_probe discipline, here as a pushed predicate.
     probed = (
-        centroids.select(cell_col, quantized_cosine(F.col("cv"), F.lit(qq_list)).alias("ccos"))
+        centroids.filter(quantized_dot(F.col("cv"), F.col("cv")) > 0)
+        .select(cell_col, quantized_cosine(F.col("cv"), F.lit(qq_list)).alias("ccos"))
         .orderBy(F.desc("ccos"), cell_col)
         .limit(nprobe)
         .select(cell_col)
@@ -234,12 +256,20 @@ def ivf_topk(
         import numpy as _np
         import pandas as _pd
 
+        if qn == 0.0:
+            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
-            cos = (A @ qq) / (_np.sqrt((A * A).sum(axis=1)) * qn)
-            yield _pd.DataFrame({id_col: pdf["_id"].to_numpy(dtype=_np.int64), "_raw": cos})
+            an = _np.sqrt((A * A).sum(axis=1))
+            valid = an > 0.0
+            if not valid.any():
+                continue
+            cos = (A[valid] @ qq) / (an[valid] * qn)
+            yield _pd.DataFrame(
+                {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[valid], "_raw": cos}
+            )
 
     out = (
         df.join(F.broadcast(probed), cell_col, "left_semi")
@@ -310,12 +340,19 @@ def _grid_pairs(
         if not len(pdf):
             return empty
         lo, hi = int(key[0]), int(key[1])
+        # zero-norm vectors have undefined cosine: they never pair (the
+        # semdedup_map valid-mask discipline) — no NaN reaches a compare
         if lo == hi:
             A = _stack_quantized(pdf)
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            S = (A @ A.T) / (an[:, None] * an[None, :])
-            ai, bi = _np.nonzero(ids[:, None] < ids[None, :])
+            valid = an > 0.0
+            S = (A @ A.T) / (
+                _np.where(valid, an, 1.0)[:, None] * _np.where(valid, an, 1.0)[None, :]
+            )
+            ai, bi = _np.nonzero(
+                (ids[:, None] < ids[None, :]) & valid[:, None] & valid[None, :]
+            )
             ida, idb, cos = ids[ai], ids[bi], S[ai, bi]
         else:
             pa = pdf[pdf["_blk"] == lo]
@@ -327,11 +364,15 @@ def _grid_pairs(
             bids = pb["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             bn = _np.sqrt((B * B).sum(axis=1))
-            S = (A @ B.T) / (an[:, None] * bn[None, :])
-            xa = _np.repeat(aids, len(bids))
-            xb = _np.tile(bids, len(aids))
+            va, vb = an > 0.0, bn > 0.0
+            S = (A @ B.T) / (
+                _np.where(va, an, 1.0)[:, None] * _np.where(vb, bn, 1.0)[None, :]
+            )
+            pair_ok = (va[:, None] & vb[None, :]).ravel()
+            xa = _np.repeat(aids, len(bids))[pair_ok]
+            xb = _np.tile(bids, len(aids))[pair_ok]
             ida, idb = _np.minimum(xa, xb), _np.maximum(xa, xb)
-            cos = S.ravel()
+            cos = S.ravel()[pair_ok]
         if tt is not None:
             keep = cos >= tt
             ida, idb, cos = ida[keep], idb[keep], cos[keep]
@@ -401,14 +442,22 @@ def top_similar_pairs_broadcast(
         import pandas as _pd
 
         ids_b, Bm, bn = bc.value
+        vb = bn > 0.0
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
             aid = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            S = (A @ Bm.T) / (an[:, None] * bn[None, :])
-            ai, bi = _np.nonzero(aid[:, None] < ids_b[None, :])
+            va = an > 0.0
+            # zero-norm vectors never pair (undefined cosine) — the
+            # _grid_pairs valid-mask discipline, bit-identical results
+            S = (A @ Bm.T) / (
+                _np.where(va, an, 1.0)[:, None] * _np.where(vb, bn, 1.0)[None, :]
+            )
+            ai, bi = _np.nonzero(
+                (aid[:, None] < ids_b[None, :]) & va[:, None] & vb[None, :]
+            )
             cos = S[ai, bi]
             order = _np.lexsort((ids_b[bi], aid[ai], -cos))[:kk]
             yield _pd.DataFrame(
@@ -501,8 +550,15 @@ def neardup_pairs_lsh_banded(
         A = _stack_quantized(pdf)
         ids = pdf[id_col].to_numpy(dtype=_np.int64)
         an = _np.sqrt((A * A).sum(axis=1))
-        S = (A @ A.T) / (an[:, None] * an[None, :])
-        ai, bi = _np.nonzero((ids[:, None] < ids[None, :]) & (S >= tau))
+        # zero-norm vectors never pair (undefined cosine) — the
+        # semdedup_map valid-mask discipline; no NaN reaches `>= tau`
+        valid = an > 0.0
+        S = (A @ A.T) / (
+            _np.where(valid, an, 1.0)[:, None] * _np.where(valid, an, 1.0)[None, :]
+        )
+        ai, bi = _np.nonzero(
+            (ids[:, None] < ids[None, :]) & (S >= tau) & valid[:, None] & valid[None, :]
+        )
         if not len(ai):
             return empty
         return _pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "raw_cos": S[ai, bi]})
@@ -558,6 +614,12 @@ def ann_topk_rp(
     `quantized`), no pyspark.ml RNG. Codes + cosine run in one Arrow
     kernel (map-only, no shuffle); only the ≤k survivors per partition
     feed TakeOrderedAndProject.
+
+    Degenerate inputs (the `ivf_batch_probe` discipline): zero-norm
+    corpus vectors are excluded from the ranking (a zero vector's sign
+    code is all-ones, so it CAN pass the hamming mask — the valid mask
+    drops it before the cosine); a zero-norm query returns an empty
+    frame. Mirrored in the v06 oracle's `nrm > 0` predicate.
     """
     import numpy as np
 
@@ -573,12 +635,15 @@ def ann_topk_rp(
         import pandas as _pd
 
         Pm, q, qb, qnorm, r = bc.value
+        if qnorm == 0.0:
+            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
             codes = (A @ Pm.T) >= 0
             mask = (codes != qb[None, :]).sum(axis=1) <= r
+            mask &= (A * A).sum(axis=1) > 0.0  # zero-norm: cosine undefined
             if not mask.any():
                 continue
             Am = A[mask]
@@ -743,6 +808,13 @@ def sq8_rerank_topk(
 
     Plan: scan → Arrow int8-score kernel (per-batch candidate prune) →
     TakeOrderedAndProject(n_candidates) → TakeOrderedAndProject(k).
+
+    Degenerate inputs (the `ivf_batch_probe` discipline): zero-norm
+    corpus vectors are excluded BEFORE the int8 candidate cut (their
+    rerank cosine is undefined — dropping them later would let them
+    crowd real candidates out of the n_candidates window); a zero-norm
+    query returns an empty frame. Mirrored in the v10 oracle's
+    `nrm > 0` predicate.
     """
     import numpy as np
 
@@ -760,12 +832,20 @@ def sq8_rerank_topk(
         import pandas as _pd
 
         q8v, qqv, qnorm = bc.value
+        if qnorm == 0.0:
+            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
             M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]])
-            s8 = q8(M) @ q8v
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
+            # zero-norm rows are excluded BEFORE the candidate cut —
+            # undefined rerank cosine must not crowd out real candidates
+            valid = quantize_np(M).any(axis=1)
+            if not valid.any():
+                continue
+            M, ids = M[valid], ids[valid]
+            s8 = q8(M) @ q8v
             # per-batch candidate prune: the union of per-batch top-N by
             # (s8 desc, id asc) always contains the global top-N
             order = _np.lexsort((ids, -s8))[:n_candidates]
@@ -1071,8 +1151,13 @@ def probe_band_index(
         B = _stack_quantized(snap)  # snapshot bucket
         an = _np.sqrt((A * A).sum(axis=1))
         bn = _np.sqrt((B * B).sum(axis=1))
-        S = (B @ A.T) / (bn[:, None] * an[None, :])
-        bi, ai = _np.nonzero(S >= tau)
+        # zero-norm vectors never pair (undefined cosine) — the
+        # semdedup_map valid-mask discipline; no NaN reaches `>= tau`
+        va, vb = an > 0.0, bn > 0.0
+        S = (B @ A.T) / (
+            _np.where(vb, bn, 1.0)[:, None] * _np.where(va, an, 1.0)[None, :]
+        )
+        bi, ai = _np.nonzero((S >= tau) & vb[:, None] & va[None, :])
         if not len(bi):
             return empty
         return _pd.DataFrame(
@@ -1119,6 +1204,12 @@ def batch_knn(
     drop the id-ordered winner); the global per-query rank is a
     WindowGroupLimit-pruned row_number. Shuffle volume ≤ splits·k·Q
     rows, never the corpus.
+
+    Degenerate inputs (the `ivf_batch_probe` discipline): zero-norm
+    corpus vectors are excluded from every ranking; a zero-norm QUERY
+    emits no neighbor rows (its qid is simply absent from the result).
+    No NaN ever reaches a comparison. Mirrored in the v13 oracle's
+    `nrm > 0` predicates.
     """
     import numpy as np
 
@@ -1130,15 +1221,22 @@ def batch_knn(
         import pandas as _pd
 
         qi, Qm, qnorm, kk = bc.value
+        qvalid = qnorm > 0.0
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            S = (A @ Qm.T) / (an[:, None] * qnorm[None, :])
+            cvalid = an > 0.0
+            if not cvalid.any():
+                continue
+            A, ids, an = A[cvalid], ids[cvalid], an[cvalid]
+            S = (A @ Qm.T) / (an[:, None] * _np.where(qvalid, qnorm, 1.0)[None, :])
             out_q, out_id, out_cos = [], [], []
             for j in range(S.shape[1]):
+                if not qvalid[j]:
+                    continue  # zero-norm query: no defined neighbors
                 order = _np.lexsort((ids, -S[:, j]))[:kk]
                 out_q.append(_np.full(len(order), qi[j], dtype=_np.int64))
                 out_id.append(ids[order])

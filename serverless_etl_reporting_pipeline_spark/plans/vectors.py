@@ -42,8 +42,12 @@ def _duck_plane(p: list[float]) -> str:
         FROM embeddings WHERE vec_id = 0
     ),
     e AS (
-        SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE vec_id <> 0
+        -- zero-norm vectors are excluded (cosine undefined) — the
+        -- engine kernel's valid-mask discipline, mirrored here
+        SELECT vec_id, v FROM (
+            SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+            FROM embeddings WHERE vec_id <> 0
+        ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
@@ -58,6 +62,7 @@ def _duck_plane(p: list[float]) -> str:
     """,
     doc="brute-force cosine top-k (query = vec 0) — north star similarity search baseline; "
     "quantized-integer cosine in one Arrow BLAS kernel (exact, oracle-identical; "
+    "zero-norm corpus vectors excluded deterministically — never NaN-ranked; "
     "operators/vectors.py knn_bruteforce)",
 )
 def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +85,11 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
+        -- zero-norm vectors never pair (cosine undefined) — the engine
+        -- kernel's valid-mask discipline, mirrored here
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS raw_cos
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
     )
     ORDER BY raw_cos DESC, id_a, id_b
     LIMIT 20
@@ -137,7 +144,10 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
     probed AS (
+        -- zero-norm centroids are never probe targets (cosine
+        -- undefined) — the engine's pushed predicate, mirrored here
         SELECT label FROM cent, qv
+        WHERE list_sum(list_transform(cv, x -> x * x)) > 0
         ORDER BY list_sum(list_transform(list_zip(cv, q), p -> p[1] * p[2]))
                  / (sqrt(list_sum(list_transform(cv, x -> x * x)))
                     * sqrt(list_sum(list_transform(q, x -> x * x)))) DESC, label
@@ -150,9 +160,11 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(list_sum(list_transform(eq, x -> x * x)))
                   * sqrt(list_sum(list_transform(q, x -> x * x)))) AS raw_cos
         FROM (
-            SELECT vec_id, label,
-                   list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
-            FROM embeddings WHERE vec_id <> 0
+            SELECT vec_id, label, eq FROM (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
+                FROM embeddings WHERE vec_id <> 0
+            ) WHERE list_sum(list_transform(eq, x -> x * x)) > 0
         ) e
         JOIN probed USING (label), qv
     )
@@ -253,9 +265,11 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
     ),
     pairs AS (
+        -- zero-norm vectors never pair (cosine undefined) — the engine
+        -- kernel's valid-mask discipline, mirrored here
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) / (a.nrm * b.nrm) AS raw_cos
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
     )
     SELECT id_b AS dup_id, min(id_a) AS kept_id,
            round(arg_min(raw_cos, id_a) * 1000000) / 1000000.0 AS cos
@@ -298,10 +312,13 @@ def _v06_oracle() -> str:
         SELECT e.vec_id,
                {_duck_dot('e.v', 'q')}
                / (sqrt({_duck_dot('e.v', 'e.v')}) * sqrt({_duck_dot('q', 'q')})) AS raw_cos,
-               {ham} AS ham
+               {ham} AS ham,
+               {_duck_dot('e.v', 'e.v')} AS n2
         FROM e, qv
     )
-    WHERE ham <= 2
+    -- n2 > 0: zero-norm vectors excluded (cosine undefined) — the
+    -- engine kernel's valid-mask discipline, mirrored here
+    WHERE ham <= 2 AND n2 > 0
     ORDER BY raw_cos DESC, vec_id
     LIMIT 10
     """
@@ -359,10 +376,12 @@ def _v09_oracle() -> str:
     )
     SELECT id_a, id_b, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
+        -- nrm > 0: zero-norm vectors never pair (cosine undefined) —
+        -- the engine kernel's valid-mask discipline, mirrored here
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_duck_dot('a.qv', 'b.qv')} / (a.nrm * b.nrm) AS raw_cos
         FROM coded a JOIN coded b
-          ON a.vec_id < b.vec_id AND ({band_match})
+          ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0 AND ({band_match})
     )
     WHERE raw_cos >= {_V09_TAU}
     ORDER BY id_a, id_b
@@ -480,12 +499,16 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id <> 0
     ),
     cand AS (
+        -- zero-norm rows (quantized) are excluded BEFORE the candidate
+        -- cut (undefined rerank cosine must not crowd out real
+        -- candidates) — the engine kernel's discipline, mirrored here
         SELECT e.vec_id,
                CAST(list_sum(list_transform(list_zip(e.v8, q.q8), p -> p[1] * p[2])) AS BIGINT) AS score_i8,
                list_sum(list_transform(list_zip(e.vq, q.qq), p -> p[1] * p[2]))
                / (sqrt(list_sum(list_transform(e.vq, x -> x * x)))
                   * sqrt(list_sum(list_transform(q.qq, x -> x * x)))) AS raw_cos
         FROM e, q
+        WHERE list_sum(list_transform(e.vq, x -> x * x)) > 0
         ORDER BY score_i8 DESC, vec_id
         LIMIT 50
     )
@@ -619,10 +642,12 @@ def _v12_oracle() -> str:
         FROM q
     ),
     pairs AS (
+        -- nrm > 0: zero-norm vectors never pair (cosine undefined) —
+        -- the engine kernel's valid-mask discipline, mirrored here
         SELECT s.vec_id AS snap_id, c.vec_id AS corp_id,
                {_duck_dot('s.qv', 'c.qv')} / (s.nrm * c.nrm) AS raw_cos
         FROM coded s JOIN coded c ON ({band_match}) CROSS JOIN wm
-        WHERE s.vec_id >= wm.w AND c.vec_id < wm.w
+        WHERE s.vec_id >= wm.w AND c.vec_id < wm.w AND s.nrm > 0 AND c.nrm > 0
     ),
     m AS (
         SELECT snap_id, min(corp_id) AS dup_src, arg_min(raw_cos, corp_id) AS c
@@ -683,14 +708,21 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
     # reproduces this SQL bit-for-bit.
     oracle="""
     WITH q AS (
-        SELECT vec_id AS qid,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE vec_id < 10
+        -- zero-norm queries emit no neighbor rows; zero-norm corpus
+        -- vectors are excluded from every ranking (cosine undefined) —
+        -- the engine kernel's valid-mask discipline, mirrored here
+        SELECT qid, qv FROM (
+            SELECT vec_id AS qid,
+                   list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ) WHERE list_sum(list_transform(qv, x -> x * x)) > 0
     ),
     e AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE vec_id >= 10
+        SELECT vec_id, v FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+            FROM embeddings WHERE vec_id >= 10
+        ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     scored AS (
         SELECT q.qid, e.vec_id,

@@ -675,6 +675,85 @@ def test_ivf_probe_zero_norm_vectors_excluded(spark):
     spark.catalog.clearCache()
 
 
+def test_zero_norm_vectors_never_ranked(spark):
+    """r7 verdict ask #1: the pre-r7 kernels (knn_bruteforce, ann_topk_rp,
+    sq8_rerank_topk, batch_knn, ivf_topk, the pair grids and the band-index
+    probe) must follow the ivf_batch_probe valid-mask discipline — a
+    zero-norm corpus vector is excluded from every ranking, a zero-norm
+    query yields no rows, and no NaN ever reaches a comparison."""
+    import math
+
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        ann_topk_rp,
+        batch_knn,
+        ivf_topk,
+        knn_bruteforce,
+        neardup_map,
+        neardup_pairs_lsh_banded,
+        neardup_vector_index_probe,
+        quantize_np,
+        sq8_rerank_topk,
+        top_similar_pairs,
+        top_similar_pairs_broadcast,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.001], 0),
+            (3, [0.0, 0.0], 0),  # zero-norm: cosine undefined
+            (4, [0.0, 1.0], 1),
+            (5, [-1.0, 0.0], 1),
+        ],
+        schema,
+    )
+    q = list(quantize_np([1.0, 0.0]))
+    zq = list(quantize_np([0.0, 0.0]))
+
+    # single-query top-k kernels: zero corpus row absent, zero query empty
+    for fn in (knn_bruteforce, ann_topk_rp):
+        rows = fn(df, q, k=5).collect()
+        assert rows and 3 not in [r[0] for r in rows], fn.__name__
+        assert not any(math.isnan(r["cos"]) for r in rows), fn.__name__
+        assert fn(df, zq, k=5).collect() == [], fn.__name__
+    rows = ivf_topk(df, q, k=5, nprobe=2).collect()
+    assert rows and 3 not in [r[0] for r in rows]
+    assert not any(math.isnan(r["cos"]) for r in rows)
+    assert ivf_topk(df, zq, k=5, nprobe=2).collect() == []
+    rows = sq8_rerank_topk(df, [1.0, 0.0], k=5, n_candidates=3).collect()
+    # zero row dropped BEFORE the candidate cut: 3 real candidates survive
+    assert [r[0] for r in rows] != [] and 3 not in [r[0] for r in rows]
+    assert len(rows) == 3 and not any(math.isnan(r["cos"]) for r in rows)
+    assert sq8_rerank_topk(df, [0.0, 0.0], k=5).collect() == []
+
+    # batched kNN: zero corpus row in no ranking, zero query qid absent
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])], "qid long, embedding array<float>"
+    )
+    rows = batch_knn(df, queries, k=5).collect()
+    assert {r["qid"] for r in rows} == {100}
+    assert 3 not in [r["vec_id"] for r in rows]
+    assert not any(math.isnan(r["cos"]) for r in rows)
+
+    # all-pairs / banded / probe shapes: the zero row never pairs
+    for fn in (top_similar_pairs, top_similar_pairs_broadcast):
+        pairs = fn(df, k=20).collect()
+        assert len(pairs) == 6 and all(3 not in (r["id_a"], r["id_b"]) for r in pairs), fn.__name__
+        assert not any(math.isnan(r["raw_cos"]) for r in pairs), fn.__name__
+    dups = neardup_map(df, threshold=0.9).collect()
+    assert [(r["dup_id"], r["kept_id"]) for r in dups] == [(2, 1)]
+    banded = neardup_pairs_lsh_banded(df, threshold=-1.0).collect()
+    assert banded and all(3 not in (r["id_a"], r["id_b"]) for r in banded)
+    snap = spark.createDataFrame(
+        [(6, [1.0, 0.0], 0), (7, [0.0, 0.0], 0)], schema
+    )
+    probe = {r["vec_id"]: r for r in neardup_vector_index_probe(df, snap, threshold=0.9).collect()}
+    assert probe[6]["is_dup"] and probe[6]["dup_src"] == 1
+    assert not probe[7]["is_dup"] and probe[7]["dup_src"] is None
+    spark.catalog.clearCache()
+
+
 def test_ivf_index_disk_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
     """The stored-index path: write the IVF index to parquet (postings
     partitioned by cell), load it back, probe — results must equal the
