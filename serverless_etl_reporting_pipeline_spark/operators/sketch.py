@@ -69,6 +69,109 @@ def md5_hash48(col: Column) -> Column:
     )
 
 
+def _est_distinct(k: int) -> Column:
+    """The shared KMV estimate expression over (k_used, kth_hash):
+    exact when the sketch saw every distinct key (k_used < k), else
+    (k-1)·2^48 DIV h_(k) — all BIGINT arithmetic, engine-identical."""
+    return (
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
+        .cast("bigint")
+    )
+
+
+def _kmin_partials(
+    df: DataFrame, group_cols: list[str], key: Column, k: int, with_counts: bool = False
+) -> DataFrame:
+    """The ONE Arrow partial behind every KMV operator: per split, the
+    k smallest *distinct* hashes per group (≤ splits·k·groups rows leave
+    each split — the partial accumulates ACROSS Arrow batches; a
+    per-batch yield would let batches·k·groups rows through, silently
+    voiding the bound at real split sizes of ~10k rows/batch).
+
+    With ``with_counts=True`` the SAME pass also folds the exact
+    per-group row count (NULL keys included) and emits it as one extra
+    ``(group, h=NULL, cnt)`` row per group per split — so estimators
+    needing n_rows pay ONE scan of the input, never a second
+    ``groupBy().count()`` over the corpus. Output schema:
+    ``(*group_cols, h[, cnt])``; sketch rows carry cnt=NULL.
+
+    NULL keys hash to NULL and never enter the sketch (dropped inside
+    the partial so pandas NaN handling and Spark's null ordering can
+    never disagree); NULL *group* keys are kept as their own group
+    (``dropna=False``, matching Spark groupBy / SQL GROUP BY).
+    ``group_cols=[]`` is the ungrouped (1-sketch) form."""
+    _check_k(k)
+    bad = set(group_cols) & {"h", "rk", "cnt"}
+    if bad:
+        raise ValueError(
+            f"group column(s) {sorted(bad)} collide with internal sketch "
+            "columns — rename them first (the kmv_set_algebra guard, here "
+            "for every caller)"
+        )
+    hashed = df.select(*group_cols, md5_hash48(key).alias("h"))
+    if not with_counts:
+        hashed = hashed.filter(F.col("h").isNotNull())
+    out_schema = hashed.schema
+    if with_counts:
+        from pyspark.sql import types as T
+
+        # fresh StructType — .add() mutates in place and would corrupt
+        # the source frame's cached schema
+        out_schema = T.StructType([*hashed.schema.fields, T.StructField("cnt", T.LongType())])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc, counts, n = None, None, 0
+        for b in batches:
+            if not len(b):
+                continue
+            if with_counts:
+                if group_cols:
+                    c = b.groupby(group_cols, sort=False, dropna=False).size().reset_index(name="cnt")
+                    counts = (
+                        c
+                        if counts is None
+                        else pd.concat([counts, c], ignore_index=True)
+                        .groupby(group_cols, sort=False, dropna=False)["cnt"]
+                        .sum()
+                        .reset_index()
+                    )
+                else:
+                    n += len(b)
+                b = b.dropna(subset=["h"])
+                if not len(b):
+                    continue
+            if group_cols:
+                d = b[[*group_cols, "h"]]
+                d = d if acc is None else pd.concat([acc, d], ignore_index=True)
+                acc = (
+                    d.drop_duplicates()
+                    .sort_values("h", kind="mergesort")
+                    .groupby(group_cols, sort=False, dropna=False)
+                    .head(k)
+                )
+            else:
+                s = b["h"].drop_duplicates()
+                acc = s if acc is None else pd.concat([acc, s]).drop_duplicates()
+                acc = acc.nsmallest(k)
+        if acc is not None and len(acc):
+            sk = acc if group_cols else pd.DataFrame({"h": acc})
+            sk = sk.assign(h=sk["h"].astype("Int64"))
+            yield sk.assign(cnt=pd.array([None] * len(sk), dtype="Int64")) if with_counts else sk
+        if with_counts:
+            if group_cols:
+                if counts is not None and len(counts):
+                    yield counts.assign(h=pd.array([None] * len(counts), dtype="Int64"))[
+                        [*group_cols, "h", "cnt"]
+                    ]
+            elif n:
+                yield pd.DataFrame(
+                    {"h": pd.array([None], dtype="Int64"), "cnt": pd.array([n], dtype="Int64")}
+                )
+
+    return hashed.mapInPandas(partial, schema=out_schema)
+
+
 def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     """One-row distinct-count estimate of `key` over `df`.
 
@@ -77,108 +180,45 @@ def kmv_sketch(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     estimate is exact), ``kth_hash`` (the largest retained hash),
     ``est_distinct``.
 
-    Plan shape: map-only hash projection → ONE Arrow partial per split
-    that both prunes to the split's k smallest distinct hashes AND
-    counts the split's rows (≤ splits·(k+1) rows survive — the partial
-    accumulates across Arrow batches; a per-batch yield would let
-    batches·k rows through, and a separate count() would re-scan the
-    whole input) → exact distinct+top-k merge on the pruned set →
-    1-row aggregate. One pass over the data, no full-cardinality
-    shuffle. The pruned frame is persisted: it feeds the sketch branch
-    and the row-count branch, and is ≤ splits·(k+1) rows — bounded.
-
-    NULL keys hash to NULL and are excluded from the sketch (but still
-    counted in ``n_rows``) — dropped inside the partial so pandas
-    ``nsmallest`` (NaN-dropping) and Spark's nulls-first ordering can
-    never disagree.
+    Plan shape — ONE pass over the data, ONE linear plan, nothing
+    persisted: map-only hash projection → the shared Arrow partial
+    (k-min candidates + folded row count, ≤ splits·(k+1) rows survive)
+    → hash-merge on h (count rows collapse into one NULL-h row) → a
+    whole-frame rank (bounded input — the w02 single-partition-window
+    idiom) → 1-row aggregate. No full-cardinality shuffle, no second
+    scan for the count, and no cache entry left pinned (an earlier
+    version persisted the partial to feed two branches and leaked the
+    cache entry for the session).
     """
-    _check_k(k)
-    hashed = df.select(key.alias("_k")).select(md5_hash48(F.col("_k")).alias("h"))
+    pruned = _kmin_partials(df, [], key, k, with_counts=True)
+    from pyspark.sql import Window
 
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc, n = None, 0
-        for b in batches:
-            if len(b):
-                n += len(b)
-                s = b["h"].dropna().drop_duplicates()
-                acc = s if acc is None else pd.concat([acc, s]).drop_duplicates()
-                acc = acc.nsmallest(k)
-        if n:
-            yield pd.DataFrame(
-                {"h": acc.astype("Int64"), "cnt": pd.array([None] * len(acc), dtype="Int64")}
-            )
-            yield pd.DataFrame(
-                {"h": pd.array([None], dtype="Int64"), "cnt": pd.array([n], dtype="Int64")}
-            )
-
-    pruned = hashed.mapInPandas(partial, schema="h long, cnt long").persist()
-    topk = pruned.filter(F.col("h").isNotNull()).select("h").distinct().orderBy("h").limit(k)
-    sketch = topk.agg(
-        F.count("*").cast("bigint").alias("k_used"),
+    per = pruned.groupBy("h").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    # rank the single merged NULL-h count row FIRST (nulls_first), then
+    # the hashes ascending: `rk <= k+1` keeps the count row + the k
+    # smallest distinct hashes, and because it is a plain row_number
+    # limit Spark plans it as partial+final WindowGroupLimit — each
+    # partition is pruned BEFORE the single-partition exchange
+    ranked = per.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("h").asc_nulls_first()))
+    ).filter(F.col("rk") <= k + 1)
+    merged = ranked.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count("h").cast("bigint").alias("k_used"),
         F.max("h").alias("kth_hash"),
     )
-    est = (
-        F.when(F.col("k_used") < k, F.col("k_used"))
-        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
-        .cast("bigint")
-    )
-    # combine the two 1-row aggregates by union + max — a join on a
-    # constant key constant-folds into a nested-loop shape the corpus
-    # lint (rightly) bans, so don't join at all
-    n = pruned.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows")).select(
-        "n_rows",
-        F.lit(None).cast("bigint").alias("k_used"),
-        F.lit(None).cast("bigint").alias("kth_hash"),
-    )
-    merged = n.unionByName(
-        sketch.select(F.lit(None).cast("bigint").alias("n_rows"), "k_used", "kth_hash")
-    ).agg(
-        F.max("n_rows").alias("n_rows"),
-        F.max("k_used").alias("k_used"),
-        F.max("kth_hash").alias("kth_hash"),
-    )
-    return merged.select("n_rows", "k_used", "kth_hash", est.alias("est_distinct"))
+    return merged.select("n_rows", "k_used", "kth_hash", _est_distinct(k).alias("est_distinct"))
 
 
 def _kmin_sets(df: DataFrame, group_cols: list[str], key: Column, k: int) -> DataFrame:
     """Per-group k-minimum hash SETS: (*group_cols, h, rk) with rk ≤ k —
-    the mergeable sketch state behind both the per-group estimator
-    (`kmv_sketch_grouped`) and the pairwise set algebra
-    (`kmv_set_algebra`). Each split prunes to ≤k candidates per group
-    (Arrow partial) BEFORE the distinct+rank shuffle, so the exchange
-    moves ≤ splits·k·groups rows, never the key space. The partial
-    accumulates ACROSS Arrow batches and yields once per split — a
-    per-batch yield would let up to batches·k·groups rows survive,
-    silently voiding the bound at real split sizes (~10k rows/batch)."""
-    _check_k(k)
-    bad = set(group_cols) & {"h", "rk"}
-    if bad:
-        raise ValueError(
-            f"group column(s) {sorted(bad)} collide with internal sketch "
-            "columns — rename them first (the kmv_set_algebra guard, here "
-            "for every _kmin_sets caller)"
-        )
-    hashed = df.select(*group_cols, md5_hash48(key).alias("h")).filter(
-        F.col("h").isNotNull()
-    )
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = None
-        for b in batches:
-            if len(b):
-                d = b if acc is None else pd.concat([acc, b], ignore_index=True)
-                acc = (
-                    d.drop_duplicates()
-                    .sort_values("h", kind="mergesort")
-                    .groupby(group_cols, sort=False, dropna=False)
-                    .head(k)
-                )
-        if acc is not None:
-            yield acc
-
+    the mergeable sketch state behind the pairwise set algebra
+    (`kmv_set_algebra`). The shared Arrow partial prunes each split to
+    ≤k candidates per group BEFORE the distinct+rank shuffle, so the
+    exchange moves ≤ splits·k·groups rows, never the key space."""
     from pyspark.sql import Window
 
-    pruned = hashed.mapInPandas(partial, schema=hashed.schema)
+    pruned = _kmin_partials(df, group_cols, key, k)
     return (
         pruned.distinct()
         .withColumn("rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")))
@@ -191,18 +231,26 @@ def kmv_sketch_grouped(
 ) -> DataFrame:
     """Per-group KMV distinct estimate — the mergeable form that matters
     at 100 TB: each split prunes to ≤k candidate hashes *per group it
-    sees*, the per-group merge (distinct → rank ≤ k) runs on pruned
-    data, and only group-cardinality-sized aggregates ever join.
+    sees*, the per-group merge runs on pruned data, and the exact
+    per-group row count rides the SAME Arrow partial (the kmv_sketch
+    count fold) — ONE scan of the input, where an earlier version paid
+    a second full ``df.groupBy().count()`` pass.
 
     Returns ``*group_cols, n_rows, k_used, kth_hash, est_distinct``
     (one row per group; ``k_used < k`` ⇒ the estimate is exact).
+
+    Plan shape: shared Arrow partial (sketch rows + one count row per
+    group per split) → hash-merge on (*group_cols, h) → per-group rank
+    (count rows sort after every hash via nulls-last) → per-group
+    aggregate. All post-partial exchanges move ≤ splits·(k+1)·groups
+    rows. No join, nothing persisted.
 
     NULL semantics are defined and engine-matched: NULL *key values*
     hash to NULL and are excluded from the sketch (still counted in
     ``n_rows``); NULL *group keys* are kept as their own group
     (``dropna=False`` in the pandas partial, matching Spark groupBy and
-    SQL GROUP BY) — a NULL group would otherwise get an n_rows row but
-    no sketch row and vanish through the inner join.
+    SQL GROUP BY). Groups whose EVERY key is NULL have no sketch row
+    and are (deliberately, documented) absent from the output.
     """
     bad = set(group_cols) & {"k_used", "kth_hash", "n_rows", "est_distinct"}
     if bad:
@@ -210,23 +258,34 @@ def kmv_sketch_grouped(
             f"group column(s) {sorted(bad)} collide with the estimator's "
             "output columns — rename them first"
         )
-    ranked = _kmin_sets(df, group_cols, key, k)
-    sk = ranked.groupBy(*group_cols).agg(
-        F.count("*").cast("bigint").alias("k_used"),
-        F.max("h").alias("kth_hash"),
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty — use kmv_sketch for the 1-sketch form")
+    from pyspark.sql import Window
+
+    pruned = _kmin_partials(df, group_cols, key, k, with_counts=True)
+    per = pruned.groupBy(*group_cols, "h").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    # per group: rank the single merged NULL-h count row FIRST
+    # (nulls_first), then the hashes ascending — `rk <= k+1` keeps the
+    # count row + the k smallest distinct hashes, planned as
+    # partial+final WindowGroupLimit (≤ k+1 rows per group cross the
+    # per-group exchange)
+    ranked = per.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy(F.col("h").asc_nulls_first())
+        ),
+    ).filter(F.col("rk") <= k + 1)
+    out = (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count("h").cast("bigint").alias("k_used"),
+            F.max("h").alias("kth_hash"),
+        )
+        .filter(F.col("k_used") > 0)
     )
-    n = df.groupBy(*group_cols).agg(F.count("*").cast("bigint").alias("n_rows"))
-    est = (
-        F.when(F.col("k_used") < k, F.col("k_used"))
-        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
-        .cast("bigint")
-    )
-    # null-safe equi-join so a NULL group keeps its sketch row (oracle
-    # twin: IS NOT DISTINCT FROM); groups whose EVERY key is NULL have no
-    # sketch row and are (deliberately, documented) absent from the output
-    cond = [n[c].eqNullSafe(sk[c]) for c in group_cols]
-    return n.join(sk, cond).select(
-        *[n[c] for c in group_cols], "n_rows", "k_used", "kth_hash", est.alias("est_distinct")
+    return out.select(
+        *group_cols, "n_rows", "k_used", "kth_hash", _est_distinct(k).alias("est_distinct")
     )
 
 
@@ -340,7 +399,10 @@ def kmv_set_algebra(
     the driver-side group enumeration entirely; cost is then pairs·k.
     Explicit pairs are normalized and DEDUPLICATED; a self-pair raises
     (its answer is the group's own cardinality — ask kmv_sketch_grouped);
-    a pair whose groups have no sketch rows yields NO output row.
+    a pair with NEITHER group in the data yields NO output row, and a
+    pair with exactly ONE present group degenerates to that group's own
+    sketch (est_union = its cardinality estimate, shared = est_inter =
+    0 — the set-algebra answer for A ∪ ∅ / A ∩ ∅).
     """
     if group_col in {"g", "h", "pid", "rk", "type_a", "type_b"}:
         raise ValueError(
@@ -349,13 +411,16 @@ def kmv_set_algebra(
         )
     # NULL groups are excluded from the pair algebra (a pair with an
     # unnamed side has no meaning; the per-group estimator still reports
-    # the NULL group on its own via kmv_sketch_grouped). Persisted: the
-    # frame feeds both the group-enumeration collect and the pair query.
+    # the NULL group on its own via kmv_sketch_grouped). NOT persisted:
+    # in the enumeration path the k-min pass runs twice (once for the
+    # group collect, once when the result executes) — the price of not
+    # pinning a cache entry for the session (an earlier version leaked
+    # one per call); callers that know their pairs skip the first pass
+    # entirely via the `pairs` argument.
     sets = (
         _kmin_sets(df, [group_col], key, k)
         .filter(F.col(group_col).isNotNull())
         .select(group_col, "h")
-        .persist()
     )
     spark = df.sparkSession
     if pairs is not None:

@@ -202,6 +202,25 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(id_col, sig.alias("simhash"))
 
 
+def shard_exprs(id_col: str, n_shards: int, salt: str = "shard-v1") -> tuple[Column, Column]:
+    """The (shard, sort_key) column pair shared by `shard_plan` and
+    `sources/lake.write_training_shards` — ONE implementation of the
+    hash layout, so the planner query (t22) and the materializing writer
+    can never drift apart.
+
+    shard = md5-prefix(id) mod n_shards (portable integer hash — the
+    same value in DuckDB); sort_key = a SECOND salted md5, so shard
+    membership and intra-shard order are independent hashes (changing
+    the salt reshuffles order without moving rows between shards).
+    Both derive from the id alone — rerun-stable, no RNG state."""
+    sid = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    sort_key = F.md5(F.concat(F.lit(salt + "|"), sid))
+    return shard, sort_key
+
+
 def shard_plan(
     df: DataFrame, id_col: str, n_shards: int, salt: str = "shard-v1"
 ) -> DataFrame:
@@ -222,11 +241,7 @@ def shard_plan(
     shard, rank via row_number per shard — at 100 TB this is the same
     single exchange any partitioned write pays; no global sort.
     """
-    sid = F.col(id_col).cast("string")
-    shard = (
-        F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("bigint") % n_shards
-    ).cast("int")
-    sort_key = F.md5(F.concat(F.lit(salt + "|"), sid))
+    shard, sort_key = shard_exprs(id_col, n_shards, salt)
     from pyspark.sql import Window
 
     return df.select(

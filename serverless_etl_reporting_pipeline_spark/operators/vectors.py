@@ -156,12 +156,17 @@ def _stack_quantized(pdf, col: str = "_qv"):
 def _collect_quantized_build(df: DataFrame, id_col: str, vec_col: str):
     """Collect + quantize a broadcast build side: (ids, matrix, norms).
     Raw floats cross the wire; quantization happens driver-side in numpy
-    (same `quantize_np` the kernels use)."""
+    (same `quantize_np` the kernels use). An EMPTY build side returns
+    (0-length ids, (0, 0) matrix, 0-length norms) — callers treat it as
+    "no queries/build rows" and emit nothing, instead of np.stack
+    crashing on an empty list."""
     import numpy as np
 
     rows = df.select(
         F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
     ).collect()
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.zeros((0, 0)), np.empty(0)
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
     B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
     return ids, B, np.sqrt((B * B).sum(axis=1))
@@ -919,6 +924,12 @@ def semdedup_map(
     cent_rows = (
         ex.groupBy("_lab", "dim").agg(F.round(F.avg("q")).alias("c")).collect()
     )
+    if not cent_rows:
+        # empty corpus: no clusters, no pairs — deterministic empty
+        # survivor map in the operator's output schema
+        return df.sparkSession.createDataFrame(
+            [], "dup_id long, kept_id long, cluster long, cos double"
+        )
     if any(r["_lab"] is None for r in cent_rows):
         raise ValueError(
             "semdedup_map: NULL labels are undefined — filter or impute the "
@@ -1221,6 +1232,8 @@ def batch_knn(
         import pandas as _pd
 
         qi, Qm, qnorm, kk = bc.value
+        if len(qi) == 0:
+            return  # empty query batch: no rankings, empty result
         qvalid = qnorm > 0.0
         for pdf in batches:
             if not len(pdf):
@@ -1276,10 +1289,15 @@ def _collect_centroid_matrix(centroids: DataFrame):
     shared prologue of `assign_cells` and `ivf_batch_probe`, so the
     zero-norm-centroid guard logic has exactly one implementation. The
     `cv` arrays are already exact 1e-6 integers (`ivf_centroids`); no
-    re-quantization happens here."""
+    re-quantization happens here. An EMPTY centroid table (a quantizer
+    built from an empty corpus) returns 0-length cells and a (0, 0)
+    matrix — probes then probe nothing and assigns quarantine everything
+    to -1, instead of numpy crashing on a dimensionless array."""
     import numpy as np
 
     rows = centroids.collect()
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.zeros((0, 0)), np.empty(0)
     order = np.argsort(np.asarray([r[0] for r in rows], dtype=np.int64), kind="stable")
     cells = np.asarray([rows[i][0] for i in order], dtype=np.int64)
     C = np.asarray([[float(x) for x in rows[i][1]] for i in order], dtype=np.float64)
@@ -1370,23 +1388,29 @@ def ivf_batch_probe(
 
     qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
     cells, C, cn = _collect_centroid_matrix(centroids)
-    # zero-norm guards (cosine undefined; the semdedup_map discipline):
-    # a zero-norm CENTROID is never anyone's probe target; a zero-norm
-    # QUERY probes the lowest cells deterministically and its candidate
-    # rows are then dropped by the kernel's valid mask — no NaN anywhere
-    zq, zc = qn == 0.0, cn == 0.0
-    S = (Q @ C.T) / (np.where(zq, 1.0, qn)[:, None] * np.where(zc, 1.0, cn)[None, :])
-    S[:, zc] = -np.inf
-    S[zq, :] = -np.inf
-    # 1e-6-quantized scores (round-half-away, quantize_np convention) so
-    # the rank compares the same BIGINTs the oracle ranks; lexsort ties
-    # break to the lowest cell id
-    Sq = np.copysign(np.floor(np.abs(S * QUANT) + 0.5), S)
-    pairs = [
-        (int(qids[i]), int(cells[j]))
-        for i in range(len(qids))
-        for j in np.lexsort((cells, -Sq[i]))[: int(nprobe)]
-    ]
+    if len(qids) == 0 or len(cells) == 0:
+        # empty query batch, or an index with zero cells: nothing can be
+        # probed — deterministic empty result, no degenerate matmul
+        pairs = []
+    else:
+        # zero-norm guards (cosine undefined; the semdedup_map
+        # discipline): a zero-norm CENTROID is never anyone's probe
+        # target; a zero-norm QUERY probes the lowest cells
+        # deterministically and its candidate rows are then dropped by
+        # the kernel's valid mask — no NaN anywhere
+        zq, zc = qn == 0.0, cn == 0.0
+        S = (Q @ C.T) / (np.where(zq, 1.0, qn)[:, None] * np.where(zc, 1.0, cn)[None, :])
+        S[:, zc] = -np.inf
+        S[zq, :] = -np.inf
+        # 1e-6-quantized scores (round-half-away, quantize_np convention)
+        # so the rank compares the same BIGINTs the oracle ranks; lexsort
+        # ties break to the lowest cell id
+        Sq = np.copysign(np.floor(np.abs(S * QUANT) + 0.5), S)
+        pairs = [
+            (int(qids[i]), int(cells[j]))
+            for i in range(len(qids))
+            for j in np.lexsort((cells, -Sq[i]))[: int(nprobe)]
+        ]
     spark = postings.sparkSession
     probe_df = spark.createDataFrame(pairs, f"{qid_col} long, _cell long")
     qpos = {int(q): i for i, q in enumerate(qids)}
@@ -1482,6 +1506,20 @@ def assign_cells(
 
         cl, Cm, cnorm, zcell = bc.value
         cn_safe = _np.where(zcell, 1.0, cnorm)
+        if len(cl) == 0:
+            # a quantizer with zero cells (built from an empty corpus):
+            # nothing is assignable — quarantine every arrival, the same
+            # -1 contract as the all-zero-norm quantizer
+            for pdf in batches:
+                if len(pdf):
+                    yield _pd.DataFrame(
+                        {
+                            "_cell": _np.full(len(pdf), -1, dtype=_np.int64),
+                            "_id": pdf["_id"].to_numpy(dtype=_np.int64),
+                            "_qv": pdf["_qv"],
+                        }
+                    )
+            return
         for pdf in batches:
             if not len(pdf):
                 continue

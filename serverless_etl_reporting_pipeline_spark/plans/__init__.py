@@ -19,59 +19,52 @@ from serverless_etl_reporting_pipeline_spark.plans import skewed  # noqa: F401, 
 from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
+# Registry ORDER note, round 8: s04 (the one NEW query this round — the
+# staged-drain streaming SCD2 log, the only major streaming module that
+# had no registry-level driver row) leads the window.
+
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 7:
-#   1. _PRIORITY first — every query ADDED this round (v14, x05, e08,
-#      v15/v16: the IVF ingest-assignment kernel behind streaming/ivf.py
-#      and the Lloyd quantizer-refresh step),
-#      every query whose CODE or ORACLE changed this round (x01: null-
-#      propagating key + oracle h-filter; v11: semdedup degenerate-input
-#      guards; pipe01/pipe02: the shared annotate_batch/mixture_report
-#      refactors; x03: the _kmin_sets extraction; v12: probe_band_index split
-#      for the streaming vector-dedup twin), then the round-6
-#      verdict's mandatory cohort: the 28 queries whose last driver row
-#      is round 4 (a01-a11, c01-c06, c09, e01-e05, s01-s03, w08, w09 —
-#      code untouched since; sf0.01-verified every round). 39 slots.
-#   2. The remaining 11 slots float the oldest r5-era greens
-#      (registration order) into the window; v08/t13/t17/t18/t19/t01
-#      and the rest defer to round 8.
+# the first 50 registry entries per round. Rotation policy for round 8:
+#   1. _PRIORITY first — every query whose CODE or ORACLE changed this
+#      round: the zero-norm valid-mask alignment across the vector
+#      kernels + matching nrm>0 oracle predicates (v01/v02/v04/v05/v06/
+#      v07/v09/v10/v12/v13), the degenerate-input guards in the shared
+#      centroid/build collectors and semdedup (v11/v14/v15/v16), the
+#      sketch count-fold rewrite — one scan, nothing persisted (x01/x03/
+#      x05), and the shard_exprs extraction shared with the
+#      single-exchange shard writer (t22), plus s04 — the one NEW query
+#      this round (staged-drain streaming SCD2 log, the only major
+#      streaming module without a registry-level driver row). 19 slots.
+#   2. The remaining 31 slots float the r5-era cohort (last driver row
+#      round 5 — the oldest rows after r7 re-verified the r4-era 28):
+#      a12-a20, t02-t06/t08/t10/t12/t14/t16/t21, c07, e06, e07, j01-j03,
+#      k01, k02, w01-w03; w04-w07/w10 defer to round 9 (still covered
+#      by the full-registry sf0.01 oracle run every round).
 # CORPUS POLICY (round-7 verdict ask #8): the query corpus is feature-
-# complete at 127 entries. New queries are capped at ~5 per round so the
-# 50-slot driver window re-verifies every query within ~2.5 rounds;
-# freed slots go to rotation cadence, oldest driver row first.
-# Deferred queries stay covered every round by tools/oracle_check.py
-# (full registry at sf0.01 pre-commit) and the spark.sql conformance test.
-_R4_ERA = frozenset(
-    [f"a{i:02d}" for i in range(1, 12)]
-    + [f"c{i:02d}" for i in range(1, 7)]
-    + ["c09"]
-    + [f"e{i:02d}" for i in range(1, 6)]
-    + [f"s{i:02d}" for i in range(1, 4)]
-    + ["w08", "w09"]
+# complete at 127 entries (+1 r8 streaming-twin candidate, see scd2).
+# New queries are capped at ~5 per round so the 50-slot driver window
+# re-verifies every query within ~2.5 rounds; freed slots go to rotation
+# cadence, oldest driver row first. Deferred queries stay covered every
+# round by tools/oracle_check.py (full registry at sf0.01 pre-commit)
+# and the spark.sql conformance test.
+_PRIORITY = (
+    # ADDED this round: the staged-drain streaming SCD2 version log
+    "s04",
+    # code/oracle changed this round: zero-norm kernel alignment +
+    # oracle mirrors, empty-side degenerate guards
+    "v01", "v02", "v04", "v05", "v06", "v07", "v09", "v10",
+    "v11", "v12", "v13", "v14", "v15", "v16",
+    # sketch rewrite (count fold, no persist) + shard_exprs extraction
+    "x01", "x03", "x05", "t22",
 )
 
-_PRIORITY = (
-    # added this round
-    "v14", "x05", "e08", "v15", "v16",
-    # code/oracle changed this round (x03: _kmin_sets extraction)
-    "x01", "v11", "pipe01", "pipe02", "x03", "v12",
-    # late-r7 shingles() short-doc guard (operators/text.py): every
-    # registry consumer of the changed expression rotates in — direct
-    # (t07/t15/t19/t24) and via minhash._shingle_sets (t09/t11/t20/c08);
-    # pipe01/pipe02 (via funnel.shingle_set) and c02 are already above
-    "t07", "t15", "t19", "t24", "t09", "t11", "t20", "c08",
-    # late-r7 sketch review: per-split (not per-batch) Arrow partials +
-    # count fold (x01), bounded Misra-Gries summary (x02); x03/x05
-    # (_kmin_sets) are already above
-    "x02",
-) + tuple(sorted(_R4_ERA))
-
-# oldest r5-era greens (last driver row round 5, code untouched):
-# float as many as fit the remaining window slots
+# r5-era cohort (last driver row round 5): float as many as fit the
+# remaining window slots, w04/w05/w06/w10 defer to round 9
 _R5_ERA_TAIL = (
-    "m01", "m02", "m03", "m04",
-    "v01", "v02", "v03", "v04", "v05", "v06", "v07", "v08",
-    "t13", "t17", "t18", "t19", "t01",
+    tuple(f"a{i}" for i in range(12, 21))
+    + ("t02", "t03", "t04", "t05", "t06", "t08", "t10", "t12", "t14", "t16", "t21")
+    + ("c07", "e06", "e07", "j01", "j02", "j03", "k01", "k02")
+    + ("w01", "w02", "w03", "w04", "w05", "w06", "w07", "w10")
 )
 
 

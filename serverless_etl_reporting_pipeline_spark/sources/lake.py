@@ -134,23 +134,29 @@ def compact_partitions(spark: SparkSession, path: str) -> int:
     failure can leave some partitions replaced and others not. Run
     compaction in a maintenance window, or use a transactional table
     format (Delta/Iceberg) where true reader isolation is required.
-    Returns the number of rows rewritten.
+    Returns the number of rows rewritten — counted via ``observe()`` on
+    the write itself, so the maintenance pass reads the dataset ONCE (an
+    earlier version ran a full count() job before the rewrite, doubling
+    the scan cost of the operation most likely to run lake-wide).
     """
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(path)
-    n = df.count()
+    obs = Observation()
     n_tasks = max(spark.sparkContext.defaultParallelism, 1)
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.repartition(n_tasks, *PARTITION_COLS)
+            df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+            .repartition(n_tasks, *PARTITION_COLS)
             .write.partitionBy(*PARTITION_COLS)
             .mode("overwrite")
             .parquet(path)
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    return n
+    return int(obs.get["n_rows"])
 
 
 def zorder_key(cols: list, mins: list[float], maxs: list[float], bits: int = 12):
@@ -250,29 +256,34 @@ def write_training_shards(
     trainer streams shard k in its reproducible pseudo-random order by
     reading the shard's files in name order.
 
-    Cost at 100 TB: ONE range shuffle on (shard, pos) — the same single
-    exchange any partitioned write pays. Reruns reproduce the same
-    (shard, pos) assignment and stream order for every row (both hashes
-    derive from the id; no RNG state); file-SPLIT boundaries within a
-    shard are not pinned, since repartitionByRange samples its range
-    bounds per run — determinism is row-level, not byte-level."""
-    from pyspark.sql import Window
-
-    sid = F.col(id_col).cast("string")
-    shard = (
-        F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("bigint") % n_shards
-    ).cast("int")
-    sort_key = F.md5(F.concat(F.lit(salt + "|"), sid))
-    annotated = df.withColumn("shard", shard).withColumn(
-        "pos",
-        F.row_number()
-        .over(Window.partitionBy(shard).orderBy(sort_key, F.col(id_col)))
-        .cast("bigint"),
-    )
+    Cost at 100 TB: ONE hash exchange on shard — the row_number window
+    already shuffles by shard, leaving every shard's rows co-located and
+    sorted by (shard, sort_key, id) = (shard, pos), so the partitioned
+    write reuses that layout directly (an earlier version paid a SECOND
+    range exchange of the full rows on top; plan-linted away in
+    tests/test_etl.py). Reruns reproduce the same (shard, pos)
+    assignment and stream order for every row (both hashes derive from
+    the id; no RNG state); determinism is row-level, not byte-level."""
     (
-        annotated.repartitionByRange(n_shards, "shard", "pos")
-        .sortWithinPartitions("shard", "pos")
+        _sharded_frame(df, id_col, n_shards, salt)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def _sharded_frame(df: DataFrame, id_col: str, n_shards: int, salt: str) -> DataFrame:
+    """The frame `write_training_shards` materializes, exposed so the
+    single-exchange contract can be plan-linted without a write."""
+    from pyspark.sql import Window
+
+    from serverless_etl_reporting_pipeline_spark.operators.text import shard_exprs
+
+    shard, sort_key = shard_exprs(id_col, n_shards, salt)
+    annotated = df.withColumn("shard", shard).withColumn(
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy(sort_key, F.col(id_col)))
+        .cast("bigint"),
+    )
+    return annotated.sortWithinPartitions("shard", "pos")

@@ -101,7 +101,7 @@ def incremental_funnel_drain(
         n_batches["n"] += 1
         s = batch.sparkSession
         # "this batch is the freezer" is decided by the PROVENANCE marker
-        # (_FROZEN_AT=<id>, touched after the parquet commit), not by the
+        # (FROZEN_AT=<id>, touched after the parquet commit), not by the
         # index's existence: a checkpoint-recovery replay of the freezer
         # batch finds its own committed index but must still treat itself
         # as the freezer — same md5-split ev, bit-identical annotations —

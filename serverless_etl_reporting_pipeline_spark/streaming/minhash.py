@@ -91,6 +91,16 @@ def _prior_index(
         os.path.join(work_dir, "sig_index_compacted"),
         batch_id,
     )
+    if (sh is None) != (sigs is None):
+        # the logs advance in lockstep, so exactly one side being empty
+        # means restore damage — refusing here is the loud-failure
+        # discipline (_log_state, compact_text_index); silently treating
+        # it as "no prior state" would annotate every doc is_dup=False
+        raise RuntimeError(
+            "text-index state damaged: exactly one of shingle_index/"
+            f"sig_index has committed state before batch {batch_id} — "
+            "restore both logs from the same snapshot before resuming"
+        )
     return sh, sigs
 
 

@@ -92,9 +92,22 @@ def _committed_dirs(
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return []
-    glob = jvm.org.apache.hadoop.fs.Path(os.path.join(dir_path, f"{prefix}*", marker))
+    # dir_path/prefix go into a GLOB: metacharacters in the work dir's
+    # own name ([, {, *, ?) would silently match nothing and make
+    # committed state invisible — escape them; the trailing * is ours
+    glob = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(_glob_escape(dir_path), f"{_glob_escape(prefix)}*", marker)
+    )
     have = {st.getPath().getParent().toString() for st in (fs.globStatus(glob) or [])}
     return [(i, uri) for i, uri in _batch_dirs(spark, dir_path, prefix) if uri in have]
+
+
+def _glob_escape(s: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a path fragment
+    that must match LITERALLY inside a globStatus pattern."""
+    for ch in ("\\", "*", "?", "[", "]", "{", "}"):
+        s = s.replace(ch, "\\" + ch)
+    return s
 
 
 def _committed_tip(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:

@@ -341,6 +341,14 @@ def test_training_shard_write_reproducible_and_ordered(spark, sf_dir, tmp_path):
     # write #2 identical
     got2 = {(r["doc_id"], r["shard"], r["pos"]) for r in spark.read.parquet(p2).select("doc_id", "shard", "pos").collect()}
     assert got2 == got
+    # single-exchange contract (r7 verdict ask #2): the row_number window's
+    # hash exchange on shard is the ONLY shuffle the writer pays — no
+    # second range exchange of the full rows on top
+    from serverless_etl_reporting_pipeline_spark.sources.lake import _sharded_frame
+
+    plan = _sharded_frame(docs, "doc_id", 8, "shard-v1")._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan[:3000]}"
 
 
 def test_e08_synthetic_cdc_edges(spark, tmp_path):
@@ -396,4 +404,61 @@ def test_e08_synthetic_cdc_edges(spark, tmp_path):
     assert by_eid[2][4] == t(25) and by_eid[2][5] is False  # u1 open row closed at first delta ts
     assert by_eid[5][4] is None and by_eid[5][5] is True    # u2 untouched, still open
     assert by_eid[6][4] == t(28) and by_eid[7][5] is True   # u3 chained within delta
+    spark.catalog.clearCache()
+
+
+def test_e08_empty_delta_and_empty_base(spark, tmp_path):
+    """r7 verdict ask #5 (degenerate-input hunt): an EMPTY delta must
+    reproduce the base history unchanged (no row closed, no row added),
+    and an EMPTY base (every event past the watermark) must produce the
+    pure-delta history — both equal to the from-scratch e01 rebuild."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
+    from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+
+    def t(day, hour=0):
+        return datetime.datetime(2024, 1, day, hour)
+
+    def rebuild(path):
+        ev = spark.read.parquet(f"{path}/events.parquet").filter(
+            F.col("event_type") == "purchase"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(w)
+        return [tuple(r) for r in
+                ev.select("user_id", "event_id", "value",
+                          F.col("ts").alias("valid_from"),
+                          nxt.alias("valid_to"), nxt.isNull().alias("is_current"))
+                .orderBy("user_id", "valid_from").collect()]
+
+    # watermark in the query is 2024-01-24; all rows before it
+    base_only = [
+        (1, t(2), 1, "purchase", 10.0, "{}"),
+        (2, t(10), 1, "purchase", 11.0, "{}"),
+        (3, t(5), 2, "purchase", 20.0, "{}"),
+    ]
+    p1 = str(tmp_path / "b")
+    spark.createDataFrame(base_only, SCHEMAS["events"]).coalesce(1).write.parquet(
+        f"{p1}/events.parquet"
+    )
+    got = [tuple(r) for r in
+           REGISTRY["e08_scd2_incremental_apply"].builder(spark, p1).collect()]
+    assert got == rebuild(p1) and len(got) == 3
+
+    # all rows after the watermark: base empty, everything is new
+    delta_only = [
+        (1, t(25), 1, "purchase", 10.0, "{}"),
+        (2, t(26), 1, "purchase", 11.0, "{}"),
+        (3, t(27), 3, "purchase", 30.0, "{}"),
+    ]
+    p2 = str(tmp_path / "d")
+    spark.createDataFrame(delta_only, SCHEMAS["events"]).coalesce(1).write.parquet(
+        f"{p2}/events.parquet"
+    )
+    got = [tuple(r) for r in
+           REGISTRY["e08_scd2_incremental_apply"].builder(spark, p2).collect()]
+    assert got == rebuild(p2) and len(got) == 3
     spark.catalog.clearCache()

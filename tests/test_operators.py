@@ -754,6 +754,66 @@ def test_zero_norm_vectors_never_ranked(spark):
     spark.catalog.clearCache()
 
 
+def test_vector_operators_empty_sides_defined(spark):
+    """r7 verdict ask #5 (degenerate-input hunt): every persisted-index /
+    batch operator must treat an EMPTY side as a defined case — empty
+    query batch or zero-cell index probes nothing, an empty quantizer
+    quarantines every arrival (_cell = -1), a Lloyd step over an empty
+    quantizer yields an empty quantizer, and semdedup over an empty
+    corpus yields an empty survivor map — never a numpy crash on a
+    dimensionless stack."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        batch_knn,
+        ivf_batch_probe,
+        ivf_centroids,
+        ivf_index_build,
+        lloyd_refresh,
+        semdedup_map,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (13, [0.0, 1.0], 1)], schema
+    )
+    empty = spark.createDataFrame([], schema)
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, embedding array<float>")
+    eq = spark.createDataFrame([], "qid long, embedding array<float>")
+
+    cent, post = ivf_index_build(corpus)
+    assert ivf_batch_probe(cent, post, eq).collect() == []
+    ecent, epost = ivf_index_build(empty)
+    assert ivf_batch_probe(ecent, epost, queries).collect() == []
+    assert assign_cells(ivf_centroids(corpus), empty).collect() == []
+    quarantined = assign_cells(ivf_centroids(empty), corpus).collect()
+    assert sorted(r["_cell"] for r in quarantined) == [-1, -1, -1]
+    assert lloyd_refresh(ivf_centroids(empty), corpus).collect() == []
+    assert batch_knn(corpus, eq).collect() == []
+    assert batch_knn(empty, queries).collect() == []
+    assert semdedup_map(empty).collect() == []
+    spark.catalog.clearCache()
+
+
+def test_kmv_set_algebra_degenerate_pairs(spark):
+    """x05 degenerate inputs: single-group input has no pairs, a NULL
+    group never pairs, and an explicit pair with exactly one present
+    group degenerates to that group's own sketch (A ∪ ∅ = A,
+    A ∩ ∅ = ∅) while a both-absent pair yields no row."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_set_algebra
+
+    one = spark.createDataFrame([("a", 1), ("a", 2), ("a", 2)], "grp string, k int")
+    nullg = spark.createDataFrame([(None, 1), ("a", 2)], "grp string, k int")
+    empty = spark.createDataFrame([], "grp string, k int")
+    assert kmv_set_algebra(one, "grp", F.col("k"), k=2).collect() == []
+    assert kmv_set_algebra(nullg, "grp", F.col("k"), k=2).collect() == []
+    assert kmv_set_algebra(empty, "grp", F.col("k"), k=2).collect() == []
+    rows = kmv_set_algebra(one, "grp", F.col("k"), k=8, pairs=[("a", "zzz")]).collect()
+    assert len(rows) == 1 and rows[0]["est_union"] == 2  # exact: k_used < k
+    assert rows[0]["shared"] == 0 and rows[0]["est_inter"] == 0
+    assert kmv_set_algebra(one, "grp", F.col("k"), k=8, pairs=[("y", "z")]).collect() == []
+    spark.catalog.clearCache()
+
+
 def test_ivf_index_disk_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
     """The stored-index path: write the IVF index to parquet (postings
     partitioned by cell), load it back, probe — results must equal the

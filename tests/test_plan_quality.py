@@ -179,9 +179,10 @@ def test_allpairs_vector_ops_never_collect_vectors(spark, sf_dir, name, monkeypa
 
 def test_x01_kmv_merges_via_topk_not_global_sort(spark, sf_dir):
     """The KMV merge over the Arrow-pruned hashes must plan a top-k
-    (TakeOrderedAndProject), never a full global sort of the hash
-    column, and the partial pass must be an Arrow map (no shuffle of
-    the raw keys before pruning)."""
+    (TakeOrderedAndProject — the whole-frame `row_number <= k+1` rank
+    collapses to it), never a full global sort of the hash column, and
+    the partial pass must be an Arrow map (no shuffle of the raw keys
+    before pruning)."""
     plan = _plan(spark, REGISTRY["x01_kmv_distinct_users_days"].builder(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:800]
     assert "MapInPandas" in plan, plan[:800]
@@ -377,6 +378,20 @@ def test_v14_probes_persisted_postings_only_probe_pairs_broadcast(spark, sf_dir)
     assert len(bx) == 1, f"expected exactly one broadcast, got {bx}"
     assert "qid#" in bx[0] and "_cell#" in bx[0], f"wrong broadcast side: {bx[0]}"
     spark.catalog.clearCache()
+
+
+def test_x01_x03_single_scan_count_fold(spark, sf_dir):
+    """The KMV estimators must read the input exactly ONCE: the row
+    count is folded into the Arrow partial (one extra NULL-hash row per
+    group per split), never a second count() scan of the corpus — and
+    nothing is persisted (no cache entry outlives the query)."""
+    for qid in ("x01_kmv_distinct_users_days", "x03_kmv_distinct_by_type"):
+        plan = _plan(spark, REGISTRY[qid].builder(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        scans = len(re.findall(r"Scan parquet", tree))
+        assert scans == 1, f"{qid}: expected 1 input scan, saw {scans}:\n{tree}"
+        assert "MapInPandas" in tree, tree
+        assert "InMemoryRelation" not in plan, f"{qid}: unexpected persisted state"
 
 
 def test_x05_pair_map_only_broadcast_arrow_partial(spark, sf_dir):

@@ -2140,3 +2140,48 @@ def test_streaming_funnel_freezer_batch_replay_keeps_ev(spark, sf_dir, tmp_path)
         for r in spark.read.parquet(f"{work}/funnel_ann/batch=0").collect()
     }
     assert got == want
+
+
+def test_prior_index_raises_on_one_sided_state(spark, tmp_path):
+    """r7 advisor: the two text-index logs advance in lockstep, so
+    exactly ONE side having committed state is restore damage — the
+    probe must refuse loudly instead of silently treating it as 'no
+    prior state' and annotating every doc is_dup=False."""
+    import shutil
+
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        _prior_index,
+        incremental_text_dedup_drain,
+    )
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    d1 = spark.createDataFrame([(0, ta)], schema)
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 1
+
+    # healthy two-sided state reads fine
+    sh, sigs = _prior_index(spark, work, 1)
+    assert sh is not None and sigs is not None
+
+    # one log lost (bad restore): loud refusal, not an empty index
+    shutil.rmtree(f"{work}/sig_index")
+    with _pytest.raises(RuntimeError, match="state damaged"):
+        _prior_index(spark, work, 1)
+
+
+def test_committed_dirs_survive_glob_metachar_workdir(spark, tmp_path):
+    """r7 advisor: _committed_dirs builds a Hadoop glob from the work
+    dir verbatim — a path containing glob metacharacters ([, {, *, ?)
+    must still see its committed segments (escaped, not silently
+    matching nothing)."""
+    from serverless_etl_reporting_pipeline_spark.streaming.state import _committed_dirs
+
+    base = str(tmp_path / "we[ird] {dir}" / "log")
+    spark.range(3).coalesce(1).write.parquet(f"{base}/batch=0")
+    spark.range(2).coalesce(1).write.parquet(f"{base}/batch=1")
+    got = _committed_dirs(spark, base)
+    assert [i for i, _ in got] == [0, 1], got

@@ -14,6 +14,11 @@ sublinear probes).
 Usage: python tools/stress_streaming.py [N ...]     (default: 4 16)
        SPARK_GRAFT_STRESS_ONLY=text,vector  limits the modules run.
 Prints one JSON line per (module, N) and a markdown table at the end.
+
+The `scd2` module is SYNTHETIC (no derived corpus): N is the history
+BATCH COUNT — `SPARK_GRAFT_STRESS_ONLY=scd2 python tools/
+stress_streaming.py 16 64` reproduces the BASELINE.md 16/64-batch
+rows (one-new-batch drain + raw vs folded scd2_table read).
 """
 
 from __future__ import annotations
@@ -91,7 +96,71 @@ def drain_ivf(spark, sf_dir: str, work: str) -> float:
     return time.time() - t0
 
 
+def measure_scd2(spark, n_batches: int, work: str) -> dict:
+    """The SCD2 log's scale claims, repeatable (r7 verdict ask #7):
+    build ``n_batches`` of history (2000 users × 4000 versions/batch —
+    the BASELINE.md ad-hoc geometry), then measure (a) draining ONE new
+    micro-batch onto that history (must be FLAT in n_batches: the drain
+    reads no prior state), (b) `scd2_table` over the raw segments, and
+    (c) the same read after `compact_scd2_hist` (the small-files fold).
+    Here ``n`` is the BATCH COUNT, not a corpus multiplier — run with
+    sizes 16 64 to reproduce the BASELINE.md rows."""
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        compact_scd2_hist,
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    USERS, VPB = 2000, 4000
+    src = os.path.join(work, "src")
+    state = os.path.join(work, "state")
+
+    def batch_df(b: int):
+        return spark.range(VPB).select(
+            (F.lit(b * VPB) + F.col("id")).alias("event_id"),
+            F.timestamp_seconds(F.lit(b * VPB * 10) + F.col("id"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            (F.col("id") % USERS).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            (F.col("id") * 0.01).alias("value"),
+        )
+
+    for b in range(n_batches):
+        batch_df(b).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    incremental_scd2_drain(spark, src, schema, state)  # history build, untimed
+
+    # (a) one NEW batch onto n_batches of history — steady-state ingest
+    batch_df(n_batches).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    incremental_scd2_drain(spark, src, schema, state)
+    drain_sec = time.time() - t0
+
+    def best3(fn) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    # (b) full-history read over raw per-batch segments
+    read_raw = best3(lambda: scd2_table(spark, state).count())
+    # (c) same read over the folded log
+    compact_scd2_hist(spark, state)
+    read_folded = best3(lambda: scd2_table(spark, state).count())
+    return {
+        "sec": round(drain_sec, 2),
+        "read_raw_sec": round(read_raw, 2),
+        "read_folded_sec": round(read_folded, 2),
+        "versions": (n_batches + 1) * VPB,
+    }
+
+
 MODULES = {"text": drain_text, "vector": drain_vector, "ivf": drain_ivf}
+# synthetic modules: n means BATCH COUNT, no derived corpus is built
+SYNTH_MODULES = {"scd2": measure_scd2}
 
 
 def main() -> int:
@@ -99,14 +168,15 @@ def main() -> int:
     sizes = sorted(int(a) for a in sys.argv[1:]) or [4, 16]
     only = os.environ.get("SPARK_GRAFT_STRESS_ONLY")
     toks = [t.strip() for t in only.split(",")] if only else None
-    selected = {m for m in MODULES if not toks or any(t and t in m for t in toks)}
+    all_mods = {**MODULES, **SYNTH_MODULES}
+    selected = {m for m in all_mods if not toks or any(t and t in m for t in toks)}
     if not selected:
-        print(f"SPARK_GRAFT_STRESS_ONLY={only!r} matches none of {sorted(MODULES)}")
+        print(f"SPARK_GRAFT_STRESS_ONLY={only!r} matches none of {sorted(all_mods)}")
         return 1
     spark = get_spark()
     results = []
     for n in sizes:
-        sf_dir = build(spark, n)
+        sf_dir = build(spark, n) if selected & set(MODULES) else None
         for name, fn in MODULES.items():
             if name not in selected:
                 continue
@@ -114,6 +184,14 @@ def main() -> int:
             shutil.rmtree(work, ignore_errors=True)
             sec = fn(spark, sf_dir, work)
             rec = {"module": name, "xN": n, "sec": round(sec, 2)}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        for name, fn in SYNTH_MODULES.items():
+            if name not in selected:
+                continue
+            work = os.path.join(OUT, f"drain_{name}_x{n}")
+            shutil.rmtree(work, ignore_errors=True)
+            rec = {"module": name, "xN": n, **fn(spark, n, work)}
             results.append(rec)
             print(json.dumps(rec), flush=True)
     by_m = {}
