@@ -89,6 +89,12 @@ def decode_media_features(media: DataFrame, batch_hint: int | None = None) -> Da
             return 64 + h[0], 64 + h[1], 1 + (h[2] % 4), [b / 255.0 for b in h[:8]]
 
         for pdf in batches:
+            # NULL payloads are undecodable — dropped deterministically
+            # (the decode-failure quarantine contract; oracle mirrors
+            # with `text IS NOT NULL`), never bytes(None)
+            pdf = pdf[pdf["payload"].notna()]
+            if not len(pdf):
+                continue
             decoded = [fake_decode(bytes(p)) for p in pdf["payload"]]
             yield _pd.DataFrame(
                 {
@@ -141,6 +147,8 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             return _hashlib.md5(payload + b"#" + str(idx).encode()).hexdigest()
 
         for pdf in batches:
+            # NULL payloads are undecodable — dropped (see decode kernel)
+            pdf = pdf[pdf["payload"].notna()]
             ids, idxs, fps = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
@@ -181,6 +189,10 @@ def resize(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
             return _hashlib.md5(payload + f"#resize#{w}x{h}".encode()).hexdigest()
 
         for pdf in batches:
+            # NULL payloads are undecodable — dropped (see decode kernel)
+            pdf = pdf[pdf["payload"].notna()]
+            if not len(pdf):
+                continue
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -32,14 +32,17 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #      centroid/build collectors and semdedup (v11/v14/v15/v16), the
 #      sketch count-fold rewrite — one scan, nothing persisted (x01/x03/
 #      x05), and the shard_exprs extraction shared with the
-#      single-exchange shard writer (t22), plus s04 — the one NEW query
-#      this round (staged-drain streaming SCD2 log, the only major
-#      streaming module without a registry-level driver row). 19 slots.
-#   2. The remaining 31 slots float the r5-era cohort (last driver row
+#      single-exchange shard writer (t22), s04 — the one NEW query this
+#      round (staged-drain streaming SCD2 log, the only major streaming
+#      module without a registry-level driver row) — and the r8
+#      degenerate-input sweep's fixes (tools/degenerate_sweep.py): the
+#      ANSI DIVIDE_BY_ZERO / CAST_INVALID_INPUT / NULL-payload guards in
+#      t05, v08, c05, c09, m02, m03, m04. 26 slots.
+#   2. The remaining 24 slots float the r5-era cohort (last driver row
 #      round 5 — the oldest rows after r7 re-verified the r4-era 28):
-#      a12-a20, t02-t06/t08/t10/t12/t14/t16/t21, c07, e06, e07, j01-j03,
-#      k01, k02, w01-w03; w04-w07/w10 defer to round 9 (still covered
-#      by the full-registry sf0.01 oracle run every round).
+#      a12-a20, t02-t04/t06/t08/t10/t12/t14/t16/t21, c07, e06, e07,
+#      j01/j02; j03, k01, k02, w01-w07, w10 defer to round 9 (still
+#      covered by the full-registry sf0.01 oracle run every round).
 # CORPUS POLICY (round-7 verdict ask #8): the query corpus is feature-
 # complete at 127 entries (+1 r8 streaming-twin candidate, see scd2).
 # New queries are capped at ~5 per round so the 50-slot driver window
@@ -56,13 +59,15 @@ _PRIORITY = (
     "v11", "v12", "v13", "v14", "v15", "v16",
     # sketch rewrite (count fold, no persist) + shard_exprs extraction
     "x01", "x03", "x05", "t22",
+    # degenerate-input sweep fixes (ANSI guards, NULL-payload drops)
+    "t05", "v08", "c05", "c09", "m02", "m03", "m04",
 )
 
 # r5-era cohort (last driver row round 5): float as many as fit the
-# remaining window slots, w04/w05/w06/w10 defer to round 9
+# remaining window slots; the rest defer to round 9
 _R5_ERA_TAIL = (
     tuple(f"a{i}" for i in range(12, 21))
-    + ("t02", "t03", "t04", "t05", "t06", "t08", "t10", "t12", "t14", "t16", "t21")
+    + ("t02", "t03", "t04", "t06", "t08", "t10", "t12", "t14", "t16", "t21")
     + ("c07", "e06", "e07", "j01", "j02", "j03", "k01", "k02")
     + ("w01", "w02", "w03", "w04", "w05", "w06", "w07", "w10")
 )

@@ -347,8 +347,10 @@ def c04_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT
                  / 4294967296.0 * 1000000) / 1000000.0 AS u
     FROM documents
+    -- TRY_CAST: a source id outside the srcNN scheme has no defined
+    -- weight — the doc is excluded (NULL comparison), never a cast error
     WHERE ('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))::BIGINT / 4294967296.0
-          < (CAST(substr(source, 4) AS INT) + 1) / 21.0
+          < (TRY_CAST(substr(source, 4) AS INT) + 1) / 21.0
     ORDER BY doc_id
     """,
     doc="weighted domain sampling: per-source acceptance rate w(source) applied "
@@ -365,7 +367,10 @@ def c05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         / F.lit(4294967296.0)
     )
-    w = (F.expr("substring(source, 4)").cast("int") + 1) / 21.0
+    # try_cast: a source id outside the srcNN scheme has no defined
+    # weight — u < NULL filters the doc out, instead of an ANSI
+    # CAST_INVALID_INPUT crash on the first malformed source
+    w = (F.expr("try_cast(substring(source, 4) AS INT)") + 1) / 21.0
     return (
         docs.filter(u < w)
         .select("doc_id", "source", (F.round(u * 1000000) / 1000000.0).alias("u"))
@@ -532,7 +537,11 @@ def c08_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((d.n_chars - s * 1.0 / n)
                  / sqrt(sq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) * 10000) / 10000.0 AS z
     FROM documents d JOIN stats USING (source)
-    WHERE abs((d.n_chars - s * 1.0 / n)
+    -- var > 0: a zero-variance domain (single doc, or every doc the
+    -- same length) has no outliers by definition — z is undefined there
+    -- and unguarded raises DIVIDE_BY_ZERO under Spark ANSI mode
+    WHERE sq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n) > 0
+      AND abs((d.n_chars - s * 1.0 / n)
               / sqrt(sq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n))) > 2.0
     ORDER BY d.doc_id
     """,
@@ -552,7 +561,13 @@ def c09_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = docs.select("doc_id", "source", "n_chars").join(F.broadcast(stats), "source")
     mean = F.col("s") * 1.0 / F.col("n")
-    z = (F.col("n_chars") - mean) / F.sqrt(F.col("sq") * 1.0 / F.col("n") - mean * mean)
+    var = F.col("sq") * 1.0 / F.col("n") - mean * mean
+    # the division lives INSIDE the when(): a zero-variance domain
+    # (single doc, or every doc the same length) has no outliers by
+    # definition — z is undefined there, and guarding at the expression
+    # level (not a separate filter Catalyst could reorder) means the
+    # ANSI DIVIDE_BY_ZERO branch is never evaluated
+    z = F.when(var > 0, (F.col("n_chars") - mean) / F.sqrt(var))
     return (
         joined.filter(F.abs(z) > 2.0)
         .select(

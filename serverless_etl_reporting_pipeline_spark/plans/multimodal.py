@@ -51,7 +51,7 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
               + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS height,
            1 + ((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
               + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) % 4 AS n_channels
-    FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL)
     """,
     doc="Arrow-batched decode/feature-extract via mapInPandas (stub codec, md5-derived "
     "and therefore oracle-reproducible) — north star multimodal",
@@ -69,7 +69,7 @@ def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id, text,
                4 + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 8 AS n_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), UNNEST(generate_series(0, n_frames - 1)) AS u(i)
     WHERE i % 2 = 0
     """,
@@ -85,7 +85,7 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m04_resize",
     oracle="""
     SELECT doc_id, 64 AS width, 64 AS height, md5(text || '#resize#64x64') AS resized_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     doc="image resize via mapInPandas (stub kernel, real Arrow-batch plumbing) — north star multimodal",
 )

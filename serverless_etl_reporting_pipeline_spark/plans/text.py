@@ -163,12 +163,16 @@ def t04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t05_quality_score",
     oracle=r"""
     SELECT doc_id,
-           round((0.4 * (stop * 1.0 / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / length(text))) * 10000) / 10000.0 AS quality,
+           round((0.4 * (stop * 1.0 / n) + 0.3 * least(n / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / len_g)) * 10000) / 10000.0 AS quality,
            round(stop * 10000.0 / n) / 10000.0 AS stopword_ratio,
-           round(punct * 10000.0 / length(text)) / 10000.0 AS punct_ratio
+           round(punct * 10000.0 / len_g) / 10000.0 AS punct_ratio
     FROM (
+        -- greatest(..., 1) floors on BOTH divisors: an empty document
+        -- (zero tokens, zero chars) scores 0-ratios instead of raising
+        -- DIVIDE_BY_ZERO under Spark ANSI mode (degenerate-input hunt)
         SELECT doc_id, text,
                greatest(len(regexp_extract_all(lower(text), '\w+')), 1) AS n,
+               greatest(length(text), 1) AS len_g,
                len(list_filter(regexp_extract_all(lower(text), '\w+'),
                                x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS stop,
                length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
@@ -182,7 +186,13 @@ def t05_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.greatest(F.size("toks"), F.lit(1))
     stop = F.expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in')))")
     punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
-    base = docs.select("doc_id", F.length("text").alias("len"), n.alias("n"), stop.alias("stop"), punct.alias("punct"))
+    # greatest(..., 1) floors BOTH divisors — an empty document scores
+    # 0-ratios instead of raising DIVIDE_BY_ZERO under ANSI mode
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).alias("len"),
+        n.alias("n"), stop.alias("stop"), punct.alias("punct"),
+    )
     quality = (
         0.4 * (F.col("stop") * 1.0 / F.col("n"))
         + 0.3 * F.least(F.col("n") / 100.0, F.lit(1.0))

@@ -427,10 +427,14 @@ def v09_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     per_vec AS (
+        -- zero-norm vectors/centroids have undefined cosine and are
+        -- EXCLUDED from the cohesion stats (the engine's valid-mask
+        -- discipline; unguarded they raise DIVIDE_BY_ZERO under ANSI)
         SELECT vec_id, ex.label,
                CAST(round(sum(q * c) / (sqrt(sum(q * q)) * sqrt(sum(c * c))) * 1000000) AS BIGINT) AS qcos
         FROM ex JOIN cd ON ex.label = cd.label AND ex.dim = cd.dim
         GROUP BY 1, 2
+        HAVING sum(q * q) > 0 AND sum(c * c) > 0
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
            round(sum(qcos) * 1.0 / count(*)) / 1000000.0 AS mean_cos,
@@ -456,10 +460,14 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")
         .agg(
-            F.sum(F.col("q") * F.col("c")).alias("dot"),
             F.sum(F.col("q") * F.col("q")).alias("q2"),
             F.sum(F.col("c") * F.col("c")).alias("c2"),
+            F.sum(F.col("q") * F.col("c")).alias("dot"),
         )
+        # zero-norm vectors/centroids have undefined cosine: excluded
+        # from the stats (valid-mask discipline) — unguarded, the divide
+        # below raises DIVIDE_BY_ZERO under ANSI mode
+        .filter((F.col("q2") > 0) & (F.col("c2") > 0))
         .select(
             "label",
             F.round(F.col("dot") / (F.sqrt("q2") * F.sqrt("c2")) * 1000000)

@@ -86,3 +86,43 @@ def test_x01_null_user_id_excluded_both_engines(spark, tmp_path):
     assert ok, msg
     # 3 raw rows, but only 2 sketch keys: the NULL-user row is excluded
     assert got[0]["n_rows"] == 3 and got[0]["k_used"] == 2 and got[0]["est_distinct"] == 2
+
+
+def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
+    """The r8 degenerate-input sweep, pinned: queries that the doctored
+    fixtures (empty/NULL/whitespace docs, zero-norm and quantizes-to-
+    zero embeddings, out-of-scheme source ids, zero-variance domains,
+    NULL event fields) used to CRASH — DIVIDE_BY_ZERO under ANSI, CAST_
+    INVALID_INPUT, bytes(None) in Arrow kernels — must now run AND
+    still match their DuckDB oracles bit-for-bit on that data."""
+    from tools.degenerate_sweep import OUT, build_doctored
+    from tools.oracle_check import compare, duck_connect
+
+    dest = build_doctored("/root/testdata/sf0.001", f"{OUT}/sf_test")
+    duck = duck_connect(dest)
+    fixed = [
+        "t05_quality_score",        # empty doc: char-length divisor
+        "v08_label_cohesion",       # zero-norm vector: cosine divisor
+        "c05_weighted_sample",      # out-of-scheme source: int cast
+        "c09_domain_outliers",      # zero-variance domain: sqrt(var) divisor
+        "m02_decode_features",      # NULL payload: bytes(None)
+        "m03_frame_sample",
+        "m04_resize",
+    ]
+    for name in fixed:
+        q = REGISTRY[name]
+        df = q.builder(spark, dest)
+        rows = df.collect()
+        rel = duck.sql(q.oracle)
+        ok, msg, _ = compare(rows, rel.fetchall(), df.columns, list(rel.columns))
+        assert ok, f"{name} on doctored fixtures: {msg}"
+    # spot-pin the defined semantics
+    t05 = {r["doc_id"]: r for r in REGISTRY["t05_quality_score"].builder(spark, dest).collect()}
+    assert t05[900001]["punct_ratio"] == 0.0  # empty doc: floored divisor
+    c05 = {r["doc_id"] for r in REGISTRY["c05_weighted_sample"].builder(spark, dest).collect()}
+    assert not ({900001, 900004} & c05)  # webz source: no defined weight
+    c09 = {r["source"] for r in REGISTRY["c09_domain_outliers"].builder(spark, dest).collect()}
+    assert not ({"solodomain", "uniformdom"} & c09)  # zero variance: no outliers
+    m02 = {r["doc_id"] for r in REGISTRY["m02_decode_features"].builder(spark, dest).collect()}
+    assert 900003 not in m02 and 900001 in m02  # NULL payload dropped, empty kept
+    spark.catalog.clearCache()
