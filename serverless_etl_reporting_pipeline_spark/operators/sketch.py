@@ -315,16 +315,27 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
     threshold mass. Callers needing the NULL group must count it
     directly.
 
-    Returns ``key_value, cnt`` (unsorted; caller orders/annotates).
+    Plan shape — TWO scans of the input, the minimum this operator
+    admits: the Arrow partial emits each split's ≤capacity candidates
+    PLUS one NULL-key row carrying the split's exact row count (the
+    kmv_sketch count fold — an earlier version paid a THIRD full scan
+    just for ``n``); the candidate set and total are collected
+    driver-side from one bounded aggregate (executes the partial ONCE);
+    the second scan is the exact recount of the broadcast-pruned
+    candidates, which by construction cannot ride the first pass
+    (candidates aren't known until every split reports).
+
+    Returns ``key_value, cnt, n_rows`` (unsorted; caller orders).
     """
     if capacity < threshold_denom:
         raise ValueError(f"capacity {capacity} must be >= threshold_denom {threshold_denom}")
     keyed = df.select(key.cast("string").alias("key_value"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters = None
+        counters, n = None, 0
         for b in batches:
             if len(b):
+                n += len(b)
                 vc = b["key_value"].value_counts()
                 counters = vc if counters is None else counters.add(vc, fill_value=0)
                 if len(counters) > capacity:
@@ -334,31 +345,43 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
                     sub = counters.nlargest(capacity + 1).iloc[-1]
                     counters = counters[counters > sub] - sub
         if counters is not None and len(counters):
-            yield pd.DataFrame({"key_value": counters.index})
+            yield pd.DataFrame(
+                {
+                    "key_value": counters.index,
+                    "split_n": pd.array([None] * len(counters), dtype="Int64"),
+                }
+            )
+        if n:
+            yield pd.DataFrame(
+                {
+                    "key_value": pd.array([None], dtype="string"),
+                    "split_n": pd.array([n], dtype="Int64"),
+                }
+            )
 
-    candidates = keyed.mapInPandas(partial, schema="key_value string").distinct()
-    n = keyed.agg(F.count("*").cast("bigint").alias("n_rows"))
-    counts = (
+    pruned = keyed.mapInPandas(partial, schema="key_value string, split_n long")
+    # ONE execution of the partial: candidates + total are collected
+    # driver-side from one bounded aggregate (≤ distinct candidates + 1
+    # rows — the same set the semi-join must BROADCAST anyway, so it
+    # fits by construction; the v01/x05 aggregate-collect idiom). Two
+    # lazy consumers of `pruned` would instead re-run the full-input
+    # partial once each.
+    merged = pruned.groupBy("key_value").agg(F.sum("split_n").cast("bigint").alias("_nr"))
+    rows = merged.collect()
+    n_total = next((int(r["_nr"]) for r in rows if r["key_value"] is None), 0)
+    cand = [(r["key_value"],) for r in rows if r["key_value"] is not None]
+    spark = df.sparkSession
+    if not cand or n_total == 0:
+        return spark.createDataFrame([], "key_value string, cnt bigint, n_rows bigint")
+    candidates = spark.createDataFrame(cand, "key_value string")
+    # scan 2: exact recount of candidate keys only (NULL input keys
+    # never match the semi-join — the documented NULL exclusion)
+    return (
         keyed.join(F.broadcast(candidates), "key_value", "left_semi")
         .groupBy("key_value")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-    )
-    # attach the scalar total without a constant-key join (which would
-    # constant-fold into a nested-loop shape): union a NULL-key total
-    # row, spread it with a whole-frame window — the frame is candidate-
-    # sized, so the single-partition window is bounded (w02 idiom)
-    from pyspark.sql import Window
-
-    u = counts.withColumn("_nr", F.lit(None).cast("bigint")).unionByName(
-        n.select(
-            F.lit(None).cast("string").alias("key_value"),
-            F.lit(None).cast("bigint").alias("cnt"),
-            F.col("n_rows").alias("_nr"),
-        )
-    )
-    u = u.withColumn("n_rows", F.max("_nr").over(Window.partitionBy())).drop("_nr")
-    return u.filter(
-        F.col("key_value").isNotNull() & (F.col("cnt") * threshold_denom > F.col("n_rows"))
+        .withColumn("n_rows", F.lit(n_total).cast("bigint"))
+        .filter(F.col("cnt") * threshold_denom > F.col("n_rows"))
     )
 
 

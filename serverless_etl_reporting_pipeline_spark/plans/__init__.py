@@ -61,6 +61,8 @@ _PRIORITY = (
     "x01", "x03", "x05", "t22",
     # degenerate-input sweep fixes (ANSI guards, NULL-payload drops)
     "t05", "v08", "c05", "c09", "m02", "m03", "m04",
+    # frequent_keys 3-scan -> 2-scan rewrite (count fold + driver collect)
+    "x02",
 )
 
 # r5-era cohort (last driver row round 5): float as many as fit the

@@ -392,6 +392,13 @@ def test_x01_x03_single_scan_count_fold(spark, sf_dir):
         assert scans == 1, f"{qid}: expected 1 input scan, saw {scans}:\n{tree}"
         assert "MapInPandas" in tree, tree
         assert "InMemoryRelation" not in plan, f"{qid}: unexpected persisted state"
+    # x02's returned plan is the RECOUNT only (scan 2 of 2): the
+    # candidate/total pass ran once at build via the driver-collect —
+    # exactly one live scan, candidates arriving as a local relation
+    plan = _plan(spark, REGISTRY["x02_frequent_users"].builder(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Scan ExistingRDD" in tree and "MapInPandas" not in tree, tree
 
 
 def test_x05_pair_map_only_broadcast_arrow_partial(spark, sf_dir):
