@@ -2047,7 +2047,11 @@ def test_streaming_text_dedup_short_docs_and_gap_batches(spark, tmp_path):
     ta = "the quick brown fox jumps over the lazy dog again and again"
     d1 = spark.createDataFrame([(0, ta), (1, "too short")], schema)
     d2 = spark.createDataFrame([], schema)  # drained, writes nothing
-    d3 = spark.createDataFrame([(20, ta), (21, "too short")], schema)
+    d3 = spark.createDataFrame(
+        # r8 sweep additions: NULL and empty text must be annotated
+        # is_dup=false (no shingles -> no candidates), never crash
+        [(20, ta), (21, "too short"), (22, None), (23, "")], schema
+    )
     src, work = str(tmp_path / "src"), str(tmp_path / "work")
 
     for d in (d1, d2, d3):
@@ -2064,9 +2068,10 @@ def test_streaming_text_dedup_short_docs_and_gap_batches(spark, tmp_path):
         r["doc_id"]: (r["is_dup"], r["dup_src"])
         for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
     }
-    # 20 dups doc 0 across the gap; both short docs unflagged
+    # 20 dups doc 0 across the gap; short/NULL/empty docs unflagged
     assert ann == {
-        0: (False, None), 1: (False, None), 20: (True, 0), 21: (False, None)
+        0: (False, None), 1: (False, None), 20: (True, 0),
+        21: (False, None), 22: (False, None), 23: (False, None),
     }
     # compaction folds across the gap and stays in lockstep
     assert compact_text_index(spark, work) == 2

@@ -57,6 +57,10 @@ HEAVY = [
     "v14_ivf_persisted_probe",
     "x03_kmv_distinct_by_type",
     "x05_kmv_set_algebra",
+    # round-8 rewrites: one-scan count fold (x01/x03), 2-scan MG (x02) —
+    # expected ~linear in rows with k/capacity-bounded shuffles
+    "x01_kmv_distinct_users_days",
+    "x02_frequent_users",
     "e08_scd2_incremental_apply",
     # v15: the assignment itself is ∝ arrivals (fixed here at 10), so the
     # measured growth is the frozen-quantizer build's one explode+agg
