@@ -105,6 +105,10 @@ def chunk_tokens(
     Chunk count is `max(1, ceil((n_tokens - overlap) / stride))`, so every
     token lands in ≥1 chunk, consecutive chunks share `overlap` tokens,
     and an empty/short document still yields one (possibly short) chunk.
+    A NULL document has nothing to chunk and yields NO rows (the
+    NULL-payload exclusion discipline; unfiltered, Spark's md5(NULL) and
+    DuckDB's md5(array_to_string(NULL)) = md5('') would silently
+    diverge — found by the r8 degenerate-input sweep).
 
     Map-only at any scale: tokenize, per-row chunk-count arithmetic, an
     explode bounded by n_tokens/stride, and array `slice` — all JVM
@@ -115,7 +119,9 @@ def chunk_tokens(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
-    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
     # ceil((n - overlap) / stride) in exact integer-over-double math:
     # the dividend is a small int, so floor((x + stride - 1)/stride) is
     # exact and identical in Spark and DuckDB.

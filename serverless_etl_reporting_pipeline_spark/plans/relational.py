@@ -289,9 +289,15 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p06_json_extraction",
+    # json_valid + TRY_CAST mirror Spark's lenient get_json_object
+    # (NULL for malformed JSON / non-integer values) — DuckDB's
+    # json_extract_string is strict and would ERROR on the first
+    # malformed payload (r8 degenerate-input sweep)
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(sum(TRY_CAST(
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS INT)) AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -300,8 +306,11 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p06_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # try_cast: a non-integer "$.k" value is NULL (excluded from the
+    # sum), never an ANSI CAST crash — get_json_object is already NULL
+    # on malformed JSON, matching the oracle's json_valid guard
     return events.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
+        F.sum(F.expr("try_cast(get_json_object(props, '$.k') AS INT)")).alias("k_sum"),
         F.count("*").alias("n"),
     )
 

@@ -447,6 +447,8 @@ def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        -- NULL text yields no chunks (chunk_tokens' exclusion contract)
+        WHERE text IS NOT NULL
     ),
     ch AS (
         SELECT doc_id, CAST(i AS INT) AS chunk_id,
@@ -457,8 +459,11 @@ def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(greatest(1, floor((len(t) - 20 + 79) / 80.0)) AS BIGINT) - 1
              )) AS u(i)
     )
+    -- coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+    -- array_join([]) is '' — an empty doc's one empty chunk must
+    -- fingerprint as md5('') in both engines (r8 degenerate sweep)
     SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_chunk_tokens,
-           md5(array_to_string(c, ' ')) AS chunk_fp
+           md5(coalesce(array_to_string(c, ' '), '')) AS chunk_fp
     FROM ch
     ORDER BY doc_id, chunk_id
     """,
@@ -884,9 +889,13 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        -- NULL text yields no chunks (chunk_tokens' exclusion contract)
+        WHERE text IS NOT NULL
     ),
     ch AS (
-        SELECT doc_id, md5(array_to_string(list_slice(t, 1 + i * 16, i * 16 + 16), ' ')) AS fp
+        -- coalesce: array_to_string([]) is NULL in DuckDB; the empty
+        -- chunk must fingerprint as md5('') like Spark's array_join([])
+        SELECT doc_id, md5(coalesce(array_to_string(list_slice(t, 1 + i * 16, i * 16 + 16), ' '), '')) AS fp
         FROM toks,
              UNNEST(generate_series(
                  0,
@@ -981,6 +990,8 @@ def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        -- NULL text yields no chunks (chunk_tokens' exclusion contract)
+        WHERE text IS NOT NULL
     ),
     ch AS (
         SELECT doc_id, CAST(i AS INT) AS chunk_id,
@@ -992,10 +1003,12 @@ def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS u(i)
     ),
     f AS (
+        -- coalesce: array_to_string([]) is NULL in DuckDB; empty
+        -- chunks must hash/reassemble as '' like Spark (r8 sweep)
         SELECT doc_id, chunk_id,
-               md5(array_to_string(c, ' ')) AS fp,
+               md5(coalesce(array_to_string(c, ' '), '')) AS fp,
                len(c) AS n_tok,
-               array_to_string(c, ' ') AS ct
+               coalesce(array_to_string(c, ' '), '') AS ct
         FROM ch
     ),
     cnts AS (SELECT fp, count(*) AS cnt FROM f GROUP BY fp)

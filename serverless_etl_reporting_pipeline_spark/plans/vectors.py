@@ -930,9 +930,14 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
     av AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings
+        -- zero-norm vectors have no assignable cell (the engine
+        -- quarantines them in _cell = -1, excluded from retraining) —
+        -- mirrored here so they never shift a refreshed centroid mean
+        SELECT vec_id, v FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
+            FROM embeddings
+        ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     ranked AS (
         SELECT av.vec_id, cent.label,

@@ -108,6 +108,11 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         "m02_decode_features",      # NULL payload: bytes(None)
         "m03_frame_sample",
         "m04_resize",
+        "t12_chunking",             # NULL doc excluded; empty chunk = md5('') both engines
+        "t21_passage_dedup_stats",  # DuckDB array_to_string([]) is NULL: coalesced
+        "t23_boilerplate_scrub",
+        "p06_json_extraction",      # malformed JSON: NULL both engines, never strict-parse error
+        "v16_ivf_lloyd_refresh",    # zero-norm rows excluded from retraining both engines
     ]
     for name in fixed:
         q = REGISTRY[name]
