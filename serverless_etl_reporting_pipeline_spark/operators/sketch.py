@@ -241,9 +241,11 @@ def kmv_sketch_grouped(
 
     Plan shape: shared Arrow partial (sketch rows + one count row per
     group per split) → hash-merge on (*group_cols, h) → per-group rank
-    (count rows sort after every hash via nulls-last) → per-group
-    aggregate. All post-partial exchanges move ≤ splits·(k+1)·groups
-    rows. No join, nothing persisted.
+    with the merged NULL-h count row FIRST (nulls_first: rk=1, so the
+    `rk <= k+1` WindowGroupLimit keeps it plus the k smallest hashes —
+    ranking it LAST would evict it from exactly the full-sketch groups)
+    → per-group aggregate. All post-partial exchanges move
+    ≤ splits·(k+1)·groups rows. No join, nothing persisted.
 
     NULL semantics are defined and engine-matched: NULL *key values*
     hash to NULL and are excluded from the sketch (still counted in
@@ -486,13 +488,8 @@ def kmv_set_algebra(
         F.max("h").alias("kth_hash"),
         F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("bigint").alias("shared"),
     )
-    est_union = (
-        F.when(F.col("k_used") < k, F.col("k_used"))
-        .otherwise(F.expr(f"CAST({k - 1} * {HASH_SPACE}L DIV kth_hash AS BIGINT)"))
-        .cast("bigint")
-    )
     return (
-        sk.withColumn("est_union", est_union)
+        sk.withColumn("est_union", _est_distinct(k))
         .select(
             "type_a", "type_b", "k_used", "shared", "est_union",
             F.expr("CAST(shared * est_union DIV k_used AS BIGINT)").alias("est_inter"),

@@ -88,6 +88,11 @@ def knn_bruteforce(
 
     qq = np.asarray([float(x) for x in query_vec_quantized], dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
+    if qn == 0.0:
+        # zero-norm query: no defined neighbors — short-circuit on the
+        # DRIVER (qn is known here) instead of paying a full corpus scan
+        # through the kernel just to yield nothing
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
     bc = df.sparkSession.sparkContext.broadcast((qq, qn))
 
     def kernel(batches):
@@ -95,8 +100,6 @@ def knn_bruteforce(
         import pandas as _pd
 
         q, qnorm = bc.value
-        if qnorm == 0.0:
-            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -633,6 +636,9 @@ def ann_topk_rp(
     qq = np.asarray(query_vec_quantized, dtype=np.float64)
     q_bits = (P @ qq) >= 0  # exact: integer products < 2^53
     qn = float(np.sqrt(qq @ qq))
+    if qn == 0.0:
+        # zero-norm query: driver-side short-circuit (no corpus scan)
+        return spark.createDataFrame([], f"{id_col} long, cos double")
     bc = spark.sparkContext.broadcast((P, qq, q_bits, qn, int(probe_hamming)))
 
     def kernel(batches):
@@ -640,8 +646,6 @@ def ann_topk_rp(
         import pandas as _pd
 
         Pm, q, qb, qnorm, r = bc.value
-        if qnorm == 0.0:
-            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -830,15 +834,19 @@ def sq8_rerank_topk(
 
     qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qq = quantize_np(qv)
-    bc = df.sparkSession.sparkContext.broadcast((q8(qv), qq, float(np.sqrt(qq @ qq))))
+    qn = float(np.sqrt(qq @ qq))
+    if qn == 0.0:
+        # zero-norm query: driver-side short-circuit (no corpus scan)
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, score_i8 long, cos double"
+        )
+    bc = df.sparkSession.sparkContext.broadcast((q8(qv), qq, qn))
 
     def kernel(batches):
         import numpy as _np
         import pandas as _pd
 
         q8v, qqv, qnorm = bc.value
-        if qnorm == 0.0:
-            return  # zero-norm query: no defined neighbors, empty result
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1225,6 +1233,12 @@ def batch_knn(
     import numpy as np
 
     qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
+    if len(qids) == 0 or not (qn > 0.0).any():
+        # empty batch, or every query zero-norm: no ranking exists —
+        # driver-side short-circuit, never a corpus scan for nothing
+        return corpus.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, rk int, cos double"
+        )
     bc = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn, int(k)))
 
     def kernel(batches):
@@ -1232,8 +1246,6 @@ def batch_knn(
         import pandas as _pd
 
         qi, Qm, qnorm, kk = bc.value
-        if len(qi) == 0:
-            return  # empty query batch: no rankings, empty result
         qvalid = qnorm > 0.0
         for pdf in batches:
             if not len(pdf):

@@ -125,8 +125,11 @@ def x03_kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            cnt,
            round(cnt * 1000000.0 / n_rows) / 1000000.0 AS share
     FROM (
+        -- user_id IS NOT NULL mirrors the engine's documented NULL-key
+        -- exclusion (NULL keys never become candidates but still count
+        -- in n_rows as threshold mass — note n counts ALL rows above)
         SELECT CAST(user_id AS STRING) AS key_value, CAST(count(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
     ), n
     WHERE cnt * 150 > n_rows
     ORDER BY cnt DESC, user_id

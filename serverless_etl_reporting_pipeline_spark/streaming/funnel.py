@@ -52,6 +52,7 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fs_touch,
     _log_state,
     _prior_segments,
+    _read_literal,
     _vacuum_segments,
 )
 
@@ -125,7 +126,7 @@ def incremental_funnel_drain(
                     hold_dir
                 )
                 _fs_touch(s, os.path.join(hold_dir + "_meta", f"FROZEN_AT={batch_id}"))
-            hold = s.read.parquet(hold_dir)
+            hold = _read_literal(s, hold_dir)
 
             # the shared funnel stage (operators/funnel.py): keep-first
             # dedup against the accumulated hash index (plain keyed

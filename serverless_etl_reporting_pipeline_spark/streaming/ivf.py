@@ -74,6 +74,7 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fs_delete,
     _fs_exists,
     _fs_touch,
+    _read_literal,
     _union_all,
 )
 
@@ -129,9 +130,9 @@ def incremental_ivf_ingest_drain(
                 ivf_centroids(batch, vec_col, cell_col).write.mode("overwrite").parquet(
                     cent_dir
                 )
-            cent = s.read.parquet(cent_dir)
+            cent = _read_literal(s, cent_dir)
         else:
-            cent = s.read.parquet(f"{epoch[1]}/centroids")
+            cent = _read_literal(s, f"{epoch[1]}/centroids")
         assign_cells(cent, batch, id_col, vec_col).write.mode("overwrite").parquet(
             os.path.join(post_dir, f"batch={batch_id}")
         )
@@ -187,8 +188,8 @@ def compact_ivf_segments(spark: SparkSession, work_dir: str) -> int | None:
     if not segs:
         return prev if comps else None  # nothing new beyond the current fold
     upto = max(bid for bid, _ in segs)
-    parts = [_sel_postings(spark.read.parquet(comps[-1][1]))] if comps else []
-    parts += [_sel_postings(spark.read.parquet(uri)) for _, uri in segs]
+    parts = [_sel_postings(_read_literal(spark, comps[-1][1]))] if comps else []
+    parts += [_sel_postings(_read_literal(spark, uri)) for _, uri in segs]
     _union_all(parts).write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(work_dir, "postings_compacted", f"upto={upto}")
     )
@@ -281,7 +282,7 @@ def refresh_ivf_state(spark: SparkSession, work_dir: str) -> int | None:
         lloyd_refresh(cent, postings, id_col="_id", vec_col="_qv").write.mode(
             "overwrite"
         ).parquet(os.path.join(ep_dir, "centroids"))
-        refreshed = spark.read.parquet(os.path.join(ep_dir, "centroids"))
+        refreshed = _read_literal(spark, os.path.join(ep_dir, "centroids"))
         assign_cells(refreshed, postings, id_col="_id", vec_col="_qv").write.mode(
             "overwrite"
         ).partitionBy("_cell").parquet(os.path.join(ep_dir, "postings"))
@@ -301,10 +302,10 @@ def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataF
     parts = []
     epoch = _current_epoch(spark, work_dir)
     if epoch is not None:
-        cent = spark.read.parquet(f"{epoch[1]}/centroids")
-        parts.append(_sel_postings(spark.read.parquet(f"{epoch[1]}/postings")))
+        cent = _read_literal(spark, f"{epoch[1]}/centroids")
+        parts.append(_sel_postings(_read_literal(spark, f"{epoch[1]}/postings")))
     else:
-        cent = spark.read.parquet(os.path.join(work_dir, "centroids"))
+        cent = _read_literal(spark, os.path.join(work_dir, "centroids"))
     floor_id = epoch[0] if epoch else -1
     comps = [
         c
@@ -314,11 +315,11 @@ def load_ivf_state(spark: SparkSession, work_dir: str) -> tuple[DataFrame, DataF
         if c[0] > floor_id
     ]
     if comps:
-        parts.append(_sel_postings(spark.read.parquet(comps[-1][1])))
+        parts.append(_sel_postings(_read_literal(spark, comps[-1][1])))
     upto = comps[-1][0] if comps else floor_id
     for bid, uri in _committed_dirs(spark, os.path.join(work_dir, "postings")):
         if bid > upto:
-            parts.append(_sel_postings(spark.read.parquet(uri)))
+            parts.append(_sel_postings(_read_literal(spark, uri)))
     if not parts:
         raise FileNotFoundError(f"no posting state under {work_dir}")
     return cent, _union_all(parts)

@@ -67,6 +67,7 @@ from serverless_etl_reporting_pipeline_spark.operators.minhash import (
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
     _prior_segments,
+    _read_literal,
     _vacuum_segments,
 )
 
@@ -183,10 +184,10 @@ def incremental_text_dedup_drain(
         # batch pay a parquet scan instead
         ssh = _shingle_sets(batch, id_col, text_col, shingle_k)
         ssh.write.mode("overwrite").parquet(os.path.join(sh_dir, f"batch={batch_id}"))
-        ssh = s.read.parquet(os.path.join(sh_dir, f"batch={batch_id}"))
+        ssh = _read_literal(s, os.path.join(sh_dir, f"batch={batch_id}"))
         ssigs = minhash_signatures(ssh, id_col, num_hashes)
         ssigs.write.mode("overwrite").parquet(os.path.join(sig_dir, f"batch={batch_id}"))
-        ssigs = s.read.parquet(os.path.join(sig_dir, f"batch={batch_id}"))
+        ssigs = _read_literal(s, os.path.join(sig_dir, f"batch={batch_id}"))
 
         # probe ONLY strictly-earlier state (the replayed batch's own
         # segments — or its own rows inside a compaction — are invisible)

@@ -110,6 +110,15 @@ def _glob_escape(s: str) -> str:
     return s
 
 
+def _read_literal(spark: SparkSession, uri: str) -> DataFrame:
+    """spark.read.parquet with the path taken LITERALLY: the reader
+    glob-interprets its path argument, so a work dir named
+    `/data/we[ird]/log` would silently read a sibling `/data/wei/log`
+    (or throw path-not-found on healthy state). Segment URIs come from
+    literal listStatus results — escape before reading."""
+    return spark.read.parquet(_glob_escape(uri))
+
+
 def _committed_tip(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
     """Newest committed batch id across a log's segments and its newest
     committed fold — None when no committed state exists. THE
@@ -144,11 +153,11 @@ def _assemble(
     parts, upto = [], -1
     if comps:
         upto = comps[-1][0]
-        comp = spark.read.parquet(comps[-1][1]).filter(F.col("_bid") < batch_id)
+        comp = _read_literal(spark, comps[-1][1]).filter(F.col("_bid") < batch_id)
         parts.append(comp if keep_bid else comp.drop("_bid"))
     for bid, uri in segs:
         if upto < bid < batch_id:
-            seg = spark.read.parquet(uri)
+            seg = _read_literal(spark, uri)
             parts.append(seg.withColumn("_bid", F.lit(bid)) if keep_bid else seg)
     return _union_all(parts) if parts else None
 
@@ -245,9 +254,9 @@ def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | No
     if not tail:
         return prev if comps else None  # nothing new: current fold stands
     upto = max(bid for bid, _ in tail)
-    parts = [spark.read.parquet(comps[-1][1])] if comps else []
+    parts = [_read_literal(spark, comps[-1][1])] if comps else []
     parts += [
-        spark.read.parquet(uri).withColumn("_bid", F.lit(bid)) for bid, uri in tail
+        _read_literal(spark, uri).withColumn("_bid", F.lit(bid)) for bid, uri in tail
     ]
     _union_all(parts).write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
     return upto

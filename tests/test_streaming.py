@@ -2183,10 +2183,18 @@ def test_committed_dirs_survive_glob_metachar_workdir(spark, tmp_path):
     dir verbatim — a path containing glob metacharacters ([, {, *, ?)
     must still see its committed segments (escaped, not silently
     matching nothing)."""
-    from serverless_etl_reporting_pipeline_spark.streaming.state import _committed_dirs
+    from serverless_etl_reporting_pipeline_spark.streaming.state import (
+        _committed_dirs,
+        _prior_segments,
+    )
 
     base = str(tmp_path / "we[ird] {dir}" / "log")
     spark.range(3).coalesce(1).write.parquet(f"{base}/batch=0")
     spark.range(2).coalesce(1).write.parquet(f"{base}/batch=1")
     got = _committed_dirs(spark, base)
     assert [i for i, _ in got] == [0, 1], got
+    # the READ path must also take segment URIs literally: an unescaped
+    # spark.read.parquet would glob-interpret [ird] / {dir} and either
+    # read a sibling dir or throw path-not-found on healthy state
+    state = _prior_segments(spark, base, base + "_compacted", 2)
+    assert state is not None and state.count() == 5
