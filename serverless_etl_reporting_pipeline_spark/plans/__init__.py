@@ -40,13 +40,14 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #      t05, v08, c05, c09, m02, m03, m04 — plus x02 (frequent_keys
 #      3-scan -> 2-scan rewrite) and the degenerate-PARITY fixes t12/
 #      t21/t23/p06 (engine and oracle now agree bit-for-bit on the
-#      doctored fixtures too: 128/128 in the sweep's oracle mode).
-#      31 slots.
-#   2. The remaining 19 slots float the r5-era cohort (last driver row
+#      doctored fixtures too: 128/128 in the sweep's oracle mode, now
+#      including the TPC-H-side degenerates that changed w03/w04/w05).
+#      34 slots.
+#   2. The remaining 16 slots float the r5-era cohort (last driver row
 #      round 5 — the oldest rows after r7 re-verified the r4-era 28):
-#      a12-a20, t02-t04/t06/t08/t10/t14/t16, c07, e06; e07, j01-j03,
-#      k01, k02, w01-w07, w10 defer to round 9 (still covered by the
-#      full-registry sf0.01 oracle run every round).
+#      a12-a20, t02-t04/t06/t08/t10/t14; t16, c07, e06, e07, j01-j03,
+#      k01, k02, w01, w02, w06, w07, w10 defer to round 9 (still
+#      covered by the full-registry sf0.01 oracle run every round).
 # CORPUS POLICY (round-7 verdict ask #8): the query corpus is feature-
 # complete at 127 entries (+1 r8 streaming-twin candidate, see scd2).
 # New queries are capped at ~5 per round so the 50-slot driver window
@@ -68,8 +69,11 @@ _PRIORITY = (
     # frequent_keys 3-scan -> 2-scan rewrite (count fold + driver collect)
     "x02",
     # degenerate-parity fixes: NULL-doc chunk exclusion + empty-chunk
-    # md5('') coalesce (t12/t21/t23), lenient JSON both engines (p06)
-    "t12", "t21", "t23", "p06",
+    # md5('') coalesce (t12/t21/t23), lenient JSON both engines (p06),
+    # NULL-date exclusion from the time-axis window series (the TPC-H
+    # sweep extension: Spark nulls-first vs DuckDB NULLS LAST would
+    # shift every running/moving/lag frame around a NULL date)
+    "t12", "t21", "t23", "p06", "w03", "w04", "w05",
 )
 
 # r5-era cohort (last driver row round 5): float as many as fit the

@@ -21,18 +21,26 @@ from serverless_etl_reporting_pipeline_spark.functions.money import cents, money
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
+# o_orderdate IS NOT NULL in BOTH engines: a NULL date has no place on
+# a time axis, and the engines disagree on where it would sit in the
+# window's ORDER BY (Spark nulls-first vs DuckDB NULLS LAST) — so every
+# running/moving/lag frame over the daily series would silently shift
+# by one row around it (r8 degenerate-input sweep, TPC-H extension)
 _DUCK_DAILY_CENTS = """
         SELECT CAST(o_orderdate AS DATE) AS order_date,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS d_cents
         FROM orders
+        WHERE o_orderdate IS NOT NULL
         GROUP BY 1
 """
 
 
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum(cents("o_totalprice")).alias("d_cents")
+    return (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(cents("o_totalprice")).alias("d_cents"))
     )
 
 
@@ -145,9 +153,13 @@ def w04_lag_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            m_cents / 100.0 AS revenue,
            sum(m_cents) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_revenue
     FROM (
+        -- NULL dates excluded: no place on the time axis, and the
+        -- engines disagree on its cumulative-frame position (see
+        -- _DUCK_DAILY_CENTS)
         SELECT strftime(o_orderdate, '%Y-%m') AS ym,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
         FROM orders
+        WHERE o_orderdate IS NOT NULL
         GROUP BY 1
     )
     """,
@@ -155,8 +167,10 @@ def w04_lag_delta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w05_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    monthly = orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
-        F.sum(cents("o_totalprice")).alias("m_cents")
+    monthly = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.sum(cents("o_totalprice")).alias("m_cents"))
     )
     w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/tmp/spark_graft_degenerate"
 
-_PLAIN = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+_PLAIN = ["region", "nation", "part"]
 
 
 def build_doctored(base: str, dest: str) -> str:
@@ -49,6 +49,51 @@ def build_doctored(base: str, dest: str) -> str:
     for t in _PLAIN:
         shutil.copy(f"{base}/{t}.parquet", f"{dest}/{t}.parquet")
     con = duckdb.connect()
+    # TPC-H-side degenerates (r8 extension): NULL dates/keys/amounts,
+    # negatives, orphan foreign keys. The NULL-date order with a REAL
+    # price is the sharp probe: it found the window-frame divergence
+    # (Spark nulls-first vs DuckDB NULLS LAST) in w03/w04/w05.
+    con.sql(f"""
+    COPY (
+      SELECT * FROM '{base}/orders.parquet'
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (99000001, NULL,    'O',  NULL,  NULL,                            NULL),
+        (99000002, 9999999, 'F',  -12.5, TIMESTAMP '2023-06-15 00:00:00', '1-URGENT'),
+        (99000003, 1,       NULL, 0.0,   TIMESTAMP '2023-06-16 00:00:00', '5-LOW'),
+        (99000004, 1,       'O',  500.0, NULL,                            '3-MEDIUM')
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+    ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT * FROM '{base}/lineitem.parquet'
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (99000001, 1, 1, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (88888888, 1, 1, 1, 0.0,  0.0,  0.0,  0.0,  'R',  'F',  TIMESTAMP '2023-07-01 00:00:00'),
+        (99000002, NULL, NULL, 2, -3.0, -1.0, 1.5,  -0.1, 'N',  'O',  TIMESTAMP '2023-07-02 00:00:00')
+      ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+          l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+    ) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT * FROM '{base}/customer.parquet'
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (99000001, NULL, NULL, NULL, NULL),
+        (99000002, 'Degenerate Dan', 999, -50.0, 'NOSEGMENT')
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    ) TO '{dest}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT * FROM '{base}/supplier.parquet'
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES (99000001, NULL, NULL, NULL)) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+    ) TO '{dest}/supplier.parquet' (FORMAT PARQUET)
+    """)
     con.sql(f"""
     COPY (
       SELECT * FROM '{base}/documents.parquet'
