@@ -250,7 +250,9 @@ def minhash_neardup_pairs(
     )
 
 
-def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def neardup_components(
+    pairs: DataFrame, max_iters: int = 25, stats: dict | None = None
+) -> DataFrame:
     """Connected components of the near-dup pair graph: (id, lbl) where
     `lbl` is the SMALLEST doc id reachable through near-dup edges — the
     component's canonical survivor.
@@ -264,11 +266,21 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     on a cluster with a checkpoint dir, swap in `checkpoint`. The only
     driver-side values are the per-round changed-row counts.
     Deterministic: pure min arithmetic, no RNG.
+
+    ``stats``, when given, is filled with ``{"edges": pair count,
+    "iters": propagation rounds run}`` — the scale-evidence hooks the
+    stress harness records (per-round cost is ∝ edges and rounds are
+    bounded by component diameter; tools/stress_scale.py measures both
+    instead of arguing them). The edge count is one cheap count() over
+    the already-checkpointed pair graph.
     """
     # materialize the pair graph once — both union branches and every
     # propagation round read it, and upstream is the whole MinHash
     # pipeline (recomputing it per branch doubled t11's cost)
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    if stats is not None:
+        stats["edges"] = pairs.count()
+        stats["iters"] = 0
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -276,6 +288,8 @@ def neardup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("lbl"))
     ).localCheckpoint()
     for _ in range(max_iters):
+        if stats is not None:
+            stats["iters"] += 1
         lbl_by_dst = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("dlbl"))
         prop = (
             edges.join(lbl_by_dst, "dst")

@@ -327,6 +327,15 @@ def frequent_keys(df: DataFrame, key: Column, threshold_denom: int, capacity: in
     candidates, which by construction cannot ride the first pass
     (candidates aren't known until every split reports).
 
+    SNAPSHOT SEMANTICS — this operator is EAGER at the candidate step:
+    the candidate/total pass executes at CALL time (the driver collect
+    above), and ``n_rows`` is baked into the returned plan as a
+    literal. The returned frame's recount, however, runs at ACTION
+    time — so if the input table mutates between the call and the
+    action, ``cnt`` reflects the new data while candidates and
+    ``n_rows`` are stale. Call it on an immutable snapshot (every
+    corpus use reads fixed parquet), or re-call after mutating.
+
     Returns ``key_value, cnt, n_rows`` (unsorted; caller orders).
     """
     if capacity < threshold_denom:

@@ -19,77 +19,69 @@ from serverless_etl_reporting_pipeline_spark.plans import skewed  # noqa: F401, 
 from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401, E402
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
-# Registry ORDER note, round 8: s04 (the one NEW query this round — the
-# staged-drain streaming SCD2 log, the only major streaming module that
-# had no registry-level driver row) leads the window.
-
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 8:
-#   1. _PRIORITY first — every query whose CODE or ORACLE changed this
-#      round: the zero-norm valid-mask alignment across the vector
-#      kernels + matching nrm>0 oracle predicates (v01/v02/v04/v05/v06/
-#      v07/v09/v10/v12/v13), the degenerate-input guards in the shared
-#      centroid/build collectors and semdedup (v11/v14/v15/v16), the
-#      sketch count-fold rewrite — one scan, nothing persisted (x01/x03/
-#      x05), and the shard_exprs extraction shared with the
-#      single-exchange shard writer (t22), s04 — the one NEW query this
-#      round (staged-drain streaming SCD2 log, the only major streaming
-#      module without a registry-level driver row) — and the r8
-#      degenerate-input sweep's fixes (tools/degenerate_sweep.py): the
-#      ANSI DIVIDE_BY_ZERO / CAST_INVALID_INPUT / NULL-payload guards in
-#      t05, v08, c05, c09, m02, m03, m04 — plus x02 (frequent_keys
-#      3-scan -> 2-scan rewrite) and the degenerate-PARITY fixes t12/
-#      t21/t23/p06 (engine and oracle now agree bit-for-bit on the
-#      doctored fixtures too: 128/128 in the sweep's oracle mode, now
-#      including the TPC-H-side degenerates that changed w03/w04/w05).
-#      34 slots.
-#   2. The remaining 16 slots float the r5-era cohort (last driver row
-#      round 5 — the oldest rows after r7 re-verified the r4-era 28):
-#      a12-a20, t02-t04/t06/t08/t10/t14; t16, c07, e06, e07, j01-j03,
-#      k01, k02, w01, w02, w06, w07, w10 defer to round 9 (still
-#      covered by the full-registry sf0.01 oracle run every round).
-# CORPUS POLICY (round-7 verdict ask #8): the query corpus is feature-
-# complete at 127 entries (+1 r8 streaming-twin candidate, see scd2).
-# New queries are capped at ~5 per round so the 50-slot driver window
-# re-verifies every query within ~2.5 rounds; freed slots go to rotation
-# cadence, oldest driver row first. Deferred queries stay covered every
-# round by tools/oracle_check.py (full registry at sf0.01 pre-commit)
-# and the spark.sql conformance test.
+# the first 50 registry entries per round. Rotation policy for round 9
+# (derived, as in r8, from the union of CORRECTNESS_r01-r08 key sets —
+# every query's last driver round):
+#   1. _PRIORITY first — what round 9 ADDED or CHANGED: s05 (the one
+#      NEW query this round — the staged-drain streaming KMV, giving
+#      streaming/sketches.py its registry-level driver row; its kernel
+#      also gained the NULL-key dropna guard), s04 (oracle change:
+#      the explicit ts IS NOT NULL pin of the NULL-event-time CDC
+#      contract, plus the layout-fingerprint cache tag), and the
+#      r9 doctored NULL-ts purchase rows' finds — e01/e08/s01/s03,
+#      whose oracles (and e01's engine filter) now pin the
+#      NULL-event-time contract explicitly (a version row needs a
+#      valid_from; a time window / session needs an event time; a
+#      watermark split can't route a NULL ts; w06/w08's per-user lag
+#      frames — w06 rides the r5-era cohort's slot below). 7 slots.
+#   2. The full r5-era cohort deferred from the r8 window (last driver
+#      row round 5): t16, c07, e06, e07, j01-j03, k01, k02, w01, w02,
+#      w06, w07, w10. 14 slots.
+#   3. The full r6-era cohort (last driver row round 6): c10-c12,
+#      d01-d05, j04-j07, o01-o03, p01-p05, t01, t13, t17, t18, v03,
+#      x04. 26 slots.
+#   4. The remaining 3 slots take r7-era rows: c08 (this round's
+#      idle-box settlement subject), t11 (new x64 scale evidence),
+#      t20 (incremental family). The other r7-era rows defer to
+#      round 10 — still covered by the full-registry sf0.01 oracle
+#      run and the doctored-fixture sweep every round.
+# CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
+# complete at 129 entries. New queries are capped at ~5 per round so
+# the 50-slot driver window re-verifies every query within ~2.5 rounds;
+# freed slots go to rotation cadence, oldest driver row first. Deferred
+# queries stay covered every round by tools/oracle_check.py (full
+# registry at sf0.01 pre-commit) and the spark.sql conformance test.
 _PRIORITY = (
-    # ADDED this round: the staged-drain streaming SCD2 version log
-    "s04",
-    # code/oracle changed this round: zero-norm kernel alignment +
-    # oracle mirrors, empty-side degenerate guards
-    "v01", "v02", "v04", "v05", "v06", "v07", "v09", "v10",
-    "v11", "v12", "v13", "v14", "v15", "v16",
-    # sketch rewrite (count fold, no persist) + shard_exprs extraction
-    "x01", "x03", "x05", "t22",
-    # degenerate-input sweep fixes (ANSI guards, NULL-payload drops)
-    "t05", "v08", "c05", "c09", "m02", "m03", "m04",
-    # frequent_keys 3-scan -> 2-scan rewrite (count fold + driver collect)
-    "x02",
-    # degenerate-parity fixes: NULL-doc chunk exclusion + empty-chunk
-    # md5('') coalesce (t12/t21/t23), lenient JSON both engines (p06),
-    # NULL-date exclusion from the time-axis window series (the TPC-H
-    # sweep extension: Spark nulls-first vs DuckDB NULLS LAST would
-    # shift every running/moving/lag frame around a NULL date)
-    "t12", "t21", "t23", "p06", "w03", "w04", "w05",
+    # ADDED this round: the staged-drain streaming KMV sketch log
+    "s05",
+    # oracle/engine changed this round: NULL-event-time contract pinned
+    # explicitly (the r9 doctored NULL-ts purchase rows' finds; w06 is
+    # already in the r5-era cohort below)
+    "s04", "e01", "e08", "s01", "s03", "w08",
 )
 
-# r5-era cohort (last driver row round 5): float as many as fit the
-# remaining window slots; the rest defer to round 9
-_R5_ERA_TAIL = (
-    tuple(f"a{i}" for i in range(12, 21))
-    + ("t02", "t03", "t04", "t06", "t08", "t10", "t12", "t14", "t16", "t21")
-    + ("c07", "e06", "e07", "j01", "j02", "j03", "k01", "k02")
-    + ("w01", "w02", "w03", "w04", "w05", "w06", "w07", "w10")
+# rotation cohorts, oldest driver row first (r5-era, r6-era, then the
+# 8 oldest r7-era rows); the driver window is _PRIORITY + this, cut
+# to 50 by the driver itself
+_ROTATION_TAIL = (
+    # r5-era (last driver row round 5)
+    ("t16", "c07", "e06", "e07", "j01", "j02", "j03", "k01", "k02")
+    + ("w01", "w02", "w06", "w07", "w10")
+    # r6-era (last driver row round 6)
+    + ("c10", "c11", "c12", "d01", "d02", "d03", "d04", "d05")
+    + ("j04", "j05", "j06", "j07", "o01", "o02", "o03")
+    + ("p01", "p02", "p03", "p04", "p05")
+    + ("t01", "t13", "t17", "t18", "v03", "x04")
+    # oldest r7-era rows (the rest defer to round 10)
+    + ("c08", "t11", "t20")
 )
 
 
 def _rotate() -> None:
     entries = list(REGISTRY.items())
     REGISTRY.clear()
-    for want in _PRIORITY + _R5_ERA_TAIL:
+    for want in _PRIORITY + _ROTATION_TAIL:
         for name, q in entries:
             if name.split("_", 1)[0] == want:
                 REGISTRY[name] = q

@@ -32,23 +32,34 @@ _MERGE_W2 = "2024-01-06"
 
 @query(
     "e01_scd2_history",
+    # ts IS NOT NULL on BOTH sides: a version row needs a valid_from,
+    # and a NULL event time inside the lead-window's ORDER BY would
+    # otherwise sit at opposite ends of the frame per engine (Spark
+    # nulls-first vs DuckDB NULLS LAST — the w03/w04/w05 class, found
+    # by the r9 doctored NULL-ts purchase rows).
     oracle="""
     SELECT user_id, event_id, value,
            ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
     FROM events
-    WHERE event_type = 'purchase'
+    WHERE event_type = 'purchase' AND ts IS NOT NULL
     ORDER BY user_id, valid_from
     """,
     doc="SCD2 history build: each purchase event becomes a versioned state row with "
     "[valid_from, valid_to) derived from the next event per user (lead window), "
     "open-ended row flagged current — the standard slowly-changing-dimension "
-    "construction. One shuffle keyed by user_id; per-user sort inside partitions; "
-    "no global sort at scale (the ORDER BY here is presentation only)",
+    "construction; events without a timestamp cannot be versioned and are "
+    "excluded explicitly (both engines). One shuffle keyed by user_id; per-user "
+    "sort inside partitions; no global sort at scale (the ORDER BY here is "
+    "presentation only)",
 )
 def e01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts").isNotNull())
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return (
@@ -404,12 +415,15 @@ _SCD2_W = "2024-01-24"  # ~80% of the 2024-01-01..2024-01-30 event span
     # delta batch) reproduces the from-scratch SCD2 table bit-for-bit
     # (the pipe02 discipline, applied to the lakehouse family).
     oracle="""
+    -- ts IS NOT NULL: a NULL event time matches neither side of the
+    -- watermark split (base ts <= W, delta ts > W) — unroutable by a
+    -- CDC feed, the same contract s04 pins on the streamed form
     SELECT user_id, event_id, value,
            ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
     FROM events
-    WHERE event_type = 'purchase'
+    WHERE event_type = 'purchase' AND ts IS NOT NULL
     ORDER BY user_id, valid_from
     """,
     doc=f"INCREMENTAL SCD2 apply: the e01 history is built once from the base "

@@ -196,15 +196,20 @@ def w05_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            -- ts IS NOT NULL: a session needs an event time (the s03
+            -- contract; a kept NULL ts would float to opposite ends of
+            -- the lag frame per engine — Spark nulls-first vs DuckDB
+            -- NULLS LAST — and change the session count)
+            FROM events WHERE ts IS NOT NULL
         )
     )
     GROUP BY user_id
     """,
-    doc="gap-based sessionization (lag + cumsum) — batch form of session_window (SURVEY.md §2.9)",
+    doc="gap-based sessionization (lag + cumsum) — batch form of session_window "
+    "(SURVEY.md §2.9); NULL event times excluded on both engines",
 )
 def w06_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # gap in exact microseconds — second-truncating casts would disagree
     # with the oracle on sub-second boundaries (ntz→timestamp is identity
@@ -234,20 +239,24 @@ def w06_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id, event_type
                              ORDER BY ts, event_id) AS prev_ts
-        FROM events
+        -- ts IS NOT NULL: an event without a time cannot participate
+        -- in time-windowed dedup (and would shift every lag frame it
+        -- lands in — nulls-first vs NULLS LAST per engine)
+        FROM events WHERE ts IS NOT NULL
     )
     WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
     ORDER BY user_id, event_type, ts, event_id
     """,
     doc="time-windowed event dedup (debounce): keep an event only if the same "
-    "user's previous event of the same type is more than 5 minutes older — the "
+    "user's previous event of the same type is more than 5 minutes older "
+    "(NULL event times excluded on both engines) — the "
     "double-click / retry / at-least-once-delivery compaction every event "
     "pipeline runs (streaming form: dropDuplicatesWithinWatermark, tested in "
     "streaming/). One lag window keyed by (user, type): a single shuffle, "
     "per-key ordering inside partitions, no global sort at scale",
 )
 def w08_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         ev.select("user_id", "event_type", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))

@@ -10,20 +10,34 @@ the batch operator (asserted equal in tests/test_streaming.py).
 
 The key hash (48-bit md5 prefix) is computed JVM-side BEFORE the
 stateful group step, so the Python kernel only merges integers.
+
+`kmv_drain` runs the stateful op as a checkpointed AvailableNow job,
+landing each micro-batch's updated sketches as a ``kmv_log/batch=<id>``
+segment (the shared segment-log machinery — same compaction/vacuum/
+replay story as the scd2 and funnel logs); `kmv_latest` reads back the
+per-group current state with one bounded groups×batches window. The
+s05 registry query hash-checks the whole loop against the batch
+operator's oracle restatement.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from serverless_etl_reporting_pipeline_spark.operators.sketch import HASH_SPACE, md5_hash48
+from serverless_etl_reporting_pipeline_spark.streaming.state import (
+    _fold_segments,
+    _log_state,
+    _vacuum_segments,
+)
 
 KMV_OUTPUT_SCHEMA = T.StructType(
     [
@@ -66,7 +80,11 @@ def streaming_kmv_by_group(
         seen = set(mins)
         for pdf in pdfs:
             n += len(pdf)
-            seen.update(int(h) for h in pdf["h"])
+            # NULL keys hash to NULL: excluded from the k-min set but
+            # still counted in n — the batch operator's documented
+            # NULL treatment (kmv_sketch_grouped), mirrored so a
+            # NULL-user degenerate row can't crash the kernel
+            seen.update(int(h) for h in pdf["h"].dropna())
         mins = sorted(seen)[:k]
         state.update((n, mins))
         k_used = len(mins)
@@ -89,3 +107,91 @@ def streaming_kmv_by_group(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_drain(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    work_dir: str,
+    group_col: str,
+    key: Column,
+    k: int = 256,
+) -> int:
+    """Drain all unprocessed source files through the stateful KMV, one
+    micro-batch per file; each batch's UPDATED sketch rows land as a
+    final ``kmv_log/batch=<id>`` segment (the scd2-style segment log —
+    same idempotence argument: a segment is a pure function of the
+    state-store version + batch rows, so checkpoint-recovery replay
+    reproduces it). Returns the number of micro-batches this drain
+    processed. A group's newest segment row IS its current sketch;
+    `kmv_latest` assembles that view."""
+    log_dir = os.path.join(work_dir, "kmv_log")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    n_batches = {"n": 0}
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # ONE action per micro-batch: the stateful kernel must run
+        # exactly once per batch (an extra probe like isEmpty() would
+        # re-run the update function against the state store). An
+        # empty trigger writes an empty (schema-only) segment, which
+        # every reader unions harmlessly.
+        n_batches["n"] += 1
+        batch.write.mode("overwrite").parquet(os.path.join(log_dir, f"batch={batch_id}"))
+
+    q = (
+        streaming_kmv_by_group(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir),
+            group_col,
+            key,
+            k=k,
+        )
+        .writeStream.foreachBatch(write_batch)
+        # the stateful operator declares update mode; the QUERY must
+        # match it even under foreachBatch (Append is the default and
+        # is rejected at analysis time)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def kmv_latest(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The always-current sketch per group from a `kmv_drain` log: each
+    group's LAST emission wins (update-mode semantics — every segment
+    row carries the group's FULL merged state, so no cross-batch merge
+    is needed at read time). One window over a groups×batches frame —
+    bounded by construction, never by data volume. Groups that have
+    seen only NULL keys surface with ``k_used = 0`` (estimate 0);
+    callers matching the batch operator's output drop them, as
+    `kmv_sketch_grouped` never emits a zero-key group."""
+    from pyspark.sql import Window
+
+    log_dir = os.path.join(work_dir, "kmv_log")
+    tagged, _ = _log_state(spark, log_dir, log_dir + "_compacted", keep_bid=True)
+    if tagged is None:
+        raise FileNotFoundError(f"no KMV log under {work_dir}")
+    w = Window.partitionBy("group_key").orderBy(F.desc("_bid"))
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_bid")
+    )
+
+
+def compact_kmv_log(spark: SparkSession, work_dir: str) -> int | None:
+    """Fold committed ``kmv_log/batch=<id>`` segments into one
+    ``_bid``-tagged parquet (shared `_fold_segments`) — invisible to
+    `kmv_latest` by the newest-fold-plus-tail contract."""
+    log_dir = os.path.join(work_dir, "kmv_log")
+    return _fold_segments(spark, log_dir, log_dir + "_compacted")
+
+
+def vacuum_kmv_log(spark: SparkSession, work_dir: str) -> list[int]:
+    """Delete segment dirs a `compact_kmv_log` fold supersedes (shared
+    `_vacuum_segments`). Returns the deleted batch ids."""
+    log_dir = os.path.join(work_dir, "kmv_log")
+    return _vacuum_segments(spark, log_dir, log_dir + "_compacted")

@@ -113,6 +113,18 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         "t23_boilerplate_scrub",
         "p06_json_extraction",      # malformed JSON: NULL both engines, never strict-parse error
         "v16_ivf_lloyd_refresh",    # zero-norm rows excluded from retraining both engines
+        # r9 doctored rows (NULL-ts purchases, zero-customer nations,
+        # NULL custkeys in the d04/d05 year slice): the NULL-event-time
+        # contract and the zero-row-group paths, pinned
+        "e01_scd2_history",         # version rows need a valid_from: ts IS NOT NULL both engines
+        "e08_scd2_incremental_apply",  # watermark split can't route NULL ts
+        "s01_tumbling_1h",          # F.window drops NULL ts; oracle mirrors
+        "s03_session_window_30m",   # session_window needs an event time
+        "j03_left_join_keep_empty",  # zero-customer nations kept with count 0
+        "d04_except_customers",     # NULL custkey as a set element, both engines
+        "d05_intersect_customers",
+        "w06_sessionization",       # sessions need an event time
+        "w08_event_debounce",       # time-windowed dedup: NULL ts excluded
     ]
     for name in fixed:
         q = REGISTRY[name]

@@ -342,6 +342,7 @@ _DUCK_ONLY = {
     "x05_kmv_set_algebra",  # ::BIGINT / integer //
     "x01_kmv_distinct_users_days",  # ::BIGINT and '0x' hex-string cast
     "x03_kmv_distinct_by_type",  # ::BIGINT and // integer division
+    "s05_kmv_streaming_drain",  # x03's oracle restated: ::BIGINT and //
     "x04_histogram_quantiles",  # unnest([...]) and // integer division
 }
 

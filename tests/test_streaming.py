@@ -2198,3 +2198,79 @@ def test_committed_dirs_survive_glob_metachar_workdir(spark, tmp_path):
     # read a sibling dir or throw path-not-found on healthy state
     state = _prior_segments(spark, base, base + "_compacted", 2)
     assert state is not None and state.count() == 5
+
+
+def test_kmv_drain_log_equals_batch(spark, events_src):
+    """The s05 loop at unit level: `kmv_drain` over two file
+    micro-batches lands per-batch sketch segments, `kmv_latest` reads
+    back exactly the batch sketch of the union — and compaction,
+    vacuum, and an empty re-drain are all invisible to that read."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
+    from serverless_etl_reporting_pipeline_spark.streaming.sketches import (
+        compact_kmv_log,
+        kmv_drain,
+        kmv_latest,
+        vacuum_kmv_log,
+    )
+
+    events, src, tmp = events_src
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    work = str(tmp / "kmvwork")
+    assert kmv_drain(spark, src, SCHEMAS["events"], work, "event_type", F.col("user_id"), k=64) >= 2
+
+    def snap():
+        return {
+            r["group_key"]: (r["n_rows"], r["k_used"], r["kth_hash"], r["est_distinct"])
+            for r in kmv_latest(spark, work).filter("k_used > 0").collect()
+        }
+
+    want = {
+        r["event_type"]: (r["n_rows"], r["k_used"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_sketch_grouped(events, ["event_type"], F.col("user_id"), k=64).collect()
+    }
+    assert snap() == want
+    # fold + vacuum: newest-fold-plus-tail means the read can't tell
+    assert compact_kmv_log(spark, work) is not None
+    assert vacuum_kmv_log(spark, work)
+    assert snap() == want
+    # re-drain with no new files: checkpoint says nothing to do
+    kmv_drain(spark, src, SCHEMAS["events"], work, "event_type", F.col("user_id"), k=64)
+    assert snap() == want
+
+
+def test_s05_registry_equals_batch_operator(spark, sf_dir):
+    """Registry-level drain≡batch: the s05 query's staged drain must
+    reproduce the batch `kmv_sketch_grouped` row-for-row (the oracle
+    asserts the same against DuckDB; this pins it engine-side too)."""
+    from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
+    from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
+
+    got = {
+        r["event_type"]: (r["n_rows"], r["k_used"], r["kth_hash"], r["est_distinct"])
+        for r in REGISTRY["s05_kmv_streaming_drain"].builder(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_rows"], r["k_used"], r["kth_hash"], r["est_distinct"])
+        for r in kmv_sketch_grouped(
+            load_table(spark, sf_dir, "events"), ["event_type"], F.col("user_id"), k=256
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cache_tag_layout_fingerprint(tmp_path):
+    """A drain/read LAYOUT change must invalidate the staged-drain
+    scratch cache mechanically — no manual version-suffix bump (the r8
+    verdict watch item on s04's /tmp cache)."""
+    import os as _os
+
+    from serverless_etl_reporting_pipeline_spark.plans.streams import _cache_tag
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x" * 10)
+    t1 = _cache_tag(str(f), "layout v1")
+    assert t1 == _cache_tag(str(f), "layout v1")  # deterministic
+    assert t1 != _cache_tag(str(f), "layout v2")  # layout change invalidates
+    assert t1 != _cache_tag(str(f), "layout v1", "extra module")
+    _os.utime(f, (1, 1))  # regenerated source at the same path invalidates
+    assert _cache_tag(str(f), "layout v1") != t1

@@ -24,6 +24,13 @@ Usage:
         tables for those queries (parity ON degenerate inputs — the
         strongest form of the check; r8 verified t05/v08/c05/c09/m02/
         m03/m04 this way).
+    python tools/degenerate_sweep.py --emit DEGEN_r9.json [base_sf_dir]
+        full-registry ORACLE parity on the doctored tables, recorded as
+        a driver-shaped JSON artifact (rows/schema/hash per query) — the
+        per-round DEGEN_r{N}.json next to CORRECTNESS_r{N}.json, so a
+        degenerate-parity regression shows up as an artifact diff
+        instead of needing the hunt re-run (round-8 verdict ask #3).
+        Part of the pre-commit path alongside tools/oracle_check.py.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/tmp/spark_graft_degenerate"
 
-_PLAIN = ["region", "nation", "part"]
+_PLAIN = ["part"]
 
 
 def build_doctored(base: str, dest: str) -> str:
@@ -53,6 +60,28 @@ def build_doctored(base: str, dest: str) -> str:
     # negatives, orphan foreign keys. The NULL-date order with a REAL
     # price is the sharp probe: it found the window-frame divergence
     # (Spark nulls-first vs DuckDB NULLS LAST) in w03/w04/w05.
+    # r9 extension — ZERO-ROW GROUPS on the dim side: a nation with no
+    # customers (NULL name + NULL region) and a named zero-customer
+    # nation stress the left-join-keep-empty path (j03) and every
+    # dim-driven group frame; a NULL-name region with no nations does
+    # the same one level up (j01's dim chain).
+    con.sql(f"""
+    COPY (
+      SELECT * FROM '{base}/nation.parquet'
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (990, NULL, NULL),
+        (991, 'EMPTYLAND', 0)
+      ) t(n_nationkey, n_name, n_regionkey)
+    ) TO '{dest}/nation.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT * FROM '{base}/region.parquet'
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES (99, NULL)) t(r_regionkey, r_name)
+    ) TO '{dest}/region.parquet' (FORMAT PARQUET)
+    """)
     con.sql(f"""
     COPY (
       SELECT * FROM '{base}/orders.parquet'
@@ -61,7 +90,11 @@ def build_doctored(base: str, dest: str) -> str:
         (99000001, NULL,    'O',  NULL,  NULL,                            NULL),
         (99000002, 9999999, 'F',  -12.5, TIMESTAMP '2023-06-15 00:00:00', '1-URGENT'),
         (99000003, 1,       NULL, 0.0,   TIMESTAMP '2023-06-16 00:00:00', '5-LOW'),
-        (99000004, 1,       'O',  500.0, NULL,                            '3-MEDIUM')
+        (99000004, 1,       'O',  500.0, NULL,                            '3-MEDIUM'),
+        -- r9: NULL custkeys inside the d04/d05 year slice — EXCEPT/
+        -- INTERSECT must agree on NULL-as-a-set-element in both engines
+        (99000005, NULL,    'F',  10.0,  TIMESTAMP '1995-03-01 00:00:00', '2-HIGH'),
+        (99000006, NULL,    'O',  11.0,  TIMESTAMP '1996-03-01 00:00:00', '2-HIGH')
       ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
     ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
     """)
@@ -133,7 +166,16 @@ def build_doctored(base: str, dest: str) -> str:
         (9900001, TIMESTAMP '2024-01-15 12:00:00', NULL, 'purchase', 0.0, '{{}}'),
         (9900002, TIMESTAMP '2024-01-15 12:00:01', 999999, NULL, NULL, NULL),
         (9900003, TIMESTAMP '2024-01-15 12:00:02', 999999, 'purchase', -1.5, '{{"bad json'),
-        (9900004, TIMESTAMP '2024-01-15 12:00:03', 999998, 'view', 1e15, '{{}}')
+        (9900004, TIMESTAMP '2024-01-15 12:00:03', 999998, 'view', 1e15, '{{}}'),
+        -- r9 (ADVICE): NULL-ts PURCHASES — rows the s04 staged drain /
+        -- e08 watermark split can never route; the oracles' explicit
+        -- ts IS NOT NULL pins that contract instead of masking it.
+        -- 999999 also has REAL purchases, so a kept NULL ts would sit
+        -- at opposite ends of every per-user time frame per engine
+        -- (Spark nulls-first vs DuckDB NULLS LAST) — the sharp probe
+        -- that found the e01/e08/s01/s03 divergences
+        (9900005, NULL, 999997, 'purchase', 7.5, '{{}}'),
+        (9900006, NULL, 999999, 'purchase', 3.25, '{{}}')
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
@@ -141,19 +183,27 @@ def build_doctored(base: str, dest: str) -> str:
 
 
 def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    emit = None
+    if "--emit" in args:
+        i = args.index("--emit")
+        emit = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    base = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:]
     dest = build_doctored(base, os.path.join(OUT, "sf"))
     print(f"doctored dir: {dest}")
 
-    if names:
+    if names or emit:
         # parity ON degenerate inputs: delegate to the differential
-        # oracle harness against the doctored dir
+        # oracle harness against the doctored dir (all queries when
+        # emitting the per-round artifact)
         import subprocess
 
-        return subprocess.call(
-            [sys.executable, os.path.join(os.path.dirname(__file__), "oracle_check.py"), dest, *names]
-        )
+        cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "oracle_check.py"), dest, *names]
+        if emit:
+            cmd += ["--json", emit]
+        return subprocess.call(cmd)
 
     from serverless_etl_reporting_pipeline_spark.plans import REGISTRY
     from serverless_etl_reporting_pipeline_spark.session import get_spark

@@ -7,7 +7,13 @@ max deviation is reported — the driver hashes values, so any non-trivial
 float deviation here predicts a hash mismatch there.
 
 Usage:
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [sf_dir] [query ...] [--json PATH]
+
+``--json PATH`` additionally writes a driver-shaped record per query
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err})
+— what `tools/degenerate_sweep.py --emit` records as DEGEN_r{N}.json so
+degenerate-input parity regressions are caught by artifact diff, not by
+re-running the hunt (round-8 verdict ask #3).
 """
 
 from __future__ import annotations
@@ -167,6 +173,11 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def main() -> int:
     args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     selected = {n: REGISTRY[n] for n in names} if names else REGISTRY
@@ -175,6 +186,18 @@ def main() -> int:
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_nooracle = 0
     exact_warn = []
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=None, schema=None, values=None, s_rows=None, d_rows=None, err=None):
+        records[name] = {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": values,
+            "spark_rows": s_rows,
+            "oracle_rows": d_rows,
+            "err": err,
+        }
+
     for name, q in sorted(selected.items()):
         t0 = time.time()
         try:
@@ -184,10 +207,12 @@ def main() -> int:
             spark_rows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            record(name, rows=False, schema=False, values=False, err=f"spark: {str(e)[:300]}")
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"---- {name}: no oracle, {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            record(name, s_rows=len(spark_rows))
             n_nooracle += 1
             continue
         try:
@@ -197,21 +222,39 @@ def main() -> int:
             duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, rows=False, schema=False, values=False, s_rows=len(spark_rows),
+                   err=f"duckdb: {str(e)[:300]}")
             n_fail += 1
             continue
         ok, msg, max_dev = compare(spark_rows, duck_rows, spark_cols, duck_cols)
-        if ok:
-            type_bad = type_check(spark_dtypes, duck_cols, duck_types)
-            if type_bad:
-                ok, msg = False, f"type divergence (driver hashes types): {'; '.join(type_bad)}"
+        schema_ok = sorted(spark_cols) == sorted(duck_cols) and not type_check(
+            spark_dtypes, duck_cols, duck_types
+        )
+        if ok and not schema_ok:
+            ok, msg = False, "type divergence (driver hashes types)"
         status = "ok  " if ok else "FAIL"
         devnote = f" maxreldev={max_dev:.1e}" if max_dev else ""
         print(f"{status} {name}: {msg}{devnote} ({time.time()-t0:.1f}s)")
+        record(
+            name,
+            rows=len(spark_rows) == len(duck_rows),
+            schema=schema_ok,
+            values=bool(ok),
+            s_rows=len(spark_rows),
+            d_rows=len(duck_rows),
+            err=None if ok else msg,
+        )
         if ok and max_dev and max_dev > 1e-12:
             exact_warn.append((name, max_dev))
         n_pass += ok
         n_fail += not ok
     print(f"\n{n_pass} ok, {n_fail} fail, {n_nooracle} rows-only")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     if exact_warn:
         print("float deviations (tolerated here, may flip driver hash):")
         for name, dev in exact_warn:

@@ -158,8 +158,29 @@ def main() -> int:
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             return neardup_pairs_lsh_banded(emb, threshold=0.44, n_bits=48, bands=4, seed=4242)
 
+        def components_instrumented(spark, sf_dir):
+            # t11/c08's shared quadratic-adjacent surface measured
+            # DIRECTLY (round-8 verdict ask #7): the banded-LSH pair
+            # graph + min-label propagation, recording edge count and
+            # convergence rounds — the claim is rounds bounded by
+            # component diameter (flat in N on the derived corpora,
+            # whose per-copy dup structure is preserved) and wall time
+            # ~linear in edges.
+            from serverless_etl_reporting_pipeline_spark.operators.minhash import (
+                minhash_neardup_pairs,
+                neardup_components,
+            )
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            st = stats_by_name.setdefault("t11_components_instrumented", {})
+            st.clear()
+            pairs = minhash_neardup_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+            return neardup_components(pairs, stats=st)
+
+        stats_by_name: dict[str, dict] = {}
         jobs = [(name, REGISTRY[name].builder) for name in HEAVY]
         jobs.append(("v09_wideband_48bit", wideband))
+        jobs.append(("t11_components_instrumented", components_instrumented))
         for name, builder in jobs:
             if only and not any(tok in name for tok in only.split(",")):
                 continue
@@ -173,6 +194,7 @@ def main() -> int:
             rec = {
                 "query": name, "xN": n, "n_docs": n_docs, "n_vecs": n_vecs,
                 "rows_out": rows, "sec": round(best, 2),
+                **stats_by_name.get(name, {}),
             }
             results.append(rec)
             print(json.dumps(rec), flush=True)
