@@ -187,6 +187,9 @@ def main() -> int:
     emit = None
     if "--emit" in args:
         i = args.index("--emit")
+        if i + 1 >= len(args):
+            print("usage: --emit PATH", file=sys.stderr)
+            return 2
         emit = args[i + 1]
         args = args[:i] + args[i + 2:]
     base = args[0] if args else "/root/testdata/sf0.001"

@@ -176,6 +176,9 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: --json PATH", file=sys.stderr)
+            return 2
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
