@@ -581,9 +581,13 @@ def neardup_pairs_lsh_banded(
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from one row (a 1-row scalar lookup, not a
-    data-sized collect)."""
-    return int(df.select(F.size(vec_col)).first()[0])
+    """Vector dimensionality from one non-NULL row (a 1-row scalar
+    lookup, not a data-sized collect). Empty input → 1: the hyperplanes
+    generated from it are never dotted with any row, so any positive
+    dim yields the correct empty result (the zero-row-table sweep's
+    defined behavior)."""
+    row = df.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+    return int(row[0]) if row is not None and row[0] is not None and row[0] > 0 else 1
 
 
 def random_hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:

@@ -41,11 +41,11 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #   3. The full r6-era cohort (last driver row round 6): c10-c12,
 #      d01-d05, j04-j07, o01-o03, p01-p05, t01, t13, t17, t18, v03,
 #      x04. 26 slots.
-#   4. The remaining 3 slots take r7-era rows: c08 (this round's
-#      idle-box settlement subject), t11 (new x64 scale evidence),
-#      t20 (incremental family). The other r7-era rows defer to
-#      round 10 — still covered by the full-registry sf0.01 oracle
-#      run and the doctored-fixture sweep every round.
+#   4. 10 + 14 + 26 fills the window exactly; the r7-era rows listed
+#      after the cohorts (c08, t11, t20) sit just past the 50-slot cut
+#      and lead round 10's rotation. All deferred rows stay covered
+#      every round by the full-registry sf0.01 oracle run and both
+#      sweep modes (doctored + zero-row).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
@@ -59,6 +59,11 @@ _PRIORITY = (
     # explicitly (the r9 doctored NULL-ts purchase rows' finds; w06 is
     # already in the r5-era cohort below)
     "s04", "e01", "e08", "s01", "s03", "w08",
+    # oracle changed this round: the zero-row-table sweep's find — the
+    # SQL standard emits a count-0 grand-total row from EMPTY input,
+    # Spark's rollup/cube/groupingSets emit nothing; the oracles now
+    # pin Spark's zero-rows -> zero-groups semantics via HAVING
+    "a13", "a15", "a16",
 )
 
 # rotation cohorts, oldest driver row first (r5-era, r6-era, then the

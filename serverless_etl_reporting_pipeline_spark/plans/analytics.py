@@ -349,6 +349,11 @@ def a12_watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
            {duck_sum('o_totalprice')} AS revenue
     FROM orders
     GROUP BY ROLLUP (1, 2)
+    -- HAVING pins Spark's zero-rows -> zero-groups semantics: the SQL
+    -- standard (and DuckDB) emit a count-0 grand-total row from EMPTY
+    -- input; Spark's rollup/cube/groupingSets emit nothing. No-op on
+    -- any non-empty input (every emitted group has count >= 1).
+    HAVING count(*) > 0
     """,
     doc="rollup — free-in-Spark upgrade noted at SURVEY.md §2.4 (subtotals + grand total in one pass)",
 )
@@ -404,6 +409,11 @@ def a14_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            {duck_sum('o_totalprice')} AS revenue
     FROM orders
     GROUP BY CUBE (1, 2)
+    -- HAVING pins Spark's zero-rows -> zero-groups semantics: the SQL
+    -- standard (and DuckDB) emit a count-0 grand-total row from EMPTY
+    -- input; Spark's rollup/cube/groupingSets emit nothing. No-op on
+    -- any non-empty input (every emitted group has count >= 1).
+    HAVING count(*) > 0
     """,
     doc="cube — the one-pass cross-tab-with-totals upgrade of the dashboard's "
     "truck x payment-method panels (SURVEY.md §2.4 closing note)",
@@ -433,6 +443,11 @@ def a15_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    -- HAVING pins Spark's zero-rows -> zero-groups semantics: the SQL
+    -- standard (and DuckDB) emit a count-0 grand-total row from EMPTY
+    -- input; Spark's rollup/cube/groupingSets emit nothing. No-op on
+    -- any non-empty input (every emitted group has count >= 1).
+    HAVING count(*) > 0
     """,
     doc="explicit GROUPING SETS (per-status, per-priority, grand total in ONE pass over "
     "the facts — three dashboard panels for one scan+shuffle; Spark 4 DataFrame "

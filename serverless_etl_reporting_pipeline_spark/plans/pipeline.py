@@ -296,9 +296,10 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_etl_reporting_pipeline_spark.plans.curation import _mixture_targets_from_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    # scalar watermark: parquet max statistic (t20's 1-row-scalar idiom)
+    # scalar watermark: parquet max statistic (t20's 1-row-scalar
+    # idiom); empty corpus → wm 0, both halves empty
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    wm = int(0.8 * (max_id + 1))
+    wm = int(0.8 * (max_id + 1)) if max_id is not None else 0
     base = docs.filter(F.col("doc_id") < wm)
     delta = docs.filter(F.col("doc_id") >= wm)
     # the benchmark split is FROZEN at base-ingestion time: eval docs are

@@ -212,6 +212,14 @@ def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi, n = ev.agg(
         F.min("value"), F.max("value"), F.count("*").cast("bigint")
     ).collect()[0]
+    if n == 0:
+        # zero-row input: no quantiles exist — the oracle's threshold
+        # probe over an empty bucket frame is empty too
+        return spark.createDataFrame(
+            [],
+            "q_micro bigint, n_rows bigint, bucket int, cum_count bigint, "
+            "est_lo_micro bigint, est_hi_micro bigint",
+        )
     bucket = F.least(
         F.lit(B - 1),
         F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo) * B).cast("int"),

@@ -858,9 +858,10 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # scalar watermark: parquet max statistic, one tiny job (the same
-    # 1-row-scalar idiom as the v-group query-vector lookups)
+    # 1-row-scalar idiom as the v-group query-vector lookups); empty
+    # corpus → wm 0, both probe sides empty (zero-row-table sweep)
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    wm = int(0.8 * (max_id + 1))
+    wm = int(0.8 * (max_id + 1)) if max_id is not None else 0
     # Both probe sides come from ONE persisted tokenize→shingle→distinct
     # pass and ONE 64-hash signature aggregate, split by narrow watermark
     # filters — here corpus and snapshot live in the same table, so a

@@ -23,7 +23,11 @@ from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+    rows = emb.filter(F.col("vec_id") == vec_id).select("embedding").head(1)
+    # empty corpus (the zero-row-table sweep): no query vector exists —
+    # a zero vector rides the operators' zero-norm short-circuit to the
+    # defined empty result, matching the oracle's empty join
+    return rows[0][0] if rows else [0.0]
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -179,7 +183,7 @@ def v05_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_etl_reporting_pipeline_spark.operators.vectors import quantize_np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    raw = _query_vector(spark, sf_dir)
     return ivf_topk(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10, nprobe=2)
 
 
@@ -335,7 +339,7 @@ def v06_ann_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_etl_reporting_pipeline_spark.operators.vectors import ann_topk_rp, quantize_np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    raw = _query_vector(spark, sf_dir)
     return ann_topk_rp(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10)
 
 
@@ -694,9 +698,9 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # scalar watermark (t20's 1-row-scalar idiom)
+    # scalar watermark (t20's 1-row-scalar idiom); empty corpus → wm 0
     max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    wm = int(0.8 * (max_id + 1))
+    wm = int(0.8 * (max_id + 1)) if max_id is not None else 0
     return neardup_vector_index_probe(
         emb.filter(F.col("vec_id") < wm),
         emb.filter(F.col("vec_id") >= wm),

@@ -56,8 +56,17 @@ from pyspark.sql import types as T
 
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
+    _fs_exists,
     _log_state,
     _vacuum_segments,
+)
+
+# the version-row schema every reader emits — also what an EMPTY log
+# yields (a drained feed that produced zero versions is a value, not an
+# error; see _tagged_log)
+_SCD2_SCHEMA = (
+    "user_id bigint, event_id bigint, value double, "
+    "valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean"
 )
 
 
@@ -112,14 +121,20 @@ def incremental_scd2_drain(
     return n_batches["n"]
 
 
-def _tagged_log(spark: SparkSession, work_dir: str) -> DataFrame:
+def _tagged_log(spark: SparkSession, work_dir: str) -> DataFrame | None:
     """The full committed ``_bid``-tagged version log (newest fold +
     tail, bounded at the committed tip via `_log_state` so an in-flight
-    drain's partial segment never leaks into a read)."""
+    drain's partial segment never leaks into a read). Returns None for
+    a DRAINED-BUT-EMPTY log (the work dir exists — a drain ran — but no
+    batch produced versions, e.g. a zero-row feed): zero versions is a
+    value, not an error. A missing work dir still raises — that is a
+    wrong path, not an empty feed."""
     hist_dir = os.path.join(work_dir, "scd2_hist")
     tagged, _ = _log_state(spark, hist_dir, hist_dir + "_compacted", keep_bid=True)
     if tagged is None:
-        raise FileNotFoundError(f"no SCD2 history under {work_dir}")
+        if not _fs_exists(spark, work_dir):
+            raise FileNotFoundError(f"no SCD2 history under {work_dir}")
+        return None
     return tagged
 
 
@@ -154,8 +169,12 @@ def scd2_table(spark: SparkSession, work_dir: str) -> DataFrame:
     """The full SCD2 history over everything drained so far —
     column-for-column the e01 build over the union of all batches
     (asserted by tests/test_streaming.py). Closed rows stream through
-    map-only; open rows go through the `_open_rows_fixed` close."""
-    return _full_history(_tagged_log(spark, work_dir)).orderBy("user_id", "valid_from")
+    map-only; open rows go through the `_open_rows_fixed` close.
+    A drained-but-empty log reads as an empty history."""
+    tagged = _tagged_log(spark, work_dir)
+    if tagged is None:
+        return spark.createDataFrame([], _SCD2_SCHEMA)
+    return _full_history(tagged).orderBy("user_id", "valid_from")
 
 
 def scd2_current(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -165,11 +184,10 @@ def scd2_current(spark: SparkSession, work_dir: str) -> DataFrame:
     current-state lookup costs O(users×batches) IO regardless of how
     many versions the log holds — the property a filter over the full
     table cannot guarantee."""
-    return (
-        _open_rows_fixed(_tagged_log(spark, work_dir))
-        .filter("is_current")
-        .orderBy("user_id")
-    )
+    tagged = _tagged_log(spark, work_dir)
+    if tagged is None:
+        return spark.createDataFrame([], _SCD2_SCHEMA)
+    return _open_rows_fixed(tagged).filter("is_current").orderBy("user_id")
 
 
 def scd2_snapshot(spark: SparkSession, work_dir: str, as_of) -> DataFrame:
@@ -180,7 +198,10 @@ def scd2_snapshot(spark: SparkSession, work_dir: str, as_of) -> DataFrame:
     or datetime. The ``valid_from <= as_of`` bound is pushed into the
     closed-path parquet scans."""
     t = F.lit(as_of).cast("timestamp_ntz")
-    full = _full_history(_tagged_log(spark, work_dir))
+    tagged = _tagged_log(spark, work_dir)
+    if tagged is None:
+        return spark.createDataFrame([], _SCD2_SCHEMA)
+    full = _full_history(tagged)
     return full.filter(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))

@@ -143,3 +143,42 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
     m02 = {r["doc_id"] for r in REGISTRY["m02_decode_features"].builder(spark, dest).collect()}
     assert 900003 not in m02 and 900001 in m02  # NULL payload dropped, empty kept
     spark.catalog.clearCache()
+
+
+def test_zero_row_tables_crash_free_and_oracle_exact(spark):
+    """The r9 zero-row-table sweep, pinned: schema-only copies of every
+    table (an empty day partition / fresh lake) through the queries the
+    class used to CRASH — driver-side scalar lookups (query vectors,
+    watermark max-ids, histogram min/max) on zero rows — plus the
+    rollup/cube/grouping-sets family, whose oracles pin Spark's
+    zero-rows → zero-groups semantics (the SQL standard would emit a
+    count-0 grand-total row). Every query must run AND match its
+    oracle on the empty tables."""
+    from tools.degenerate_sweep import OUT, build_empty
+    from tools.oracle_check import compare, duck_connect
+
+    dest = build_empty("/root/testdata/sf0.001", f"{OUT}/sf_empty_test")
+    duck = duck_connect(dest)
+    fixed = [
+        "x04_histogram_quantiles",   # min/max/count collect on zero rows
+        "t20_incremental_neardup",   # watermark max-id None
+        "v12_incremental_embedding_probe",
+        "pipe02_incremental_funnel",
+        "v01_knn_bruteforce",        # no query vector: zero-norm short-circuit
+        "v04_ann_lsh_topk",
+        "v05_ann_ivf_topk",
+        "v06_ann_rplsh_topk",
+        "v09_embedding_neardup_lsh",  # _dim_of on empty input
+        "v10_sq8_rerank",
+        "a13_rollup_year_month",     # zero-rows -> zero-groups, incl. grand total
+        "a15_cube_status_priority",
+        "a16_grouping_sets",
+    ]
+    for name in fixed:
+        q = REGISTRY[name]
+        df = q.builder(spark, dest)
+        rows = df.collect()
+        assert rows == [], f"{name} on zero-row tables: expected empty, got {len(rows)} rows"
+        rel = duck.sql(q.oracle)
+        ok, msg, _ = compare(rows, rel.fetchall(), df.columns, list(rel.columns))
+        assert ok, f"{name} on zero-row tables: {msg}"

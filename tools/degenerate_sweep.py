@@ -31,6 +31,11 @@ Usage:
         degenerate-parity regression shows up as an artifact diff
         instead of needing the hunt re-run (round-8 verdict ask #3).
         Part of the pre-commit path alongside tools/oracle_check.py.
+    python tools/degenerate_sweep.py --empty [base_sf_dir] [query ...]
+        the ZERO-ROW-TABLE class (r9): schema-only copies of every
+        table — the empty day partition / fresh lake every 100 TB
+        pipeline eventually feeds a query. Same crash-sweep / parity /
+        --emit semantics, against the empty dir.
 """
 
 from __future__ import annotations
@@ -182,6 +187,25 @@ def build_doctored(base: str, dest: str) -> str:
     return dest
 
 
+def build_empty(base: str, dest: str) -> str:
+    """Schema-only copies of EVERY table — the zero-row-input class (an
+    empty day partition, a fresh lake, a filter that matched nothing
+    upstream). DuckDB-side, like `build_doctored`."""
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.reader import TABLES
+
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"COPY (SELECT * FROM '{base}/{t}.parquet' WHERE 1=0) "
+            f"TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return dest
+
+
 def main() -> int:
     args = sys.argv[1:]
     emit = None
@@ -192,10 +216,17 @@ def main() -> int:
             return 2
         emit = args[i + 1]
         args = args[:i] + args[i + 2:]
-    base = args[0] if args else "/root/testdata/sf0.001"
-    names = args[1:]
-    dest = build_doctored(base, os.path.join(OUT, "sf"))
-    print(f"doctored dir: {dest}")
+    empty = "--empty" in args
+    if empty:
+        args.remove("--empty")
+    base = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    if empty:
+        dest = build_empty(base, os.path.join(OUT, "sf_empty"))
+        print(f"empty dir: {dest}")
+    else:
+        dest = build_doctored(base, os.path.join(OUT, "sf"))
+        print(f"doctored dir: {dest}")
 
     if names or emit:
         # parity ON degenerate inputs: delegate to the differential
