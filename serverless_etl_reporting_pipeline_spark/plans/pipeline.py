@@ -297,7 +297,8 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # scalar watermark: parquet max statistic (t20's 1-row-scalar
-    # idiom); empty corpus → wm 0, both halves empty
+    # idiom); empty corpus → wm 0, both halves empty. SNAPSHOT
+    # semantics: wm is baked into the plan at call time
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     wm = int(0.8 * (max_id + 1)) if max_id is not None else 0
     base = docs.filter(F.col("doc_id") < wm)

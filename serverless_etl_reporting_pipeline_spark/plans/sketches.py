@@ -170,8 +170,14 @@ _QUANTILES_MICRO = (500000, 900000, 990000)  # p50 / p90 / p99
         FROM events WHERE value IS NOT NULL
     ),
     b AS (
-        SELECT least({_HIST_B - 1},
-                     CAST(floor((value - lo) / (hi - lo) * {_HIST_B}) AS INT)) AS bucket
+        -- hi = lo (constant-value distribution): every row is bucket 0
+        -- by CONTRACT — the raw expression is 0/0, where DuckDB's
+        -- float-div-by-zero yields NULL (least would skip it and pick
+        -- B-1) while Spark yields NaN; both engines pin 0 instead
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE least({_HIST_B - 1},
+                               CAST(floor((value - lo) / (hi - lo) * {_HIST_B}) AS INT))
+               END AS bucket
         FROM events, st WHERE value IS NOT NULL
     ),
     h AS (
@@ -202,7 +208,10 @@ _QUANTILES_MICRO = (500000, 900000, 990000)  # p50 / p90 / p99
     "count aggregate (driver sees 3 scalars, v01-style), then ONE map-side-combined "
     f"{_HIST_B}-key aggregate — no global sort, no per-key shuffle; the cumulative "
     "scan and threshold probe run on the bucket frame (bounded ≤B rows, w02 idiom). "
-    "Error bound is the bucket width, reported explicitly as [est_lo, est_hi)",
+    "Error bound is the bucket width, reported explicitly as [est_lo, est_hi). "
+    "SNAPSHOT SEMANTICS: lo/hi/n are collected at CALL time and baked into the "
+    "returned plan as literals (the frequent_keys caveat) — call on an immutable "
+    "snapshot, or re-call after mutating the table",
 )
 def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -220,9 +229,15 @@ def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_micro bigint, n_rows bigint, bucket int, cum_count bigint, "
             "est_lo_micro bigint, est_hi_micro bigint",
         )
-    bucket = F.least(
-        F.lit(B - 1),
-        F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo) * B).cast("int"),
+    # constant-value distribution (hi == lo): bucket 0 by contract —
+    # the raw expression would be 0/0 (NaN here, NULL in DuckDB)
+    bucket = (
+        F.lit(0).cast("int")
+        if hi == lo
+        else F.least(
+            F.lit(B - 1),
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo) * B).cast("int"),
+        )
     )
     h = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("cnt")

@@ -859,7 +859,9 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # scalar watermark: parquet max statistic, one tiny job (the same
     # 1-row-scalar idiom as the v-group query-vector lookups); empty
-    # corpus → wm 0, both probe sides empty (zero-row-table sweep)
+    # corpus → wm 0, both probe sides empty (zero-row-table sweep).
+    # SNAPSHOT semantics: wm is baked into the plan at call time — the
+    # frequent_keys/x04 caveat applies
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     wm = int(0.8 * (max_id + 1)) if max_id is not None else 0
     # Both probe sides come from ONE persisted tokenize→shingle→distinct

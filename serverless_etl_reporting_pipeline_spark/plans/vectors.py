@@ -21,13 +21,25 @@ from serverless_etl_reporting_pipeline_spark.operators.vectors import (
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
-def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float] | None:
+    """The designated query vector, or None when that row does not
+    exist (empty table, or a feed that simply lacks the id). Callers
+    must treat None as DEFINED-EMPTY via `_missing_query` — not as a
+    zero vector: zero-norm is a cosine-specific escape, and v04's
+    euclidean kernel would happily rank distances to a wrong-dimension
+    or origin query."""
     emb = load_table(spark, sf_dir, "embeddings")
     rows = emb.filter(F.col("vec_id") == vec_id).select("embedding").head(1)
-    # empty corpus (the zero-row-table sweep): no query vector exists —
-    # a zero vector rides the operators' zero-norm short-circuit to the
-    # defined empty result, matching the oracle's empty join
-    return rows[0][0] if rows else [0.0]
+    return rows[0][0] if rows else None
+
+
+def _missing_query(corpus: DataFrame) -> tuple[DataFrame, list[float]]:
+    """The missing-query-vector contract (zero-row-table sweep): run
+    the operator over an EMPTY corpus with a dummy 1-dim query — the
+    kernels never see a row, so the dummy never meets real data and the
+    operator's output schema is preserved; the oracles' query-vector
+    subqueries are empty joins on the same data."""
+    return corpus.limit(0), [0.0]
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -74,7 +86,10 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    return knn_bruteforce(emb.filter(F.col("vec_id") != 0), list(quantize_np(q)), k=10)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    if q is None:
+        corpus, q = _missing_query(corpus)
+    return knn_bruteforce(corpus, list(quantize_np(q)), k=10)
 
 
 @query(
@@ -184,7 +199,10 @@ def v05_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     raw = _query_vector(spark, sf_dir)
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10, nprobe=2)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    if raw is None:
+        corpus, raw = _missing_query(corpus)
+    return ivf_topk(corpus, list(quantize_np(raw)), k=10, nprobe=2)
 
 
 _V04_TABLES = 4
@@ -247,8 +265,11 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    if q is None:
+        corpus, q = _missing_query(corpus)
     return ann_topk_e2lsh(
-        emb.filter(F.col("vec_id") != 0),
+        corpus,
         list(quantize_np(q)),
         k=10,
         n_tables=_V04_TABLES,
@@ -340,7 +361,10 @@ def v06_ann_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     raw = _query_vector(spark, sf_dir)
-    return ann_topk_rp(emb.filter(F.col("vec_id") != 0), list(quantize_np(raw)), k=10)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    if raw is None:
+        corpus, raw = _missing_query(corpus)
+    return ann_topk_rp(corpus, list(quantize_np(raw)), k=10)
 
 
 _V09_BITS = 16
@@ -540,7 +564,10 @@ def v10_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    return sq8_rerank_topk(emb.filter(F.col("vec_id") != 0), q, k=10, n_candidates=50)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    if q is None:
+        corpus, q = _missing_query(corpus)
+    return sq8_rerank_topk(corpus, q, k=10, n_candidates=50)
 
 
 _V11_TAU = "0.44"
@@ -698,7 +725,8 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # scalar watermark (t20's 1-row-scalar idiom); empty corpus → wm 0
+    # scalar watermark (t20's 1-row-scalar idiom); empty corpus → wm 0.
+    # SNAPSHOT semantics: wm is baked into the plan at call time
     max_id = emb.agg(F.max("vec_id")).collect()[0][0]
     wm = int(0.8 * (max_id + 1)) if max_id is not None else 0
     return neardup_vector_index_probe(

@@ -123,9 +123,12 @@ def kmv_drain(
     final ``kmv_log/batch=<id>`` segment (the scd2-style segment log —
     same idempotence argument: a segment is a pure function of the
     state-store version + batch rows, so checkpoint-recovery replay
-    reproduces it). Returns the number of micro-batches this drain
-    processed. A group's newest segment row IS its current sketch;
-    `kmv_latest` assembles that view."""
+    reproduces it). Returns the number of TRIGGERS this drain
+    processed, INCLUDING empty ones — unlike `incremental_scd2_drain`,
+    which counts only non-empty batches: the stateful kernel here must
+    run exactly once per trigger (see write_batch), so there is no
+    pre-write emptiness probe to skip on. A group's newest segment row
+    IS its current sketch; `kmv_latest` assembles that view."""
     log_dir = os.path.join(work_dir, "kmv_log")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     n_batches = {"n": 0}
@@ -167,13 +170,21 @@ def kmv_latest(spark: SparkSession, work_dir: str) -> DataFrame:
     bounded by construction, never by data volume. Groups that have
     seen only NULL keys surface with ``k_used = 0`` (estimate 0);
     callers matching the batch operator's output drop them, as
-    `kmv_sketch_grouped` never emits a zero-key group."""
+    `kmv_sketch_grouped` never emits a zero-key group. A
+    drained-but-empty log (the work dir exists — a drain ran — but no
+    trigger ever fired, e.g. a source dir with no files yet) reads as
+    an empty sketch table; a missing work dir still raises (wrong
+    path, not an empty feed) — the scd2 readers' contract."""
     from pyspark.sql import Window
+
+    from serverless_etl_reporting_pipeline_spark.streaming.state import _fs_exists
 
     log_dir = os.path.join(work_dir, "kmv_log")
     tagged, _ = _log_state(spark, log_dir, log_dir + "_compacted", keep_bid=True)
     if tagged is None:
-        raise FileNotFoundError(f"no KMV log under {work_dir}")
+        if not _fs_exists(spark, work_dir):
+            raise FileNotFoundError(f"no KMV log under {work_dir}")
+        return spark.createDataFrame([], KMV_OUTPUT_SCHEMA)
     w = Window.partitionBy("group_key").orderBy(F.desc("_bid"))
     return (
         tagged.withColumn("_rk", F.row_number().over(w))

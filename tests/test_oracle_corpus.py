@@ -182,3 +182,36 @@ def test_zero_row_tables_crash_free_and_oracle_exact(spark):
         rel = duck.sql(q.oracle)
         ok, msg, _ = compare(rows, rel.fetchall(), df.columns, list(rel.columns))
         assert ok, f"{name} on zero-row tables: {msg}"
+
+
+def test_x04_constant_value_distribution(spark, tmp_path):
+    """A zero-variance metric (hi == lo) pins the histogram contract:
+    the raw bucket expression is 0/0 — NULL in DuckDB (whose least()
+    would skip it and pick bucket B-1) and NaN in Spark — so BOTH
+    engines define bucket 0 instead, and every quantile lands in the
+    single degenerate [lo, lo] interval."""
+    import datetime
+
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, ts, i, "view", 7.25, "{}") for i in range(10)]
+    spark.createDataFrame(rows, SCHEMAS["events"]).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    q = REGISTRY["x04_histogram_quantiles"]
+    df = q.builder(spark, str(tmp_path))
+    got = df.collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    rel = con.sql(q.oracle)
+    ok, msg, _ = compare(got, rel.fetchall(), df.columns, list(rel.columns))
+    assert ok, msg
+    assert len(got) == 3  # p50/p90/p99 all answered
+    for r in got:
+        assert r["bucket"] == 0
+        assert r["est_lo_micro"] == r["est_hi_micro"] == 7250000

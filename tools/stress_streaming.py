@@ -15,10 +15,10 @@ Usage: python tools/stress_streaming.py [N ...]     (default: 4 16)
        SPARK_GRAFT_STRESS_ONLY=text,vector  limits the modules run.
 Prints one JSON line per (module, N) and a markdown table at the end.
 
-The `scd2` module is SYNTHETIC (no derived corpus): N is the history
-BATCH COUNT — `SPARK_GRAFT_STRESS_ONLY=scd2 python tools/
-stress_streaming.py 16 64` reproduces the BASELINE.md 16/64-batch
-rows (one-new-batch drain + raw vs folded scd2_table read).
+The `scd2` and `kmv` modules are SYNTHETIC (no derived corpus): N is
+the history BATCH COUNT — `SPARK_GRAFT_STRESS_ONLY=scd2,kmv python
+tools/stress_streaming.py 16 64` reproduces the BASELINE.md 16/64-batch
+rows (one-new-batch drain + raw vs folded state read).
 """
 
 from __future__ import annotations
@@ -96,6 +96,15 @@ def drain_ivf(spark, sf_dir: str, work: str) -> float:
     return time.time() - t0
 
 
+def best3(fn) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def measure_scd2(spark, n_batches: int, work: str) -> dict:
     """The SCD2 log's scale claims, repeatable (r7 verdict ask #7):
     build ``n_batches`` of history (2000 users × 4000 versions/batch —
@@ -137,14 +146,6 @@ def measure_scd2(spark, n_batches: int, work: str) -> dict:
     incremental_scd2_drain(spark, src, schema, state)
     drain_sec = time.time() - t0
 
-    def best3(fn) -> float:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        return best
-
     # (b) full-history read over raw per-batch segments
     read_raw = best3(lambda: scd2_table(spark, state).count())
     # (c) same read over the folded log
@@ -158,9 +159,61 @@ def measure_scd2(spark, n_batches: int, work: str) -> dict:
     }
 
 
+def measure_kmv(spark, n_batches: int, work: str) -> dict:
+    """The streaming KMV log's scale claims (s05's module), repeatable:
+    build ``n_batches`` of drained sketch state (8 groups × 50k rows/
+    batch, ALL-DISTINCT keys so every group runs the estimating branch
+    with saturated k-min state), then measure (a) draining ONE new
+    micro-batch onto that history — must be FLAT in n_batches (keyed
+    state is O(k) per group; the drain reads no segments), (b)
+    `kmv_latest` over the raw per-batch segments — grows only with the
+    segment COUNT (groups×batches frame), and (c) the same read after
+    `compact_kmv_log`. ``n`` is the BATCH COUNT, not a corpus
+    multiplier."""
+    from serverless_etl_reporting_pipeline_spark.streaming.sketches import (
+        compact_kmv_log,
+        kmv_drain,
+        kmv_latest,
+    )
+
+    GROUPS, RPB = 8, 50000
+    src = os.path.join(work, "src")
+    state = os.path.join(work, "state")
+
+    def batch_df(b: int):
+        return spark.range(RPB).select(
+            (F.lit(b * RPB) + F.col("id")).alias("event_id"),
+            (F.col("id") % GROUPS).cast("string").alias("event_type"),
+            (F.lit(b * RPB) + F.col("id")).alias("user_id"),
+        )
+
+    for b in range(n_batches):
+        batch_df(b).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    kmv_drain(spark, src, schema, state, "event_type", F.col("user_id"))  # untimed build
+
+    # (a) one NEW batch onto n_batches of sketch history
+    batch_df(n_batches).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    kmv_drain(spark, src, schema, state, "event_type", F.col("user_id"))
+    drain_sec = time.time() - t0
+
+    # (b) latest-state read over raw per-batch segments
+    read_raw = best3(lambda: kmv_latest(spark, state).count())
+    # (c) same read over the folded log
+    compact_kmv_log(spark, state)
+    read_folded = best3(lambda: kmv_latest(spark, state).count())
+    return {
+        "sec": round(drain_sec, 2),
+        "read_raw_sec": round(read_raw, 2),
+        "read_folded_sec": round(read_folded, 2),
+        "rows_seen": (n_batches + 1) * RPB,
+    }
+
+
 MODULES = {"text": drain_text, "vector": drain_vector, "ivf": drain_ivf}
 # synthetic modules: n means BATCH COUNT, no derived corpus is built
-SYNTH_MODULES = {"scd2": measure_scd2}
+SYNTH_MODULES = {"scd2": measure_scd2, "kmv": measure_kmv}
 
 
 def main() -> int:
