@@ -114,9 +114,7 @@ def knn_bruteforce(
                 {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[valid], "_raw": cos}
             )
 
-    out = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(
+    out = _ids_vectors(df, id_col, vec_col).mapInPandas(
         kernel,
         schema=T.StructType(
             [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
@@ -147,6 +145,18 @@ def quantize_np(a):
     return np.copysign(np.floor(np.abs(v) + 0.5), v)
 
 
+def _ids_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The shared kernel input frame: (_id, _qv) with NULL vectors
+    EXCLUDED — a corrupt row has no position in vector space, np.stack
+    cannot represent it, and the oracles' nrm > 0 predicates skip it
+    the same way (NULL is not > 0). Every Arrow vector kernel and
+    build-side collect funnels through this, so the corrupt-row
+    contract has exactly one implementation."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
+    )
+
+
 def _stack_quantized(pdf, col: str = "_qv"):
     """Shared Arrow-kernel preamble: pandas column of float arrays →
     exact-quantized f64 matrix. Every vector kernel funnels through this
@@ -165,9 +175,7 @@ def _collect_quantized_build(df: DataFrame, id_col: str, vec_col: str):
     crashing on an empty list."""
     import numpy as np
 
-    rows = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).collect()
+    rows = _ids_vectors(df, id_col, vec_col).collect()
     if not rows:
         return np.empty(0, dtype=np.int64), np.zeros((0, 0)), np.empty(0)
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
@@ -423,7 +431,7 @@ def top_similar_pairs(
     Exact all-pairs is O(n²) work no matter the engine — at data sizes
     where that's unpayable, switch to the LSH/IVF candidate paths.
     """
-    q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
+    q = _ids_vectors(df, id_col, vec_col)
     m = grid_blocks if grid_blocks is not None else _grid_size(df)
     top = _grid_pairs(q, m, k=int(k))
     return top.orderBy(F.desc("raw_cos"), "id_a", "id_b").limit(k)
@@ -440,7 +448,7 @@ def top_similar_pairs_broadcast(
     ONLY), stream the probe side through the same exact kernel. Produces
     bit-identical results to the grid path."""
     spark = df.sparkSession
-    q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
+    q = _ids_vectors(df, id_col, vec_col)
     # build side only — the probe side never collects
     bc = spark.sparkContext.broadcast(_collect_quantized_build(df, id_col, vec_col))
     kk = int(k)
@@ -499,7 +507,7 @@ def neardup_map(
     blocking (`random_hyperplanes` codes as join key) runs the same
     kernel per bucket.
     """
-    q = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv"))
+    q = _ids_vectors(df, id_col, vec_col)
     pairs = _grid_pairs(q, _grid_size(df), tau=float(threshold))
     kept = pairs.groupBy("id_b").agg(F.min(F.struct("id_a", "raw_cos")).alias("m"))
     return kept.select(
@@ -665,7 +673,7 @@ def ann_topk_rp(
                 {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[mask], "_raw": cos}
             )
 
-    out = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")).mapInPandas(
+    out = _ids_vectors(df, id_col, vec_col).mapInPandas(
         kernel,
         schema=T.StructType(
             [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
@@ -748,9 +756,7 @@ def ann_topk_e2lsh(
                 {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[match], "_s2": s2}
             )
 
-    out = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(
+    out = _ids_vectors(df, id_col, vec_col).mapInPandas(
         kernel,
         schema=T.StructType(
             [T.StructField(id_col, T.LongType()), T.StructField("_s2", T.DoubleType())]
@@ -876,9 +882,7 @@ def sq8_rerank_topk(
                 }
             )
 
-    out = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(kernel, schema=f"{id_col} long, score_i8 long, _raw double")
+    out = _ids_vectors(df, id_col, vec_col).mapInPandas(kernel, schema=f"{id_col} long, score_i8 long, _raw double")
     cand = out.orderBy(F.desc("score_i8"), F.asc(id_col)).limit(n_candidates)
     return (
         cand.orderBy(F.desc("_raw"), F.asc(id_col))
@@ -989,9 +993,7 @@ def semdedup_map(
                 }
             )
 
-    assigned = df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(
+    assigned = _ids_vectors(df, id_col, vec_col).mapInPandas(
         assign_kernel,
         schema=T.StructType(
             [
@@ -1085,9 +1087,7 @@ def _band_code_fan(
             T.StructField("_qv", df.schema[vec_col].dataType),
         ]
     )
-    return df.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(code_kernel, schema=fan_schema)
+    return _ids_vectors(df, id_col, vec_col).mapInPandas(code_kernel, schema=fan_schema)
 
 
 def neardup_vector_index_probe(
@@ -1280,9 +1280,7 @@ def batch_knn(
 
     from pyspark.sql import Window
 
-    out = corpus.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
-    ).mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
+    out = _ids_vectors(corpus, id_col, vec_col).mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
     return (
         out.withColumn(
             "rk",
@@ -1329,6 +1327,11 @@ def ivf_centroids(
     aggregate-sized. Unpersisted builder shared by `ivf_index_build`
     (in-session index) and the streaming ingest's frozen-centroid
     write (streaming/ivf.py)."""
+    # corrupt rows cannot train the quantizer: a NULL cell id is not a
+    # cell (driver-side int(cell) would crash) and a NULL vector has no
+    # position — both excluded, mirrored by the oracles' label IS NOT
+    # NULL / nrm > 0 predicates
+    corpus = corpus.filter(F.col(cell_col).isNotNull() & F.col(vec_col).isNotNull())
     ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
     )
@@ -1365,11 +1368,17 @@ def ivf_index_build(
     the next index refresh — the amortization a vector store lives on.
     """
     centroids = ivf_centroids(corpus, vec_col, cell_col).persist()
-    postings = corpus.select(
-        F.col(cell_col).cast("long").alias("_cell"),
-        F.col(id_col).cast("long").alias("_id"),
-        F.col(vec_col).alias("_qv"),
-    ).persist()
+    # same corrupt-row contract as the quantizer: a posting needs a
+    # cell and a vector (a probe could never score it otherwise)
+    postings = (
+        corpus.filter(F.col(cell_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(cell_col).cast("long").alias("_cell"),
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).alias("_qv"),
+        )
+        .persist()
+    )
     return centroids, postings
 
 
@@ -1559,7 +1568,11 @@ def assign_cells(
                 }
             )
 
-    return arrivals.select(
+    # NULL vectors are EXCLUDED (not quarantined): the -1 quarantine
+    # holds storable-but-unrankable rows (zero-norm); a vector-less row
+    # has nothing to store as a posting at all — the _ids_vectors
+    # corrupt-row contract, applied before as_double
+    return arrivals.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("_id"), as_double(vec_col).alias("_qv")
     ).mapInPandas(kernel, schema="_cell long, _id long, _qv array<double>")
 

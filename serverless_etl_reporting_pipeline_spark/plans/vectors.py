@@ -584,9 +584,14 @@ _V11_TAU = "0.44"
     # what gets hash-checked.
     oracle=f"""
     WITH ex AS (
+        -- label IS NOT NULL: a corrupt (NULL-label) row can neither
+        -- seed a centroid nor be assigned — excluded from the dedup
+        -- entirely, matching the engine's filter (NULL embeddings are
+        -- auto-excluded: UNNEST over NULL yields no rows)
         SELECT vec_id, label, u.pos - 1 AS dim,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE label IS NOT NULL
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     asg0 AS (
@@ -642,7 +647,10 @@ def v11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_etl_reporting_pipeline_spark.operators.vectors import semdedup_map
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_map(emb, threshold=float(_V11_TAU))
+    # corrupt (NULL-label) rows are excluded from the dedup entirely —
+    # they can neither seed a centroid nor be assigned; semdedup_map's
+    # explicit raise stays as the guard against SILENT misuse
+    return semdedup_map(emb.filter(F.col("label").isNotNull()), threshold=float(_V11_TAU))
 
 
 _V12_TAU = "0.44"
@@ -815,10 +823,13 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id < 10
     ),
     ex AS (
+        -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
+        -- and cannot train the quantizer (the engine's ivf_centroids
+        -- filter); NULL embeddings are auto-excluded (UNNEST of NULL)
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE vec_id >= 10
+        WHERE vec_id >= 10 AND label IS NOT NULL
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -835,9 +846,12 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probed AS (SELECT qid, label FROM cellrank WHERE crk <= 2),
     e AS (
+        -- embedding IS NOT NULL: a vector-less row is never a posting
+        -- (the engine's ivf_index_build filter); a NULL label already
+        -- cannot equi-join a probed cell
         SELECT vec_id, label,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE vec_id >= 10
+        FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL
     ),
     scored AS (
         SELECT p.qid, e.vec_id,
@@ -900,10 +914,13 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id < 10
     ),
     ex AS (
+        -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
+        -- and cannot train the quantizer (the engine's ivf_centroids
+        -- filter); NULL embeddings are auto-excluded (UNNEST of NULL)
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE vec_id >= 10
+        WHERE vec_id >= 10 AND label IS NOT NULL
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -954,10 +971,13 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half-away-from-zero integer math on both engines (v05 precedent).
     oracle="""
     WITH ex AS (
+        -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
+        -- and cannot train the quantizer (the engine's ivf_centroids
+        -- filter); NULL embeddings are auto-excluded (UNNEST of NULL)
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE vec_id >= 10
+        WHERE vec_id >= 10 AND label IS NOT NULL
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),

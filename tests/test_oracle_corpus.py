@@ -125,6 +125,14 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         "d05_intersect_customers",
         "w06_sessionization",       # sessions need an event time
         "w08_event_debounce",       # time-windowed dedup: NULL ts excluded
+        # r9 corrupt-embedding rows (NULL vector, NULL label): NULL
+        # vectors excluded from every kernel (_ids_vectors), NULL
+        # labels neither train nor join the quantizer
+        "v01_knn_bruteforce",
+        "v11_semdedup",
+        "v14_ivf_persisted_probe",
+        "v15_ivf_assign_arrivals",
+        "v16_ivf_lloyd_refresh",
     ]
     for name in fixed:
         q = REGISTRY[name]

@@ -158,8 +158,14 @@ def build_doctored(base: str, dest: str) -> str:
       SELECT * FROM (VALUES
         (900001, CAST({zeros} AS FLOAT[]), 3),         -- zero-norm vector
         (900002, (SELECT list_transform(embedding, x -> CAST(x * 1e-9 AS FLOAT))
-                  FROM '{base}/embeddings.parquet' WHERE vec_id = 5), 2)
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 5), 2),
                                                        -- quantizes to zero
+        -- r9: corrupt rows — a NULL vector and a NULL label. Contract:
+        -- NULL embeddings are EXCLUDED from every vector operator on
+        -- both engines (the oracles' nrm > 0 predicates already skip
+        -- them: NULL is not > 0); a NULL label is just another group.
+        (900003, NULL, 1),
+        (900004, (SELECT embedding FROM '{base}/embeddings.parquet' WHERE vec_id = 7), NULL)
       ) t(vec_id, embedding, label)
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
