@@ -2274,3 +2274,27 @@ def test_cache_tag_layout_fingerprint(tmp_path):
     assert t1 != _cache_tag(str(f), "layout v1", "extra module")
     _os.utime(f, (1, 1))  # regenerated source at the same path invalidates
     assert _cache_tag(str(f), "layout v1") != t1
+
+
+def test_kmv_latest_plan_shape(spark, events_src):
+    """The s05 read path must stay bounded: ONE window partitioned by
+    group_key over the segment log (never a partition-less global
+    window), NO join of any kind — the latest-emission pick is a pure
+    windowed filter on a groups×batches frame."""
+    import re
+
+    from serverless_etl_reporting_pipeline_spark.streaming.sketches import kmv_drain, kmv_latest
+
+    events, src, tmp = events_src
+    work = str(tmp / "kmvlint")
+    kmv_drain(spark, src, SCHEMAS["events"], work, "event_type", F.col("user_id"), k=64)
+    df = kmv_latest(spark, work)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert not re.findall(r"Join", tree), tree
+    assert len(re.findall(r"\bWindow\b", tree)) == 1, tree
+    # the window is keyed by group_key — a partition-less window would
+    # funnel the whole log through one task
+    assert re.search(r"partitionBy.*group_key|\[group_key", plan), plan
