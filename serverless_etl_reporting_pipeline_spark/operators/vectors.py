@@ -1326,7 +1326,9 @@ def ivf_centroids(
     per dim — the v03/v05 quantizer, no k-means RNG). Cells × dims:
     aggregate-sized. Unpersisted builder shared by `ivf_index_build`
     (in-session index) and the streaming ingest's frozen-centroid
-    write (streaming/ivf.py)."""
+    write (streaming/ivf.py). Unlike v03's centroid REPORT (which
+    surfaces a NULL-label centroid as just another group), the
+    quantizer excludes NULL labels — an INDEX cell needs an id."""
     # corrupt rows cannot train the quantizer: a NULL cell id is not a
     # cell (driver-side int(cell) would crash) and a NULL vector has no
     # position — both excluded, mirrored by the oracles' label IS NOT

@@ -137,7 +137,10 @@ def v02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="per-label centroid over 1e-6-quantized components (exact int sums, order-independent) — "
-    "cluster-summary building block for IVF-style ANN",
+    "cluster-summary building block for IVF-style ANN. NULL-label rows surface as "
+    "just another group here (a REPORT shows what the data holds); the IVF "
+    "quantizer (ivf_centroids, v05/v14-v16) deliberately EXCLUDES them — a NULL "
+    "label is not a cell",
 )
 def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
