@@ -2298,3 +2298,36 @@ def test_kmv_latest_plan_shape(spark, events_src):
     # the window is keyed by group_key — a partition-less window would
     # funnel the whole log through one task
     assert re.search(r"partitionBy.*group_key|\[group_key", plan), plan
+
+
+def test_scd2_empty_log_schema_matches_drained(spark, tmp_path):
+    """The drained-but-empty read schema (`_SCD2_SCHEMA`) must stay
+    mirror-identical to what a real drain writes — if the drain's
+    select ever adds or retypes a column, this is the test that keeps
+    an empty log from silently reading back with the stale schema."""
+    import datetime as dt
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        _SCD2_SCHEMA,
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # a drain whose feed has NO qualifying rows -> empty log
+    src_e, work_e = str(tmp_path / "src_e"), str(tmp_path / "work_e")
+    spark.createDataFrame([(1, t, 1, "view", 1.0, "{}")], SCHEMAS["events"]).select(
+        cols
+    ).coalesce(1).write.parquet(src_e)
+    assert incremental_scd2_drain(spark, src_e, SCHEMAS["events"], work_e) == 0
+    empty = scd2_table(spark, work_e)
+    assert empty.count() == 0
+    assert empty.schema == spark.createDataFrame([], _SCD2_SCHEMA).schema
+    # a real drain must produce exactly that schema
+    src_r, work_r = str(tmp_path / "src_r"), str(tmp_path / "work_r")
+    spark.createDataFrame([(2, t, 1, "purchase", 2.0, "{}")], SCHEMAS["events"]).select(
+        cols
+    ).coalesce(1).write.parquet(src_r)
+    assert incremental_scd2_drain(spark, src_r, SCHEMAS["events"], work_r) == 1
+    assert scd2_table(spark, work_r).schema == empty.schema
