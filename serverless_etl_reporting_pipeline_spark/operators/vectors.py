@@ -79,7 +79,10 @@ def knn_bruteforce(
     ranking deterministically (valid mask, never a NaN that would sort
     first under DESC); a zero-norm QUERY has no defined neighbor set and
     returns an empty frame. Mirrored in the v01 oracle's `nrm > 0`
-    predicate.
+    predicate. A RAGGED corpus vector (size ≠ the query's dimension)
+    has no defined cosine against the query at all — excluded with the
+    NULL rows (`_ids_vectors` dim filter; the oracle's
+    len(embedding) = len(q) predicate).
 
     `query_vec_quantized` must already be 1e-6-quantized (see
     `quantize_np`; Python round() is half-to-even and would drift).
@@ -114,7 +117,7 @@ def knn_bruteforce(
                 {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[valid], "_raw": cos}
             )
 
-    out = _ids_vectors(df, id_col, vec_col).mapInPandas(
+    out = _ids_vectors(df, id_col, vec_col, dim=len(qq)).mapInPandas(
         kernel,
         schema=T.StructType(
             [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
@@ -145,14 +148,23 @@ def quantize_np(a):
     return np.copysign(np.floor(np.abs(v) + 0.5), v)
 
 
-def _ids_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """The shared kernel input frame: (_id, _qv) with NULL vectors
-    EXCLUDED — a corrupt row has no position in vector space, np.stack
-    cannot represent it, and the oracles' nrm > 0 predicates skip it
-    the same way (NULL is not > 0). Every Arrow vector kernel and
-    build-side collect funnels through this, so the corrupt-row
-    contract has exactly one implementation."""
-    return df.filter(F.col(vec_col).isNotNull()).select(
+def _ids_vectors(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
+    """The shared kernel input frame: (_id, _qv) with corrupt rows
+    EXCLUDED — NULL vectors (a corrupt row has no position in vector
+    space, np.stack cannot represent it, and the oracles' nrm > 0
+    predicates skip it the same way: NULL is not > 0) and, when ``dim``
+    is given, RAGGED vectors whose size differs from the operator's
+    dimension (same corrupt class: a wrong-dimension vector has no
+    defined cosine/distance against the operator's space, numpy's stack
+    throws on it, and DuckDB's list_zip would silently truncate-pad —
+    the oracles mirror the exclusion with an explicit len(embedding)
+    predicate instead). Every Arrow vector kernel and build-side
+    collect funnels through this, so the corrupt-row contract has
+    exactly one implementation."""
+    out = df.filter(F.col(vec_col).isNotNull())
+    if dim is not None:
+        out = out.filter(F.size(vec_col) == int(dim))
+    return out.select(
         F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_qv")
     )
 
@@ -160,22 +172,36 @@ def _ids_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _stack_quantized(pdf, col: str = "_qv"):
     """Shared Arrow-kernel preamble: pandas column of float arrays →
     exact-quantized f64 matrix. Every vector kernel funnels through this
-    so quantization/batch handling has exactly one implementation."""
+    so quantization/batch handling has exactly one implementation.
+
+    Inputs are dimension-homogeneous BY CONTRACT (`_ids_vectors`
+    excludes NULL and ragged rows before any kernel); the re-raise
+    below names the contract instead of numpy's opaque shape error if
+    an operator ever feeds an unfiltered frame."""
     import numpy as np
 
-    return quantize_np(np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col]]))
+    try:
+        return quantize_np(np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col]]))
+    except ValueError as e:
+        sizes = sorted({len(v) for v in pdf[col]})
+        raise ValueError(
+            "mixed embedding dimensions reached a vector kernel "
+            f"(sizes {sizes}): the operator must exclude ragged rows via "
+            "_ids_vectors(dim=...) before stacking"
+        ) from e
 
 
-def _collect_quantized_build(df: DataFrame, id_col: str, vec_col: str):
+def _collect_quantized_build(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None):
     """Collect + quantize a broadcast build side: (ids, matrix, norms).
     Raw floats cross the wire; quantization happens driver-side in numpy
     (same `quantize_np` the kernels use). An EMPTY build side returns
     (0-length ids, (0, 0) matrix, 0-length norms) — callers treat it as
     "no queries/build rows" and emit nothing, instead of np.stack
-    crashing on an empty list."""
+    crashing on an empty list. ``dim`` applies the `_ids_vectors`
+    ragged-row exclusion to the build side."""
     import numpy as np
 
-    rows = _ids_vectors(df, id_col, vec_col).collect()
+    rows = _ids_vectors(df, id_col, vec_col, dim=dim).collect()
     if not rows:
         return np.empty(0, dtype=np.int64), np.zeros((0, 0)), np.empty(0)
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
@@ -231,7 +257,11 @@ def ivf_topk(
     Degenerate inputs (the `ivf_batch_probe` discipline): zero-norm
     centroids are never probed, zero-norm corpus vectors are excluded
     from the ranking, a zero-norm query returns an empty frame — no NaN
-    ever reaches a comparison. Mirrored in the v05 oracle.
+    ever reaches a comparison. Mirrored in the v05 oracle. RAGGED rows
+    (size ≠ the query's dimension) are corrupt for this index: they can
+    neither train a cell centroid nor be a candidate, so the ONE entry
+    filter below excludes them from both subtrees (oracle:
+    len(embedding) = len(q) in the ex and e CTEs).
     """
     import numpy as np
 
@@ -244,6 +274,7 @@ def ivf_topk(
         # ANSI mode (the shingles-crash hazard class, r7 commit 61a3a72).
         return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
 
+    df = df.filter(F.size(vec_col) == len(qq_list))
     ex = df.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
     )
@@ -415,6 +446,7 @@ def top_similar_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     grid_blocks: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact global top-k most-similar pairs by quantized-integer cosine.
 
@@ -430,8 +462,13 @@ def top_similar_pairs(
 
     Exact all-pairs is O(n²) work no matter the engine — at data sizes
     where that's unpayable, switch to the LSH/IVF candidate paths.
+
+    Corrupt rows are excluded (`_ids_vectors`): NULL vectors, and
+    ragged rows whose size differs from the corpus dimension — ``dim``
+    when given, else the modal size (`_dim_of`; the oracles' modal-len
+    CTE) — since a cross-dimension pair has no defined cosine.
     """
-    q = _ids_vectors(df, id_col, vec_col)
+    q = _ids_vectors(df, id_col, vec_col, dim=dim or _dim_of(df, vec_col))
     m = grid_blocks if grid_blocks is not None else _grid_size(df)
     top = _grid_pairs(q, m, k=int(k))
     return top.orderBy(F.desc("raw_cos"), "id_a", "id_b").limit(k)
@@ -442,15 +479,18 @@ def top_similar_pairs_broadcast(
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Broadcast-build variant of `top_similar_pairs`: collect + quantize
     the full matrix driver-side (n·d·8 bytes — small-N interactive use
     ONLY), stream the probe side through the same exact kernel. Produces
-    bit-identical results to the grid path."""
+    bit-identical results to the grid path (including the corrupt-row
+    contract: NULL and off-modal-dimension rows excluded)."""
     spark = df.sparkSession
-    q = _ids_vectors(df, id_col, vec_col)
+    d = dim or _dim_of(df, vec_col)
+    q = _ids_vectors(df, id_col, vec_col, dim=d)
     # build side only — the probe side never collects
-    bc = spark.sparkContext.broadcast(_collect_quantized_build(df, id_col, vec_col))
+    bc = spark.sparkContext.broadcast(_collect_quantized_build(df, id_col, vec_col, dim=d))
     kk = int(k)
 
     def kernel(batches):
@@ -506,8 +546,13 @@ def neardup_map(
     groupBy. For candidate pruning beyond the exact grid, RP-bucket
     blocking (`random_hyperplanes` codes as join key) runs the same
     kernel per bucket.
+
+    Corrupt rows are excluded (`_ids_vectors`): NULL vectors, and
+    ragged rows off the corpus's modal dimension (`_dim_of`; the
+    oracle's modal-len CTE) — a cross-dimension pair has no defined
+    cosine.
     """
-    q = _ids_vectors(df, id_col, vec_col)
+    q = _ids_vectors(df, id_col, vec_col, dim=_dim_of(df, vec_col))
     pairs = _grid_pairs(q, _grid_size(df), tau=float(threshold))
     kept = pairs.groupBy("id_b").agg(F.min(F.struct("id_a", "raw_cos")).alias("m"))
     return kept.select(
@@ -589,13 +634,26 @@ def neardup_pairs_lsh_banded(
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from one non-NULL row (a 1-row scalar
-    lookup, not a data-sized collect). Empty input → 1: the hyperplanes
-    generated from it are never dotted with any row, so any positive
-    dim yields the correct empty result (the zero-row-table sweep's
-    defined behavior)."""
-    row = df.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
-    return int(row[0]) if row is not None and row[0] is not None and row[0] > 0 else 1
+    """Corpus dimensionality: the MODAL size(vec_col) among non-NULL
+    rows, ties → smallest (a scalar aggregate collect, the v01 idiom —
+    no vector data reaches the driver). Modal, not first-row: under the
+    ragged-row corruption class a first-row lookup is partition-order-
+    dependent and one corrupt row could define the whole corpus's
+    dimension; the majority dimension is deterministic and is what the
+    oracles' modal-len CTE restates. Operators that know their
+    dimension statically (production deployments declare it) pass it
+    via their ``dim`` parameter and skip this pass. Empty input → 1:
+    the hyperplanes generated from it are never dotted with any row, so
+    any positive dim yields the correct empty result (the
+    zero-row-table sweep's defined behavior)."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(F.size(vec_col).alias("_d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("_d"))
+        .first()
+    )
+    return int(row["_d"]) if row is not None and row["_d"] is not None and row["_d"] > 0 else 1
 
 
 def random_hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -639,7 +697,10 @@ def ann_topk_rp(
     corpus vectors are excluded from the ranking (a zero vector's sign
     code is all-ones, so it CAN pass the hamming mask — the valid mask
     drops it before the cosine); a zero-norm query returns an empty
-    frame. Mirrored in the v06 oracle's `nrm > 0` predicate.
+    frame. Mirrored in the v06 oracle's `nrm > 0` predicate. Ragged
+    corpus rows (size ≠ the query's dimension) are excluded with the
+    NULL rows (`_ids_vectors` dim filter — a wrong-dimension vector can
+    neither take a sign code against the planes nor a cosine against q).
     """
     import numpy as np
 
@@ -673,7 +734,7 @@ def ann_topk_rp(
                 {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[mask], "_raw": cos}
             )
 
-    out = _ids_vectors(df, id_col, vec_col).mapInPandas(
+    out = _ids_vectors(df, id_col, vec_col, dim=len(qq)).mapInPandas(
         kernel,
         schema=T.StructType(
             [T.StructField(id_col, T.LongType()), T.StructField("_raw", T.DoubleType())]
@@ -756,7 +817,7 @@ def ann_topk_e2lsh(
                 {id_col: pdf["_id"].to_numpy(dtype=_np.int64)[match], "_s2": s2}
             )
 
-    out = _ids_vectors(df, id_col, vec_col).mapInPandas(
+    out = _ids_vectors(df, id_col, vec_col, dim=dim).mapInPandas(
         kernel,
         schema=T.StructType(
             [T.StructField(id_col, T.LongType()), T.StructField("_s2", T.DoubleType())]
@@ -882,7 +943,7 @@ def sq8_rerank_topk(
                 }
             )
 
-    out = _ids_vectors(df, id_col, vec_col).mapInPandas(kernel, schema=f"{id_col} long, score_i8 long, _raw double")
+    out = _ids_vectors(df, id_col, vec_col, dim=len(qq)).mapInPandas(kernel, schema=f"{id_col} long, score_i8 long, _raw double")
     cand = out.orderBy(F.desc("score_i8"), F.asc(id_col)).limit(n_candidates)
     return (
         cand.orderBy(F.desc("_raw"), F.asc(id_col))
@@ -925,12 +986,17 @@ def semdedup_map(
 
     Degenerate inputs are DEFINED, not accidental: a NULL label raises
     (clustering over an unlabeled row has no meaning here — filter or
-    impute first), and a zero-norm vector — whose cosine is undefined —
-    is assigned deterministically to the lowest label and never pairs.
+    impute first), a zero-norm vector — whose cosine is undefined —
+    is assigned deterministically to the lowest label and never pairs,
+    and corrupt vectors (NULL, or ragged off the corpus's modal
+    dimension — `_dim_of`, mirrored by the oracle's modal-len CTE) are
+    excluded from the dedup entirely: they can neither shift a seed
+    centroid nor take an assignment.
     """
     import numpy as np
 
     tau = float(threshold)
+    df = df.filter(F.size(vec_col) == _dim_of(df, vec_col))
     # exact-integer seed centroids (v03 idiom): explode → per-(label, dim)
     # round(avg(quantized)) — order-independent, engine-identical
     ex = df.select(
@@ -1056,7 +1122,9 @@ def _band_code_fan(
     """Map-only Arrow fan-out shared by the banded near-dup operators:
     one (_band, _code, id, _qv) row per (vector, band), codes computed
     as packed sign bits of exact integer dots against the seeded
-    quantized hyperplanes — no shuffle happens here."""
+    quantized hyperplanes — no shuffle happens here. Rows whose size
+    differs from the planes' dimension are corrupt for this code space
+    and are excluded with the NULL rows (`_ids_vectors` dim filter)."""
     bc = df.sparkSession.sparkContext.broadcast((P, int(bands), int(rpb)))
 
     def code_kernel(batches):
@@ -1087,7 +1155,7 @@ def _band_code_fan(
             T.StructField("_qv", df.schema[vec_col].dataType),
         ]
     )
-    return _ids_vectors(df, id_col, vec_col).mapInPandas(code_kernel, schema=fan_schema)
+    return _ids_vectors(df, id_col, vec_col, dim=int(P.shape[1])).mapInPandas(code_kernel, schema=fan_schema)
 
 
 def neardup_vector_index_probe(
@@ -1213,6 +1281,7 @@ def batch_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for a BATCH of query vectors — the
     many-queries retrieval shape (eval sets, dedup probes, recommender
@@ -1232,11 +1301,16 @@ def batch_knn(
     corpus vectors are excluded from every ranking; a zero-norm QUERY
     emits no neighbor rows (its qid is simply absent from the result).
     No NaN ever reaches a comparison. Mirrored in the v13 oracle's
-    `nrm > 0` predicates.
+    `nrm > 0` predicates. Ragged rows — size off the corpus dimension
+    (``dim`` when given, else modal via `_dim_of`) — are corrupt on
+    EITHER side: a ragged corpus row is excluded from every ranking, a
+    ragged query emits no neighbor rows (absent qid, like zero-norm).
+    Mirrored by the oracle's modal-len CTE.
     """
     import numpy as np
 
-    qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
+    d = dim or _dim_of(corpus, vec_col)
+    qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col, dim=d)
     if len(qids) == 0 or not (qn > 0.0).any():
         # empty batch, or every query zero-norm: no ranking exists —
         # driver-side short-circuit, never a corpus scan for nothing
@@ -1280,7 +1354,7 @@ def batch_knn(
 
     from pyspark.sql import Window
 
-    out = _ids_vectors(corpus, id_col, vec_col).mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
+    out = _ids_vectors(corpus, id_col, vec_col, dim=d).mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
     return (
         out.withColumn(
             "rk",
@@ -1319,7 +1393,10 @@ def _collect_centroid_matrix(centroids: DataFrame):
 
 
 def ivf_centroids(
-    corpus: DataFrame, vec_col: str = "embedding", cell_col: str = "label"
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """The IVF coarse quantizer as a frame: one row per cell with the
     exact-integer quantized centroid array (round(avg(round(x*1e6)))
@@ -1330,10 +1407,13 @@ def ivf_centroids(
     surfaces a NULL-label centroid as just another group), the
     quantizer excludes NULL labels — an INDEX cell needs an id."""
     # corrupt rows cannot train the quantizer: a NULL cell id is not a
-    # cell (driver-side int(cell) would crash) and a NULL vector has no
-    # position — both excluded, mirrored by the oracles' label IS NOT
-    # NULL / nrm > 0 predicates
-    corpus = corpus.filter(F.col(cell_col).isNotNull() & F.col(vec_col).isNotNull())
+    # cell (driver-side int(cell) would crash), a NULL vector has no
+    # position, and a RAGGED vector (size off the corpus dimension —
+    # ``dim`` when given, else modal via _dim_of) would lengthen its
+    # cell's centroid array and break every probe matmul — all excluded,
+    # mirrored by the oracles' label IS NOT NULL / modal-len predicates
+    d = dim or _dim_of(corpus, vec_col)
+    corpus = corpus.filter(F.col(cell_col).isNotNull() & (F.size(vec_col) == d))
     ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
     )
@@ -1354,6 +1434,7 @@ def ivf_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build and PERSIST the IVF retrieval index state — the in-session
     stand-in for a stored vector index (the v12/t20 persisted-state
@@ -1369,11 +1450,13 @@ def ivf_index_build(
     Built once per corpus snapshot, probed by every query batch until
     the next index refresh — the amortization a vector store lives on.
     """
-    centroids = ivf_centroids(corpus, vec_col, cell_col).persist()
+    d = dim or _dim_of(corpus, vec_col)
+    centroids = ivf_centroids(corpus, vec_col, cell_col, dim=d).persist()
     # same corrupt-row contract as the quantizer: a posting needs a
-    # cell and a vector (a probe could never score it otherwise)
+    # cell and an index-dimension vector (a probe could never score a
+    # NULL or ragged one)
     postings = (
-        corpus.filter(F.col(cell_col).isNotNull() & F.col(vec_col).isNotNull())
+        corpus.filter(F.col(cell_col).isNotNull() & (F.size(vec_col) == d))
         .select(
             F.col(cell_col).cast("long").alias("_cell"),
             F.col(id_col).cast("long").alias("_id"),
@@ -1413,8 +1496,13 @@ def ivf_batch_probe(
     """
     import numpy as np
 
-    qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col)
     cells, C, cn = _collect_centroid_matrix(centroids)
+    # queries off the INDEX dimension (free to know: the collected
+    # centroid matrix carries it) are corrupt for this index — excluded
+    # like NULL queries, their qids absent from the result
+    qids, Q, qn = _collect_quantized_build(
+        queries, qid_col, vec_col, dim=C.shape[1] if len(cells) else None
+    )
     if len(qids) == 0 or len(cells) == 0:
         # empty query batch, or an index with zero cells: nothing can be
         # probed — deterministic empty result, no degenerate matmul
@@ -1521,9 +1609,19 @@ def assign_cells(
     `_cell = -1`: deterministic, never NaN, and invisible to probes
     (probe pairs reference real cells only).
     """
+    cells, C, cn = _collect_centroid_matrix(centroids)
+    return _assign_cells_precollected(cells, C, cn, arrivals, id_col, vec_col)
+
+
+def _assign_cells_precollected(
+    cells, C, cn, arrivals: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """`assign_cells` body over an ALREADY-COLLECTED quantizer —
+    split out so `lloyd_refresh` can reuse the one centroid collect for
+    both the assignment and the refreshed-centroid dimension instead of
+    paying a second inference pass over the assigned frame."""
     import numpy as np
 
-    cells, C, cn = _collect_centroid_matrix(centroids)
     spark = arrivals.sparkSession
     bc = spark.sparkContext.broadcast((cells, C, cn, cn == 0.0))
 
@@ -1570,11 +1668,18 @@ def assign_cells(
                 }
             )
 
-    # NULL vectors are EXCLUDED (not quarantined): the -1 quarantine
-    # holds storable-but-unrankable rows (zero-norm); a vector-less row
-    # has nothing to store as a posting at all — the _ids_vectors
-    # corrupt-row contract, applied before as_double
-    return arrivals.filter(F.col(vec_col).isNotNull()).select(
+    # NULL and RAGGED vectors are EXCLUDED (not quarantined): the -1
+    # quarantine holds storable-but-unrankable rows (zero-norm); a
+    # vector-less row has nothing to store as a posting at all, and a
+    # wrong-dimension row can be neither ranked against the quantizer
+    # nor stored in its posting space — the _ids_vectors corrupt-row
+    # contract, applied before as_double. The dimension is the
+    # quantizer's own (free: the collected centroid matrix carries it);
+    # a zero-cell quantizer has no dimension and quarantines everything.
+    filtered = arrivals.filter(F.col(vec_col).isNotNull())
+    if len(cells):
+        filtered = filtered.filter(F.size(vec_col) == int(C.shape[1]))
+    return filtered.select(
         F.col(id_col).cast("long").alias("_id"), as_double(vec_col).alias("_qv")
     ).mapInPandas(kernel, schema="_cell long, _id long, _qv array<double>")
 
@@ -1603,10 +1708,16 @@ def lloyd_refresh(
     one explode feeding a partial+final (cell, dim) aggregate — shuffle
     ≤ cells × dims per map partition, never the corpus.
     """
-    assigned = assign_cells(centroids, corpus, id_col, vec_col).filter(
+    cells, C, cn = _collect_centroid_matrix(centroids)
+    assigned = _assign_cells_precollected(cells, C, cn, corpus, id_col, vec_col).filter(
         F.col("_cell") >= 0
     )
-    return ivf_centroids(assigned, "_qv", "_cell")
+    # the assigned frame is dimension-conformed by construction (the
+    # assignment filter); pass the quantizer's dim so the retrain skips
+    # a modal-inference pass that would recompute the whole assignment
+    return ivf_centroids(
+        assigned, "_qv", "_cell", dim=int(C.shape[1]) if len(cells) else None
+    )
 
 
 def ivf_index_write(centroids: DataFrame, postings: DataFrame, path: str) -> None:

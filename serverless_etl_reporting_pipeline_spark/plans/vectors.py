@@ -58,11 +58,14 @@ def _duck_plane(p: list[float]) -> str:
         FROM embeddings WHERE vec_id = 0
     ),
     e AS (
-        -- zero-norm vectors are excluded (cosine undefined) — the
-        -- engine kernel's valid-mask discipline, mirrored here
+        -- zero-norm vectors are excluded (cosine undefined) and so are
+        -- RAGGED ones (size <> the query's dimension: no defined cosine
+        -- against q at all) — the engine kernel's valid-mask +
+        -- _ids_vectors(dim) discipline, mirrored here
         SELECT vec_id, v FROM (
             SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-            FROM embeddings WHERE vec_id <> 0
+            FROM embeddings
+            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
@@ -78,7 +81,8 @@ def _duck_plane(p: list[float]) -> str:
     """,
     doc="brute-force cosine top-k (query = vec 0) — north star similarity search baseline; "
     "quantized-integer cosine in one Arrow BLAS kernel (exact, oracle-identical; "
-    "zero-norm corpus vectors excluded deterministically — never NaN-ranked; "
+    "zero-norm corpus vectors excluded deterministically — never NaN-ranked — and "
+    "ragged rows off the query's dimension excluded as corrupt; "
     "operators/vectors.py knn_bruteforce)",
 )
 def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,9 +99,17 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v02_top_similar_pairs",
     oracle="""
-    WITH q AS (
+    WITH dm AS (
+        -- the corpus dimension: MODAL len among non-NULL rows, ties ->
+        -- smallest (the engine's _dim_of) — rows off it are corrupt
+        -- (ragged) and never pair, like NULL vectors
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -159,9 +171,13 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id = 0
     ),
     ex AS (
+        -- ragged rows (len <> the query's dimension) are corrupt for
+        -- this index: they neither train a centroid nor join the scan —
+        -- the engine's single entry filter, mirrored in both CTEs
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE len(embedding) = (SELECT len(q) FROM qv)
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -185,7 +201,8 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, label, eq FROM (
                 SELECT vec_id, label,
                        list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
-                FROM embeddings WHERE vec_id <> 0
+                FROM embeddings
+                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
             ) WHERE list_sum(list_transform(eq, x -> x * x)) > 0
         ) e
         JOIN probed USING (label), qv
@@ -237,8 +254,12 @@ def _v04_oracle() -> str:
         FROM embeddings WHERE vec_id = 0
     ),
     e AS (
+        -- ragged rows (len <> the query's dimension) are corrupt here:
+        -- neither a bucket code nor a distance is defined against q —
+        -- the engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE vec_id <> 0
+        FROM embeddings
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
     )
     SELECT vec_id, round(sqrt(s2)) / 1000000.0 AS dist
     FROM (
@@ -285,9 +306,16 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "v07_embedding_neardup",
     oracle="""
-    WITH q AS (
+    WITH dm AS (
+        -- the corpus dimension: MODAL len among non-NULL rows, ties ->
+        -- smallest (the engine's _dim_of) — ragged rows never pair
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -332,8 +360,12 @@ def _v06_oracle() -> str:
         FROM embeddings WHERE vec_id = 0
     ),
     e AS (
+        -- ragged rows (len <> the query's dimension) are corrupt here:
+        -- neither a sign code nor a cosine is defined against q — the
+        -- engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE vec_id <> 0
+        FROM embeddings
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
@@ -394,10 +426,18 @@ def _v09_oracle() -> str:
     )
     band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(_V09_BANDS))
     return f"""
-    WITH q AS (
+    WITH dm AS (
+        -- the corpus dimension: MODAL len among non-NULL rows, ties ->
+        -- smallest (the engine's _dim_of, which also sizes the planes)
+        -- — ragged rows can neither take a band code nor pair
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -532,10 +572,14 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id = 0
     ),
     e AS (
+        -- ragged rows (len <> the query's dimension) are corrupt here:
+        -- neither stage's score is defined against q — the engine's
+        -- _ids_vectors(dim) filter, mirrored
         SELECT vec_id,
                list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS v8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS vq
-        FROM embeddings WHERE vec_id <> 0
+        FROM embeddings
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q)
     ),
     cand AS (
         -- zero-norm rows (quantized) are excluded BEFORE the candidate
@@ -586,7 +630,16 @@ _V11_TAU = "0.44"
     # operators/vectors.py `quantized`), so the clustering itself is
     # what gets hash-checked.
     oracle=f"""
-    WITH ex AS (
+    WITH dm AS (
+        -- the corpus dimension: MODAL len among the dedup's input rows
+        -- (label and embedding non-NULL — the frame the engine passes),
+        -- ties -> smallest (_dim_of). Ragged rows are corrupt: they can
+        -- neither seed a centroid nor take an assignment
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row can neither
         -- seed a centroid nor be assigned — excluded from the dedup
         -- entirely, matching the engine's filter (NULL embeddings are
@@ -594,7 +647,7 @@ _V11_TAU = "0.44"
         SELECT vec_id, label, u.pos - 1 AS dim,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE label IS NOT NULL
+        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm)
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     asg0 AS (
@@ -616,7 +669,7 @@ _V11_TAU = "0.44"
     n AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
     ),
     nn AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n
@@ -680,10 +733,19 @@ def _v12_oracle() -> str:
     WITH wm AS (
         SELECT CAST(floor(0.8 * (max(vec_id) + 1)) AS BIGINT) AS w FROM embeddings
     ),
+    dm AS (
+        -- the INDEX dimension: modal len over the CORPUS side (the
+        -- engine's _dim_of(corpus), which sizes the planes) — ragged
+        -- rows on either side can neither take a band code nor pair;
+        -- ragged snapshot rows still report is_dup = false below
+        SELECT len(embedding) AS d FROM embeddings CROSS JOIN wm
+        WHERE vec_id < wm.w AND embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -758,21 +820,32 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
     # global top-k under the SAME total order, so the window rank
     # reproduces this SQL bit-for-bit.
     oracle="""
-    WITH q AS (
+    WITH dm AS (
+        -- the corpus dimension: modal len over the corpus side (the
+        -- engine's _dim_of(corpus)) — a ragged corpus row joins no
+        -- ranking, a ragged QUERY emits no neighbor rows (absent qid,
+        -- like zero-norm)
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE vec_id >= 10 AND embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    q AS (
         -- zero-norm queries emit no neighbor rows; zero-norm corpus
         -- vectors are excluded from every ranking (cosine undefined) —
         -- the engine kernel's valid-mask discipline, mirrored here
         SELECT qid, qv FROM (
             SELECT vec_id AS qid,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-            FROM embeddings WHERE vec_id < 10
+            FROM embeddings
+            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm)
         ) WHERE list_sum(list_transform(qv, x -> x * x)) > 0
     ),
     e AS (
         SELECT vec_id, v FROM (
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-            FROM embeddings WHERE vec_id >= 10
+            FROM embeddings
+            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm)
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     scored AS (
@@ -820,10 +893,20 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the (cos DESC, id) tie-break - mirroring the engine's
     # persisted-index probe bit-for-bit.
     oracle="""
-    WITH q AS (
+    WITH dm AS (
+        -- the INDEX dimension: modal len over the corpus side (the
+        -- engine's _dim_of inside ivf_index_build) — ragged rows are
+        -- corrupt: not a posting, not a centroid contributor, and a
+        -- ragged QUERY probes nothing (absent qid)
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE vec_id >= 10 AND embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    q AS (
         SELECT vec_id AS qid,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE vec_id < 10
+        FROM embeddings
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm)
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -833,6 +916,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
+          AND len(embedding) = (SELECT d FROM dm)
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -849,12 +933,14 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probed AS (SELECT qid, label FROM cellrank WHERE crk <= 2),
     e AS (
-        -- embedding IS NOT NULL: a vector-less row is never a posting
-        -- (the engine's ivf_index_build filter); a NULL label already
-        -- cannot equi-join a probed cell
+        -- len(embedding) = dm.d: a vector-less or ragged row is never a
+        -- posting (the engine's ivf_index_build filter — the predicate
+        -- also drops NULLs); a NULL label already cannot equi-join a
+        -- probed cell
         SELECT vec_id, label,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE vec_id >= 10 AND embedding IS NOT NULL
+        FROM embeddings
+        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm)
     ),
     scored AS (
         SELECT p.qid, e.vec_id,
@@ -911,10 +997,21 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # have no zero-norm vectors; the -1 quarantine path is pinned by
     # tests/test_operators.py instead.
     oracle="""
-    WITH a AS (
+    WITH dm AS (
+        -- the quantizer's dimension: modal len over the corpus side
+        -- (the engine's _dim_of inside ivf_centroids) — a ragged
+        -- arrival can be neither ranked against it nor stored in its
+        -- posting space (excluded, like NULL; zero-norm stays the -1
+        -- quarantine class)
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE vec_id >= 10 AND embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    a AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS av
-        FROM embeddings WHERE vec_id < 10
+        FROM embeddings
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm)
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -924,6 +1021,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
+          AND len(embedding) = (SELECT d FROM dm)
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -973,7 +1071,15 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the new memberships. round(avg(round(x*1e6))) is the same
     # half-away-from-zero integer math on both engines (v05 precedent).
     oracle="""
-    WITH ex AS (
+    WITH dm AS (
+        -- the quantizer's dimension: modal len over the corpus side
+        -- (the engine's _dim_of inside ivf_centroids) — ragged rows
+        -- neither train the quantizer nor take a re-assignment
+        SELECT len(embedding) AS d FROM embeddings
+        WHERE vec_id >= 10 AND embedding IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1
+    ),
+    ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
         -- and cannot train the quantizer (the engine's ivf_centroids
         -- filter); NULL embeddings are auto-excluded (UNNEST of NULL)
@@ -981,17 +1087,19 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
+          AND len(embedding) = (SELECT d FROM dm)
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
     av AS (
         -- zero-norm vectors have no assignable cell (the engine
         -- quarantines them in _cell = -1, excluded from retraining) —
-        -- mirrored here so they never shift a refreshed centroid mean
+        -- mirrored here so they never shift a refreshed centroid mean;
+        -- ragged rows are corrupt and excluded outright (assign_cells)
         SELECT vec_id, v FROM (
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-            FROM embeddings
+            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     ranked AS (

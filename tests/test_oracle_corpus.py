@@ -133,6 +133,18 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         "v14_ivf_persisted_probe",
         "v15_ivf_assign_arrivals",
         "v16_ivf_lloyd_refresh",
+        # r9 RAGGED rows (40- and 100-dim vectors in a 64-dim corpus):
+        # off-dimension rows are corrupt like NULL — excluded from every
+        # kernel/centroid/posting/assignment on both engines (the
+        # query's dimension for single-query ops, the modal len for
+        # pair/index ops); v03/v08 are REPORTS and surface the dims
+        "v02_top_similar_pairs",
+        "v05_ann_ivf_topk",
+        "v07_embedding_neardup",
+        "v08_label_cohesion",
+        "v09_embedding_neardup_lsh",
+        "v12_incremental_embedding_probe",
+        "v13_batch_knn",
     ]
     for name in fixed:
         q = REGISTRY[name]
@@ -150,6 +162,16 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
     assert not ({"solodomain", "uniformdom"} & c09)  # zero variance: no outliers
     m02 = {r["doc_id"] for r in REGISTRY["m02_decode_features"].builder(spark, dest).collect()}
     assert 900003 not in m02 and 900001 in m02  # NULL payload dropped, empty kept
+    v12 = {
+        r["vec_id"]: r["is_dup"]
+        for r in REGISTRY["v12_incremental_embedding_probe"].builder(spark, dest).collect()
+    }
+    # ragged snapshot rows are screened (one row each) but never scored
+    assert v12[900005] is False and v12[900006] is False
+    ragged_dims = (
+        REGISTRY["v03_label_centroids"].builder(spark, dest).filter("dim >= 64").count()
+    )
+    assert ragged_dims > 0  # the centroid REPORT surfaces the extra dims
     spark.catalog.clearCache()
 
 

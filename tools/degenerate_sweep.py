@@ -165,7 +165,19 @@ def build_doctored(base: str, dest: str) -> str:
         -- both engines (the oracles' nrm > 0 predicates already skip
         -- them: NULL is not > 0); a NULL label is just another group.
         (900003, NULL, 1),
-        (900004, (SELECT embedding FROM '{base}/embeddings.parquet' WHERE vec_id = 7), NULL)
+        (900004, (SELECT embedding FROM '{base}/embeddings.parquet' WHERE vec_id = 7), NULL),
+        -- r9: RAGGED rows — one short (40 dims), one long (100 dims).
+        -- Contract: a vector off the operator's dimension (the query's
+        -- for single-query ops, the corpus MODAL len for pair/index
+        -- ops) is corrupt like NULL — excluded from every kernel,
+        -- centroid, posting, and assignment on both engines (numpy's
+        -- stack throws on it; DuckDB's list_zip would silently
+        -- NULL-pad). v03/v08 are REPORTS and surface the extra dims.
+        (900005, (SELECT list_transform(embedding[1:40], x -> CAST(x AS FLOAT))
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 11), 4),
+        (900006, (SELECT list_transform(list_concat(embedding, embedding[1:36]),
+                                        x -> CAST(x AS FLOAT))
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 12), 5)
       ) t(vec_id, embedding, label)
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
