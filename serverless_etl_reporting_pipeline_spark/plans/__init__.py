@@ -46,6 +46,14 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #      and lead round 10's rotation. All deferred rows stay covered
 #      every round by the full-registry sf0.01 oracle run and both
 #      sweep modes (doctored + zero-row).
+#   NOTE (late r9): the ragged-dimension contract changed 14 v-family
+#   oracles AFTER this window was set. They do NOT jump the queue: the
+#   v-family's driver rows are r8 (the freshest cohort), the changed
+#   tree was re-verified by full-registry oracle runs at sf0.01 AND
+#   sf0.1 plus both sweep modes (recorded in PARITY.md/DEGEN_r09), and
+#   evicting the r5/r6-era cohorts would break the ~2.5-round driver-
+#   row freshness contract the round-8 verdict asked to restore. The
+#   v-family leads round 10's window instead.
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
