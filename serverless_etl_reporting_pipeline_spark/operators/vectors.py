@@ -91,10 +91,11 @@ def knn_bruteforce(
 
     qq = np.asarray([float(x) for x in query_vec_quantized], dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
-    if qn == 0.0:
-        # zero-norm query: no defined neighbors — short-circuit on the
-        # DRIVER (qn is known here) instead of paying a full corpus scan
-        # through the kernel just to yield nothing
+    if not (qn > 0.0):
+        # zero-norm (or NULL/NaN-component: qn is NaN) query: no defined
+        # neighbors — short-circuit on the DRIVER (qn is known here)
+        # instead of paying a full corpus scan through the kernel just
+        # to yield nothing
         return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
     bc = df.sparkSession.sparkContext.broadcast((qq, qn))
 
@@ -144,8 +145,32 @@ def quantize_np(a):
     """
     import numpy as np
 
-    v = np.asarray(a, dtype=np.float64) * QUANT
+    try:
+        v = np.asarray(a, dtype=np.float64)
+    except (TypeError, ValueError):
+        # a Python list straight off a Row can carry None components
+        # (the NULL-component corrupt class) — map them to NaN, the
+        # same value Arrow hands the kernels, so the NaN-norm guards
+        # see one representation driver-side and executor-side
+        v = np.asarray(
+            [np.nan if x is None else float(x) for x in a], dtype=np.float64
+        )
+    v = v * QUANT
     return np.copysign(np.floor(np.abs(v) + 0.5), v)
+
+
+def _has_null_component(col: Column | str) -> Column:
+    """True when the array itself is non-NULL but some COMPONENT is —
+    the third corrupt-vector class next to NULL vectors and ragged
+    dimensions. Engine kernels exclude such rows for free (Arrow
+    converts NULL floats to NaN, so their norm is NaN and every
+    valid mask's `an > 0` is False), but the JVM-side training paths
+    (centroid explodes) would silently average the surviving
+    components while DuckDB's list_sum skips NULLs and KEEPS the row —
+    the oracles pin exclusion with a list_filter predicate, and the
+    explode-based consumers filter with this helper to match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.exists(c, lambda x: x.isNull())
 
 
 def _ids_vectors(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
@@ -205,7 +230,20 @@ def _collect_quantized_build(df: DataFrame, id_col: str, vec_col: str, dim: int 
     if not rows:
         return np.empty(0, dtype=np.int64), np.zeros((0, 0)), np.empty(0)
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    B = quantize_np(np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in rows]))
+
+    def to_f64(v):
+        # Row lists can carry None components (the NULL-component
+        # corrupt class) — map to NaN like quantize_np's fallback, so
+        # the norm below is NaN and the callers' `qn > 0` guards
+        # exclude the row exactly like the Arrow-side kernels do
+        try:
+            return np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            return np.asarray(
+                [np.nan if x is None else float(x) for x in v], dtype=np.float64
+            )
+
+    B = quantize_np(np.stack([to_f64(r["_qv"]) for r in rows]))
     return ids, B, np.sqrt((B * B).sum(axis=1))
 
 
@@ -268,13 +306,14 @@ def ivf_topk(
     qq_list = [float(x) for x in query_vec_quantized]
     qq = np.asarray(qq_list, dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
-    if qn == 0.0:
-        # zero-norm query: no defined neighbors. Short-circuit BEFORE the
-        # probe ranking — its JVM cosine would raise DIVIDE_BY_ZERO under
-        # ANSI mode (the shingles-crash hazard class, r7 commit 61a3a72).
+    if not (qn > 0.0):
+        # zero-norm (or NULL/NaN-component) query: no defined neighbors.
+        # Short-circuit BEFORE the probe ranking — its JVM cosine would
+        # raise DIVIDE_BY_ZERO under ANSI mode (the shingles-crash
+        # hazard class, r7 commit 61a3a72).
         return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
 
-    df = df.filter(F.size(vec_col) == len(qq_list))
+    df = df.filter((F.size(vec_col) == len(qq_list)) & ~_has_null_component(vec_col))
     ex = df.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
     )
@@ -709,8 +748,9 @@ def ann_topk_rp(
     qq = np.asarray(query_vec_quantized, dtype=np.float64)
     q_bits = (P @ qq) >= 0  # exact: integer products < 2^53
     qn = float(np.sqrt(qq @ qq))
-    if qn == 0.0:
-        # zero-norm query: driver-side short-circuit (no corpus scan)
+    if not (qn > 0.0):
+        # zero-norm (or NULL/NaN-component) query: driver-side
+        # short-circuit (no corpus scan)
         return spark.createDataFrame([], f"{id_col} long, cos double")
     bc = spark.sparkContext.broadcast((P, qq, q_bits, qn, int(probe_hamming)))
 
@@ -903,11 +943,14 @@ def sq8_rerank_topk(
         # saturate to the int8 code range
         return np.clip(np.copysign(np.floor(np.abs(m * scale) + 0.5), m), -127.0, 127.0)
 
-    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qv = np.asarray(
+        [np.nan if x is None else float(x) for x in query_vec], dtype=np.float64
+    )
     qq = quantize_np(qv)
     qn = float(np.sqrt(qq @ qq))
-    if qn == 0.0:
-        # zero-norm query: driver-side short-circuit (no corpus scan)
+    if not (qn > 0.0):
+        # zero-norm (or NULL/NaN-component) query: driver-side
+        # short-circuit (no corpus scan)
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, score_i8 long, cos double"
         )
@@ -924,8 +967,11 @@ def sq8_rerank_topk(
             M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["_qv"]])
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             # zero-norm rows are excluded BEFORE the candidate cut —
-            # undefined rerank cosine must not crowd out real candidates
-            valid = quantize_np(M).any(axis=1)
+            # undefined rerank cosine must not crowd out real candidates.
+            # isfinite: a NULL component reaches the kernel as NaN and
+            # would otherwise take a garbage int8 score (NaN.any() is
+            # True); non-finite rows are corrupt and never candidates
+            valid = _np.isfinite(M).all(axis=1) & quantize_np(M).any(axis=1)
             if not valid.any():
                 continue
             M, ids = M[valid], ids[valid]
@@ -996,7 +1042,9 @@ def semdedup_map(
     import numpy as np
 
     tau = float(threshold)
-    df = df.filter(F.size(vec_col) == _dim_of(df, vec_col))
+    df = df.filter(
+        (F.size(vec_col) == _dim_of(df, vec_col)) & ~_has_null_component(vec_col)
+    )
     # exact-integer seed centroids (v03 idiom): explode → per-(label, dim)
     # round(avg(quantized)) — order-independent, engine-identical
     ex = df.select(
@@ -1413,7 +1461,11 @@ def ivf_centroids(
     # cell's centroid array and break every probe matmul — all excluded,
     # mirrored by the oracles' label IS NOT NULL / modal-len predicates
     d = dim or _dim_of(corpus, vec_col)
-    corpus = corpus.filter(F.col(cell_col).isNotNull() & (F.size(vec_col) == d))
+    corpus = corpus.filter(
+        F.col(cell_col).isNotNull()
+        & (F.size(vec_col) == d)
+        & ~_has_null_component(vec_col)
+    )
     ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
     )
@@ -1456,7 +1508,11 @@ def ivf_index_build(
     # cell and an index-dimension vector (a probe could never score a
     # NULL or ragged one)
     postings = (
-        corpus.filter(F.col(cell_col).isNotNull() & (F.size(vec_col) == d))
+        corpus.filter(
+            F.col(cell_col).isNotNull()
+            & (F.size(vec_col) == d)
+            & ~_has_null_component(vec_col)
+        )
         .select(
             F.col(cell_col).cast("long").alias("_cell"),
             F.col(id_col).cast("long").alias("_id"),
@@ -1513,7 +1569,7 @@ def ivf_batch_probe(
         # target; a zero-norm QUERY probes the lowest cells
         # deterministically and its candidate rows are then dropped by
         # the kernel's valid mask — no NaN anywhere
-        zq, zc = qn == 0.0, cn == 0.0
+        zq, zc = ~(qn > 0.0), ~(cn > 0.0)
         S = (Q @ C.T) / (np.where(zq, 1.0, qn)[:, None] * np.where(zc, 1.0, cn)[None, :])
         S[:, zc] = -np.inf
         S[zq, :] = -np.inf
@@ -1550,7 +1606,7 @@ def ivf_batch_probe(
             an_safe = _np.where(valid, an, 1.0)
             for j in set(cols.tolist()):  # candidate-linear, one BLAS row-block per query
                 m = cols == j
-                if qnorm[j] == 0.0:
+                if not (qnorm[j] > 0.0):
                     valid[m] = False
                     continue
                 raw[m] = (A[m] @ Qm[j]) / (an_safe[m] * qnorm[j])
@@ -1676,7 +1732,9 @@ def _assign_cells_precollected(
     # contract, applied before as_double. The dimension is the
     # quantizer's own (free: the collected centroid matrix carries it);
     # a zero-cell quantizer has no dimension and quarantines everything.
-    filtered = arrivals.filter(F.col(vec_col).isNotNull())
+    filtered = arrivals.filter(
+        F.col(vec_col).isNotNull() & ~_has_null_component(vec_col)
+    )
     if len(cells):
         filtered = filtered.filter(F.size(vec_col) == int(C.shape[1]))
     return filtered.select(

@@ -54,8 +54,11 @@ def _duck_plane(p: list[float]) -> str:
     "v01_knn_bruteforce",
     oracle="""
     WITH qv AS (
+        -- a query with NULL components has no defined neighbor set:
+        -- the engine short-circuits on its NaN norm; the empty CTE
+        -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     e AS (
         -- zero-norm vectors are excluded (cosine undefined) and so are
@@ -65,7 +68,7 @@ def _duck_plane(p: list[float]) -> str:
         SELECT vec_id, v FROM (
             SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
             FROM embeddings
-            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
+            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
@@ -109,7 +112,7 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -167,8 +170,11 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v05_ann_ivf_topk",
     oracle="""
     WITH qv AS (
+        -- a query with NULL components has no defined neighbor set:
+        -- the engine short-circuits on its NaN norm; the empty CTE
+        -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     ex AS (
         -- ragged rows (len <> the query's dimension) are corrupt for
@@ -177,7 +183,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE len(embedding) = (SELECT len(q) FROM qv)
+        WHERE len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -202,7 +208,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT vec_id, label,
                        list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
                 FROM embeddings
-                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
+                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
             ) WHERE list_sum(list_transform(eq, x -> x * x)) > 0
         ) e
         JOIN probed USING (label), qv
@@ -250,8 +256,11 @@ def _v04_oracle() -> str:
     )
     return f"""
     WITH qv AS (
+        -- a query with NULL components has no defined neighbor set:
+        -- the engine short-circuits on its NaN norm; the empty CTE
+        -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -259,7 +268,7 @@ def _v04_oracle() -> str:
         -- the engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     )
     SELECT vec_id, round(sqrt(s2)) / 1000000.0 AS dist
     FROM (
@@ -315,7 +324,7 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -356,8 +365,11 @@ def _v06_oracle() -> str:
     )
     return f"""
     WITH qv AS (
+        -- a query with NULL components has no defined neighbor set:
+        -- the engine short-circuits on its NaN norm; the empty CTE
+        -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -365,7 +377,7 @@ def _v06_oracle() -> str:
         -- engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv)
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
@@ -437,7 +449,7 @@ def _v09_oracle() -> str:
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -567,9 +579,10 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the two-stage cut reproduces bit-for-bit in DuckDB.
     oracle="""
     WITH q AS (
+        -- a query with NULL components has no defined neighbor set
         SELECT list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS q8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qq
-        FROM embeddings WHERE vec_id = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -579,7 +592,7 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS v8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS vq
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q)
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     cand AS (
         -- zero-norm rows (quantized) are excluded BEFORE the candidate
@@ -647,7 +660,7 @@ _V11_TAU = "0.44"
         SELECT vec_id, label, u.pos - 1 AS dim,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm)
+        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     asg0 AS (
@@ -669,7 +682,7 @@ _V11_TAU = "0.44"
     n AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     nn AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n
@@ -745,7 +758,7 @@ def _v12_oracle() -> str:
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -837,7 +850,7 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT vec_id AS qid,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
             FROM embeddings
-            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm)
+            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ) WHERE list_sum(list_transform(qv, x -> x * x)) > 0
     ),
     e AS (
@@ -845,7 +858,7 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
             FROM embeddings
-            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm)
+            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     scored AS (
@@ -906,7 +919,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS qid,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
         FROM embeddings
-        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm)
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -916,7 +929,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm)
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -940,7 +953,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm)
+        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     scored AS (
         SELECT p.qid, e.vec_id,
@@ -1011,7 +1024,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS av
         FROM embeddings
-        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm)
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -1021,7 +1034,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm)
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -1087,7 +1100,7 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm)
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -1099,7 +1112,7 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, v FROM (
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm)
+            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     ranked AS (

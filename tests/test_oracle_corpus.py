@@ -145,6 +145,15 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         "v09_embedding_neardup_lsh",
         "v12_incremental_embedding_probe",
         "v13_batch_knn",
+        # r9 NULL-COMPONENT row (a NULL inside a correct-length vector):
+        # DuckDB list_sum would skip it (row kept, truncated dot) while
+        # Arrow hands the kernels NaN (row dropped — or a garbage int8
+        # score in v10's candidate cut). Contract: corrupt, excluded on
+        # both engines (oracles' list_filter predicate; the kernels'
+        # NaN-norm masks and the training paths' _has_null_component)
+        "v04_ann_lsh_topk",
+        "v06_ann_rplsh_topk",
+        "v10_sq8_rerank",
     ]
     for name in fixed:
         q = REGISTRY[name]
@@ -166,13 +175,53 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         r["vec_id"]: r["is_dup"]
         for r in REGISTRY["v12_incremental_embedding_probe"].builder(spark, dest).collect()
     }
-    # ragged snapshot rows are screened (one row each) but never scored
-    assert v12[900005] is False and v12[900006] is False
+    # ragged / NULL-component snapshot rows are screened (one row each)
+    # but never scored
+    assert v12[900005] is False and v12[900006] is False and v12[900007] is False
     ragged_dims = (
         REGISTRY["v03_label_centroids"].builder(spark, dest).filter("dim >= 64").count()
     )
     assert ragged_dims > 0  # the centroid REPORT surfaces the extra dims
+    v10 = {r["vec_id"] for r in REGISTRY["v10_sq8_rerank"].builder(spark, dest).collect()}
+    # the NULL-component row must never take an int8 candidate slot
+    assert 900007 not in v10
     spark.catalog.clearCache()
+
+
+def test_null_component_query_vector_has_no_neighbors(spark, tmp_path):
+    """A QUERY vector with a NULL component has no defined neighbor set:
+    the engine short-circuits on its NaN norm, the oracles' qv CTE
+    list_filter predicate empties every downstream join — both engines
+    return zero rows (the zero-norm-query contract extended to the
+    corrupt-component class)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id,
+                 CASE WHEN vec_id = 0
+                      THEN list_transform(embedding[1:31], x -> CAST(x AS FLOAT))
+                           || [CAST(NULL AS FLOAT)]
+                           || list_transform(embedding[33:64], x -> CAST(x AS FLOAT))
+                      ELSE embedding END AS embedding,
+                 label
+          FROM '/root/testdata/sf0.001/embeddings.parquet'
+        ) TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'")
+    from tools.oracle_check import compare
+
+    for name in ("v01_knn_bruteforce", "v05_ann_ivf_topk", "v10_sq8_rerank"):
+        q = REGISTRY[name]
+        df = q.builder(spark, str(tmp_path))
+        rows = df.collect()
+        assert rows == [], f"{name}: NULL-component query must have no neighbors"
+        rel = con.sql(q.oracle)
+        ok, msg, _ = compare(rows, rel.fetchall(), df.columns, list(rel.columns))
+        assert ok, f"{name}: {msg}"
 
 
 def test_zero_row_tables_crash_free_and_oracle_exact(spark):

@@ -177,7 +177,16 @@ def build_doctored(base: str, dest: str) -> str:
                   FROM '{base}/embeddings.parquet' WHERE vec_id = 11), 4),
         (900006, (SELECT list_transform(list_concat(embedding, embedding[1:36]),
                                         x -> CAST(x AS FLOAT))
-                  FROM '{base}/embeddings.parquet' WHERE vec_id = 12), 5)
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 12), 5),
+        -- r9: a NULL COMPONENT inside a correct-length vector — the
+        -- third corrupt class. DuckDB's list_sum would skip the NULL
+        -- (keeping the row with a truncated dot) while Arrow hands the
+        -- kernels NaN (dropping it, or worse: a garbage int8 score in
+        -- the sq8 cut). Contract: excluded everywhere, both engines.
+        (900007, (SELECT list_transform(embedding[1:31], x -> CAST(x AS FLOAT))
+                         || [CAST(NULL AS FLOAT)]
+                         || list_transform(embedding[33:64], x -> CAST(x AS FLOAT))
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 13), 6)
       ) t(vec_id, embedding, label)
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
