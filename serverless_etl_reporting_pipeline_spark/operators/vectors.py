@@ -91,7 +91,7 @@ def knn_bruteforce(
 
     qq = np.asarray([float(x) for x in query_vec_quantized], dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
-    if not (qn > 0.0):
+    if not (np.isfinite(qn) and qn > 0.0):
         # zero-norm (or NULL/NaN-component: qn is NaN) query: no defined
         # neighbors — short-circuit on the DRIVER (qn is known here)
         # instead of paying a full corpus scan through the kernel just
@@ -109,7 +109,7 @@ def knn_bruteforce(
                 continue
             A = _stack_quantized(pdf)
             an = _np.sqrt((A * A).sum(axis=1))
-            valid = an > 0.0
+            valid = _np.isfinite(an) & (an > 0.0)
             if not valid.any():
                 continue
             Av = A[valid]
@@ -159,18 +159,21 @@ def quantize_np(a):
     return np.copysign(np.floor(np.abs(v) + 0.5), v)
 
 
-def _has_null_component(col: Column | str) -> Column:
-    """True when the array itself is non-NULL but some COMPONENT is —
-    the third corrupt-vector class next to NULL vectors and ragged
-    dimensions. Engine kernels exclude such rows for free (Arrow
-    converts NULL floats to NaN, so their norm is NaN and every
-    valid mask's `an > 0` is False), but the JVM-side training paths
-    (centroid explodes) would silently average the surviving
-    components while DuckDB's list_sum skips NULLs and KEEPS the row —
-    the oracles pin exclusion with a list_filter predicate, and the
-    explode-based consumers filter with this helper to match."""
+def _has_corrupt_component(col: Column | str) -> Column:
+    """True when the array itself is non-NULL but some COMPONENT is
+    NULL, NaN, or ±Inf — the corrupt-component classes next to NULL
+    vectors and ragged dimensions. Engine kernels exclude NULL/NaN
+    rows for free (Arrow converts NULL floats to NaN, so their norm is
+    NaN and fails `an > 0`) and Inf rows via the isfinite masks, but
+    the JVM-side training paths (centroid explodes) would silently
+    average the surviving components while DuckDB's list_sum skips
+    NULLs — and DuckDB orders NaN above every value, so its `nrm > 0`
+    would KEEP what the kernels drop. The oracles pin exclusion with a
+    list_filter predicate over the same three checks; the explode-based
+    consumers filter with this helper to match."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.exists(c, lambda x: x.isNull())
+    inf = F.lit(float("inf"))
+    return F.exists(c, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf))
 
 
 def _ids_vectors(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
@@ -306,14 +309,14 @@ def ivf_topk(
     qq_list = [float(x) for x in query_vec_quantized]
     qq = np.asarray(qq_list, dtype=np.float64)
     qn = float(np.sqrt(qq @ qq))
-    if not (qn > 0.0):
+    if not (np.isfinite(qn) and qn > 0.0):
         # zero-norm (or NULL/NaN-component) query: no defined neighbors.
         # Short-circuit BEFORE the probe ranking — its JVM cosine would
         # raise DIVIDE_BY_ZERO under ANSI mode (the shingles-crash
         # hazard class, r7 commit 61a3a72).
         return df.sparkSession.createDataFrame([], f"{id_col} long, cos double")
 
-    df = df.filter((F.size(vec_col) == len(qq_list)) & ~_has_null_component(vec_col))
+    df = df.filter((F.size(vec_col) == len(qq_list)) & ~_has_corrupt_component(vec_col))
     ex = df.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
     )
@@ -349,7 +352,7 @@ def ivf_topk(
                 continue
             A = _stack_quantized(pdf)
             an = _np.sqrt((A * A).sum(axis=1))
-            valid = an > 0.0
+            valid = _np.isfinite(an) & (an > 0.0)
             if not valid.any():
                 continue
             cos = (A[valid] @ qq) / (an[valid] * qn)
@@ -432,7 +435,7 @@ def _grid_pairs(
             A = _stack_quantized(pdf)
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            valid = an > 0.0
+            valid = _np.isfinite(an) & (an > 0.0)
             S = (A @ A.T) / (
                 _np.where(valid, an, 1.0)[:, None] * _np.where(valid, an, 1.0)[None, :]
             )
@@ -450,7 +453,7 @@ def _grid_pairs(
             bids = pb["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
             bn = _np.sqrt((B * B).sum(axis=1))
-            va, vb = an > 0.0, bn > 0.0
+            va, vb = (_np.isfinite(an) & (an > 0.0)), (_np.isfinite(bn) & (bn > 0.0))
             S = (A @ B.T) / (
                 _np.where(va, an, 1.0)[:, None] * _np.where(vb, bn, 1.0)[None, :]
             )
@@ -544,7 +547,7 @@ def top_similar_pairs_broadcast(
             A = _stack_quantized(pdf)
             aid = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            va = an > 0.0
+            va = _np.isfinite(an) & (an > 0.0)
             # zero-norm vectors never pair (undefined cosine) — the
             # _grid_pairs valid-mask discipline, bit-identical results
             S = (A @ Bm.T) / (
@@ -652,7 +655,7 @@ def neardup_pairs_lsh_banded(
         an = _np.sqrt((A * A).sum(axis=1))
         # zero-norm vectors never pair (undefined cosine) — the
         # semdedup_map valid-mask discipline; no NaN reaches `>= tau`
-        valid = an > 0.0
+        valid = _np.isfinite(an) & (an > 0.0)
         S = (A @ A.T) / (
             _np.where(valid, an, 1.0)[:, None] * _np.where(valid, an, 1.0)[None, :]
         )
@@ -748,7 +751,7 @@ def ann_topk_rp(
     qq = np.asarray(query_vec_quantized, dtype=np.float64)
     q_bits = (P @ qq) >= 0  # exact: integer products < 2^53
     qn = float(np.sqrt(qq @ qq))
-    if not (qn > 0.0):
+    if not (np.isfinite(qn) and qn > 0.0):
         # zero-norm (or NULL/NaN-component) query: driver-side
         # short-circuit (no corpus scan)
         return spark.createDataFrame([], f"{id_col} long, cos double")
@@ -765,7 +768,10 @@ def ann_topk_rp(
             A = _stack_quantized(pdf)
             codes = (A @ Pm.T) >= 0
             mask = (codes != qb[None, :]).sum(axis=1) <= r
-            mask &= (A * A).sum(axis=1) > 0.0  # zero-norm: cosine undefined
+            n2 = (A * A).sum(axis=1)
+            # zero-norm (cosine undefined) and non-finite (corrupt
+            # components) rows are excluded
+            mask &= _np.isfinite(n2) & (n2 > 0.0)
             if not mask.any():
                 continue
             Am = A[mask]
@@ -948,7 +954,7 @@ def sq8_rerank_topk(
     )
     qq = quantize_np(qv)
     qn = float(np.sqrt(qq @ qq))
-    if not (qn > 0.0):
+    if not (np.isfinite(qn) and qn > 0.0):
         # zero-norm (or NULL/NaN-component) query: driver-side
         # short-circuit (no corpus scan)
         return df.sparkSession.createDataFrame(
@@ -1043,7 +1049,7 @@ def semdedup_map(
 
     tau = float(threshold)
     df = df.filter(
-        (F.size(vec_col) == _dim_of(df, vec_col)) & ~_has_null_component(vec_col)
+        (F.size(vec_col) == _dim_of(df, vec_col)) & ~_has_corrupt_component(vec_col)
     )
     # exact-integer seed centroids (v03 idiom): explode → per-(label, dim)
     # round(avg(quantized)) — order-independent, engine-identical
@@ -1141,7 +1147,7 @@ def semdedup_map(
         an = _np.sqrt((A * A).sum(axis=1))
         # zero-norm vectors have undefined cosine: they never pair (the
         # valid mask), deterministically — no NaN reaches the comparison
-        valid = an > 0.0
+        valid = _np.isfinite(an) & (an > 0.0)
         S = (A @ A.T) / (_np.where(valid, an, 1.0)[:, None] * _np.where(valid, an, 1.0)[None, :])
         ai, bi = _np.nonzero(
             (ids[:, None] < ids[None, :]) & (S >= tau) & valid[:, None] & valid[None, :]
@@ -1292,7 +1298,7 @@ def probe_band_index(
         bn = _np.sqrt((B * B).sum(axis=1))
         # zero-norm vectors never pair (undefined cosine) — the
         # semdedup_map valid-mask discipline; no NaN reaches `>= tau`
-        va, vb = an > 0.0, bn > 0.0
+        va, vb = (_np.isfinite(an) & (an > 0.0)), (_np.isfinite(bn) & (bn > 0.0))
         S = (B @ A.T) / (
             _np.where(vb, bn, 1.0)[:, None] * _np.where(va, an, 1.0)[None, :]
         )
@@ -1359,7 +1365,7 @@ def batch_knn(
 
     d = dim or _dim_of(corpus, vec_col)
     qids, Q, qn = _collect_quantized_build(queries, qid_col, vec_col, dim=d)
-    if len(qids) == 0 or not (qn > 0.0).any():
+    if len(qids) == 0 or not (np.isfinite(qn) & (qn > 0.0)).any():
         # empty batch, or every query zero-norm: no ranking exists —
         # driver-side short-circuit, never a corpus scan for nothing
         return corpus.sparkSession.createDataFrame(
@@ -1372,14 +1378,14 @@ def batch_knn(
         import pandas as _pd
 
         qi, Qm, qnorm, kk = bc.value
-        qvalid = qnorm > 0.0
+        qvalid = _np.isfinite(qnorm) & (qnorm > 0.0)
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            cvalid = an > 0.0
+            cvalid = _np.isfinite(an) & (an > 0.0)
             if not cvalid.any():
                 continue
             A, ids, an = A[cvalid], ids[cvalid], an[cvalid]
@@ -1464,7 +1470,7 @@ def ivf_centroids(
     corpus = corpus.filter(
         F.col(cell_col).isNotNull()
         & (F.size(vec_col) == d)
-        & ~_has_null_component(vec_col)
+        & ~_has_corrupt_component(vec_col)
     )
     ex = corpus.select(cell_col, F.posexplode(as_double(vec_col)).alias("dim", "x")).select(
         cell_col, "dim", F.round(F.col("x") * QUANT).alias("q")
@@ -1511,7 +1517,7 @@ def ivf_index_build(
         corpus.filter(
             F.col(cell_col).isNotNull()
             & (F.size(vec_col) == d)
-            & ~_has_null_component(vec_col)
+            & ~_has_corrupt_component(vec_col)
         )
         .select(
             F.col(cell_col).cast("long").alias("_cell"),
@@ -1569,7 +1575,7 @@ def ivf_batch_probe(
         # target; a zero-norm QUERY probes the lowest cells
         # deterministically and its candidate rows are then dropped by
         # the kernel's valid mask — no NaN anywhere
-        zq, zc = ~(qn > 0.0), ~(cn > 0.0)
+        zq, zc = ~(np.isfinite(qn) & (qn > 0.0)), ~(np.isfinite(cn) & (cn > 0.0))
         S = (Q @ C.T) / (np.where(zq, 1.0, qn)[:, None] * np.where(zc, 1.0, cn)[None, :])
         S[:, zc] = -np.inf
         S[zq, :] = -np.inf
@@ -1602,11 +1608,11 @@ def ivf_batch_probe(
             raw = _np.zeros(len(ids), dtype=_np.float64)
             # zero-norm posting/query vectors have undefined cosine: they
             # are EXCLUDED from results deterministically, never NaN-ranked
-            valid = an > 0.0
+            valid = _np.isfinite(an) & (an > 0.0)
             an_safe = _np.where(valid, an, 1.0)
             for j in set(cols.tolist()):  # candidate-linear, one BLAS row-block per query
                 m = cols == j
-                if not (qnorm[j] > 0.0):
+                if not (_np.isfinite(qnorm[j]) and qnorm[j] > 0.0):
                     valid[m] = False
                     continue
                 raw[m] = (A[m] @ Qm[j]) / (an_safe[m] * qnorm[j])
@@ -1706,7 +1712,7 @@ def _assign_cells_precollected(
                 continue
             A = _stack_quantized(pdf)
             an = _np.sqrt((A * A).sum(axis=1))
-            valid = an > 0.0
+            valid = _np.isfinite(an) & (an > 0.0)
             S = (A @ Cm.T) / (_np.where(valid, an, 1.0)[:, None] * cn_safe[None, :])
             S[:, zcell] = -_np.inf
             # quantized-integer compare, columns pre-sorted by cell id so
@@ -1733,7 +1739,7 @@ def _assign_cells_precollected(
     # quantizer's own (free: the collected centroid matrix carries it);
     # a zero-cell quantizer has no dimension and quarantines everything.
     filtered = arrivals.filter(
-        F.col(vec_col).isNotNull() & ~_has_null_component(vec_col)
+        F.col(vec_col).isNotNull() & ~_has_corrupt_component(vec_col)
     )
     if len(cells):
         filtered = filtered.filter(F.size(vec_col) == int(C.shape[1]))

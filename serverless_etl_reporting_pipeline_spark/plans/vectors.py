@@ -58,7 +58,7 @@ def _duck_plane(p: list[float]) -> str:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     e AS (
         -- zero-norm vectors are excluded (cosine undefined) and so are
@@ -68,7 +68,7 @@ def _duck_plane(p: list[float]) -> str:
         SELECT vec_id, v FROM (
             SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
             FROM embeddings
-            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
@@ -112,7 +112,7 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -145,9 +145,16 @@ def v02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label, CAST(pos - 1 AS INT) AS dim, round(avg(q)) / 1000000.0 AS centroid
     FROM (
+        -- NULL components stay (avg skips them on both engines); NaN /
+        -- Inf components are excluded BEFORE the cast — undefined
+        -- arithmetic has no mean, and CAST(NaN AS BIGINT) errors on
+        -- both engines (ANSI / DuckDB)
         SELECT label, u.pos AS pos,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE embedding[u.pos] IS NULL
+           OR (NOT isnan(CAST(embedding[u.pos] AS DOUBLE))
+               AND NOT isinf(CAST(embedding[u.pos] AS DOUBLE)))
     )
     GROUP BY 1, 2
     """,
@@ -159,10 +166,16 @@ def v02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label",
-        F.posexplode(as_double("embedding")).alias("dim", "x"),
-    ).select("label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
+    inf = F.lit(float("inf"))
+    exploded = (
+        emb.select("label", F.posexplode(as_double("embedding")).alias("dim", "x"))
+        # NULL components stay (avg skips them); NaN/Inf are excluded
+        # BEFORE the bigint cast (undefined arithmetic has no mean, and
+        # the ANSI cast would raise) — x IS NULL keeps the NULL branch
+        # since isnan(NULL) is NULL and NULL OR TRUE = TRUE
+        .filter(F.col("x").isNull() | (~F.isnan("x") & (F.abs("x") != inf)))
+        .select("label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
+    )
     return exploded.groupBy("label", "dim").agg((F.round(F.avg("q")) / 1000000.0).alias("centroid"))
 
 
@@ -174,7 +187,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     ex AS (
         -- ragged rows (len <> the query's dimension) are corrupt for
@@ -183,7 +196,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -208,7 +221,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT vec_id, label,
                        list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
                 FROM embeddings
-                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ) WHERE list_sum(list_transform(eq, x -> x * x)) > 0
         ) e
         JOIN probed USING (label), qv
@@ -260,7 +273,7 @@ def _v04_oracle() -> str:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -268,7 +281,7 @@ def _v04_oracle() -> str:
         -- the engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     )
     SELECT vec_id, round(sqrt(s2)) / 1000000.0 AS dist
     FROM (
@@ -324,7 +337,7 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -369,7 +382,7 @@ def _v06_oracle() -> str:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -377,7 +390,7 @@ def _v06_oracle() -> str:
         -- engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
@@ -449,7 +462,7 @@ def _v09_oracle() -> str:
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -504,9 +517,15 @@ def v09_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double and the per-label stats are engine-identical.
     oracle="""
     WITH ex AS (
+        -- NULL components skip (both engines' sums ignore them); NaN /
+        -- Inf components are excluded before the cast (no defined
+        -- arithmetic; CAST(NaN AS BIGINT) errors on both engines)
         SELECT vec_id, label, u.pos - 1 AS dim,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
+        WHERE embedding[u.pos] IS NULL
+           OR (NOT isnan(CAST(embedding[u.pos] AS DOUBLE))
+               AND NOT isinf(CAST(embedding[u.pos] AS DOUBLE)))
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     per_vec AS (
@@ -535,9 +554,13 @@ def v09_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "x")
-    ).select("vec_id", "label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
+    inf = F.lit(float("inf"))
+    ex = (
+        emb.select("vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "x"))
+        # same component guard as v03 (NaN/Inf out before the ANSI cast)
+        .filter(F.col("x").isNull() | (~F.isnan("x") & (F.abs("x") != inf)))
+        .select("vec_id", "label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
+    )
     cent = ex.groupBy("label", "dim").agg(F.round(F.avg("q")).alias("c"))
     per_vec = (
         ex.join(F.broadcast(cent), ["label", "dim"])
@@ -582,7 +605,7 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- a query with NULL components has no defined neighbor set
         SELECT list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS q8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qq
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -592,7 +615,7 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS v8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS vq
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cand AS (
         -- zero-norm rows (quantized) are excluded BEFORE the candidate
@@ -660,7 +683,7 @@ _V11_TAU = "0.44"
         SELECT vec_id, label, u.pos - 1 AS dim,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     asg0 AS (
@@ -682,7 +705,7 @@ _V11_TAU = "0.44"
     n AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     nn AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n
@@ -758,7 +781,7 @@ def _v12_oracle() -> str:
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -850,7 +873,7 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT vec_id AS qid,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
             FROM embeddings
-            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         ) WHERE list_sum(list_transform(qv, x -> x * x)) > 0
     ),
     e AS (
@@ -858,7 +881,7 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
             FROM embeddings
-            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     scored AS (
@@ -919,7 +942,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS qid,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
         FROM embeddings
-        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -929,7 +952,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -953,7 +976,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     scored AS (
         SELECT p.qid, e.vec_id,
@@ -1024,7 +1047,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS av
         FROM embeddings
-        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -1034,7 +1057,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -1100,7 +1123,7 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -1112,7 +1135,7 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, v FROM (
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     ranked AS (

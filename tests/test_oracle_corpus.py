@@ -150,10 +150,16 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         # Arrow hands the kernels NaN (row dropped — or a garbage int8
         # score in v10's candidate cut). Contract: corrupt, excluded on
         # both engines (oracles' list_filter predicate; the kernels'
-        # NaN-norm masks and the training paths' _has_null_component)
+        # NaN-norm masks and the training paths' _has_corrupt_component).
+        # r9 NON-FINITE components (NaN / +Inf rows 900008/900009):
+        # DuckDB orders NaN above everything so a bare nrm > 0 keeps
+        # what the kernels drop; Inf norms passed `> 0` until the
+        # isfinite masks. Same exclusion contract; the v03/v08 reports
+        # drop the corrupt COMPONENT (ANSI bigint cast would raise).
         "v04_ann_lsh_topk",
         "v06_ann_rplsh_topk",
         "v10_sq8_rerank",
+        "v03_label_centroids",
     ]
     for name in fixed:
         q = REGISTRY[name]
@@ -175,9 +181,10 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         r["vec_id"]: r["is_dup"]
         for r in REGISTRY["v12_incremental_embedding_probe"].builder(spark, dest).collect()
     }
-    # ragged / NULL-component snapshot rows are screened (one row each)
-    # but never scored
-    assert v12[900005] is False and v12[900006] is False and v12[900007] is False
+    # ragged / NULL- / NaN- / Inf-component snapshot rows are screened
+    # (one row each) but never scored
+    for corrupt in (900005, 900006, 900007, 900008, 900009):
+        assert v12[corrupt] is False, corrupt
     ragged_dims = (
         REGISTRY["v03_label_centroids"].builder(spark, dest).filter("dim >= 64").count()
     )

@@ -186,7 +186,20 @@ def build_doctored(base: str, dest: str) -> str:
         (900007, (SELECT list_transform(embedding[1:31], x -> CAST(x AS FLOAT))
                          || [CAST(NULL AS FLOAT)]
                          || list_transform(embedding[33:64], x -> CAST(x AS FLOAT))
-                  FROM '{base}/embeddings.parquet' WHERE vec_id = 13), 6)
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 13), 6),
+        -- r9: NON-FINITE components (NaN, +Inf) — DuckDB orders NaN
+        -- above every value so a bare nrm > 0 would KEEP what the
+        -- kernels' NaN masks drop, and an Inf norm passed `> 0` until
+        -- the isfinite masks. Excluded everywhere; the v03/v08 reports
+        -- drop the corrupt COMPONENT (the ANSI bigint cast would raise)
+        (900008, (SELECT list_transform(embedding[1:31], x -> CAST(x AS FLOAT))
+                         || [CAST('NaN' AS FLOAT)]
+                         || list_transform(embedding[33:64], x -> CAST(x AS FLOAT))
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 14), 7),
+        (900009, (SELECT list_transform(embedding[1:31], x -> CAST(x AS FLOAT))
+                         || [CAST('Infinity' AS FLOAT)]
+                         || list_transform(embedding[33:64], x -> CAST(x AS FLOAT))
+                  FROM '{base}/embeddings.parquet' WHERE vec_id = 15), 8)
       ) t(vec_id, embedding, label)
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
