@@ -2331,3 +2331,53 @@ def test_scd2_empty_log_schema_matches_drained(spark, tmp_path):
     ).coalesce(1).write.parquet(src_r)
     assert incremental_scd2_drain(spark, src_r, SCHEMAS["events"], work_r) == 1
     assert scd2_table(spark, work_r).schema == empty.schema
+
+
+def test_streaming_vector_dedup_corrupt_batch(spark, tmp_path):
+    """Corrupt vectors flowing through the STREAMING dedup ingest: a
+    micro-batch carrying every corrupt-vector class (NULL vector,
+    ragged, NULL component, NaN component) must drain crash-free, screen
+    each corrupt row as is_dup = false, and still equal the
+    oracle-pinned batch operator on the same split — the v-query corrupt
+    contract holding at the streaming surface too."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        neardup_vector_index_probe,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        incremental_vector_dedup_drain,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    d1 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    d2 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),        # true dup of vec 0
+            (11, None),                         # NULL vector
+            (12, [1.0, 0.0]),                   # ragged (len 2 of 4)
+            (13, [1.0, None, 0.0, 0.0]),        # NULL component
+            (14, [float("nan"), 0.0, 0.0, 0.0]),  # NaN component
+        ],
+        schema,
+    )
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    kw = dict(threshold=0.9, n_bits=8, bands=4, seed=7)
+
+    d1.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, d1.schema, work, **kw) == 1
+    d2.coalesce(1).write.mode("append").parquet(src)
+    assert incremental_vector_dedup_drain(spark, src, d1.schema, work, **kw) == 1
+
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/vec_ann/batch=1").collect()
+    }
+    assert got[10] == (True, 0)
+    for corrupt in (11, 12, 13, 14):
+        assert got[corrupt] == (False, None), corrupt
+    want = {
+        r["vec_id"]: (r["is_dup"], r["dup_src"])
+        for r in neardup_vector_index_probe(d1, d2, **kw).collect()
+    }
+    assert got == want
