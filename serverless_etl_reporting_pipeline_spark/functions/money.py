@@ -77,3 +77,19 @@ def duck_sum(x: str) -> str:
 
 def duck_avg(x: str) -> str:
     return DUCK_AVG.format(x=x)
+
+
+def metric(col: Column | str) -> Column:
+    """An UNTRUSTED telemetry metric: NaN is treated as NULL — the
+    observation (event row) exists, its measurement doesn't. Feeds the
+    money/stat helpers so counts keep the row while every value-derived
+    aggregate skips it, and `cents()`'s ANSI bigint cast never sees NaN
+    (CAST_OVERFLOW). TPC-H monetary columns are generator-controlled
+    and stay on the trusted direct path. Oracle-side mirror:
+    ``CASE WHEN isnan(value) THEN NULL ELSE value END`` (DUCK_METRIC).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+DUCK_METRIC = "CASE WHEN isnan(value) THEN NULL ELSE value END"

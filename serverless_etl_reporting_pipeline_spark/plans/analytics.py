@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.functions.money import cents, duck_avg, duck_sum, money_avg, money_sum
+from serverless_etl_reporting_pipeline_spark.functions.money import metric, cents, duck_avg, duck_sum, money_avg, money_sum
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -160,9 +160,11 @@ def a04_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a05_hourly_events",
     oracle=f"""
+    -- NaN value = corrupt telemetry: the event still counts, its
+    -- measurement is NULL (functions/money.py metric contract)
     SELECT CAST(hour(ts) AS INT) AS hour_of_day,
            count(*) AS transactions,
-           {duck_sum('value')} AS revenue
+           {duck_sum('(CASE WHEN isnan(value) THEN NULL ELSE value END)')} AS revenue
     FROM events
     GROUP BY 1
     """,
@@ -172,7 +174,7 @@ def a05_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy(F.hour("ts").alias("hour_of_day")).agg(
         F.count("*").alias("transactions"),
-        money_sum("value").alias("revenue"),
+        money_sum(metric("value")).alias("revenue"),
     )
 
 

@@ -168,6 +168,10 @@ def e02_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
+    -- a NaN measurement has no bucket (floor(NaN) routes through each
+    -- engine's own NaN ordering — divergent) and is excluded; NULL
+    -- keeps its NULL-bucket row on both engines
+    WHERE value IS NULL OR NOT isnan(value)
     GROUP BY 1
     ORDER BY bucket
     """,
@@ -176,7 +180,9 @@ def e02_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate, no sort until the 20-row result",
 )
 def e03_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     bucket = F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("int")
     return (
         ev.groupBy(bucket.alias("bucket"))

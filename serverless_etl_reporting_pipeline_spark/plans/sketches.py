@@ -167,7 +167,7 @@ _QUANTILES_MICRO = (500000, 900000, 990000)  # p50 / p90 / p99
     WITH st AS (
         SELECT min(value) AS lo, max(value) AS hi,
                CAST(count(*) AS BIGINT) AS n
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     b AS (
         -- hi = lo (constant-value distribution): every row is bucket 0
@@ -178,7 +178,7 @@ _QUANTILES_MICRO = (500000, 900000, 990000)  # p50 / p90 / p99
                     ELSE least({_HIST_B - 1},
                                CAST(floor((value - lo) / (hi - lo) * {_HIST_B}) AS INT))
                END AS bucket
-        FROM events, st WHERE value IS NOT NULL
+        FROM events, st WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     h AS (
         SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket
@@ -217,7 +217,9 @@ def x04_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     B = _HIST_B
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     lo, hi, n = ev.agg(
         F.min("value"), F.max("value"), F.count("*").cast("bigint")
     ).collect()[0]

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.skew import salted_agg, salted_join
+from serverless_etl_reporting_pipeline_spark.functions.money import metric
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -29,8 +30,10 @@ from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 @query(
     "k01_salted_user_rollup",
     oracle="""
+    -- NaN value = corrupt telemetry: the event still counts, its
+    -- measurement is NULL (the metric contract)
     SELECT user_id,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
            CAST(count(event_id) AS BIGINT) AS count_event_id,
            max(ts) AS max_ts
     FROM events
@@ -50,7 +53,7 @@ def k01_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.round(metric("value") * 100).cast("bigint").alias("value_cents"),
     )
     out = salted_agg(
         ev,
@@ -71,7 +74,7 @@ def k01_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_nationkey AS nationkey,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+           CAST(sum(CAST(round((CASE WHEN isnan(e.value) THEN NULL ELSE e.value END) * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     ORDER BY nationkey
@@ -87,7 +90,7 @@ def k01_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k02_salted_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id"),
-        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.round(metric("value") * 100).cast("bigint").alias("value_cents"),
     )
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_nationkey"

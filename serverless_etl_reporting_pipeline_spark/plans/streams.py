@@ -12,7 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.functions.money import money_sum
+from serverless_etl_reporting_pipeline_spark.functions.money import metric, money_sum
 from serverless_etl_reporting_pipeline_spark.operators.sketch import HASH_SPACE
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
@@ -43,7 +43,7 @@ def _cache_tag(src_file: str, *layout_sources: str) -> str:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
@@ -55,7 +55,7 @@ def s01_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum(metric("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
@@ -64,7 +64,7 @@ def s01_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s02_sliding_1h_15m",
     oracle="""
     SELECT ws AS window_start, count(*) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM (
         SELECT value,
                date_trunc('hour', ts)
@@ -82,7 +82,7 @@ def s02_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum(metric("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 
@@ -91,7 +91,7 @@ def s02_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s03_session_window_30m",
     oracle="""
     SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM (
         SELECT user_id, ts, value,
                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -116,7 +116,7 @@ def s03_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum(metric("value")).alias("total_value"))
         .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "total_value")
     )
 

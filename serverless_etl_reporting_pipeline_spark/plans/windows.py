@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.functions.money import cents, money_sum
+from serverless_etl_reporting_pipeline_spark.functions.money import metric, cents, money_sum
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -183,10 +183,12 @@ def w05_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w06_sessionization",
     oracle="""
+    -- NaN value = corrupt telemetry: the event still sessionizes and
+    -- counts, its measurement is NULL (the metric contract)
     SELECT user_id,
            count(DISTINCT session_id) AS sessions,
            count(*) AS events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM (
         SELECT user_id, value,
                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -225,7 +227,7 @@ def w06_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_session.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("sessions"),
         F.count("*").alias("events"),
-        money_sum("value").alias("total_value"),
+        money_sum(metric("value")).alias("total_value"),
     )
 
 
@@ -353,7 +355,9 @@ def w07_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
-        FROM events WHERE value IS NOT NULL
+        -- an OHLC bar needs a NUMBER: NULL and NaN measurements are
+        -- excluded from the bars (and their n_events) on both engines
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     w AS (
         SELECT event_type, day, cents,
@@ -385,7 +389,9 @@ def w07_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reuses the partitioning, no global sort (SURVEY.md §2.8)",
 )
 def w10_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     e = ev.select(
         "event_type",
         F.col("ts").cast("date").alias("day"),

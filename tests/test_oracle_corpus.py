@@ -160,6 +160,18 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
         "v06_ann_rplsh_topk",
         "v10_sq8_rerank",
         "v03_label_centroids",
+        # r9 NaN metric value (events row 9900007): the event counts,
+        # its measurement is NULL (functions/money.py metric contract) —
+        # 8 of these crashed at CAST(NaN AS BIGINT) before the fix and
+        # e03 silently miscounted a bucket
+        "a05_hourly_events",
+        "e03_value_histogram",
+        "k01_salted_user_rollup",
+        "k02_salted_nation_activity",
+        "s01_tumbling_1h",
+        "s02_sliding_1h_15m",
+        "w10_daily_ohlc",
+        "x04_histogram_quantiles",
     ]
     for name in fixed:
         q = REGISTRY[name]
@@ -192,6 +204,13 @@ def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
     v10 = {r["vec_id"] for r in REGISTRY["v10_sq8_rerank"].builder(spark, dest).collect()}
     # the NULL-component row must never take an int8 candidate slot
     assert 900007 not in v10
+    k01 = {
+        r["user_id"]: (r["sum_value_cents"], r["count_event_id"])
+        for r in REGISTRY["k01_salted_user_rollup"].builder(spark, dest).collect()
+    }
+    # NaN metric: the event COUNTS, its measurement doesn't (user
+    # 999996 has exactly the one doctored NaN-valued event)
+    assert k01[999996] == (None, 1)
     spark.catalog.clearCache()
 
 

@@ -220,7 +220,13 @@ def build_doctored(base: str, dest: str) -> str:
         -- (Spark nulls-first vs DuckDB NULLS LAST) — the sharp probe
         -- that found the e01/e08/s01/s03 divergences
         (9900005, NULL, 999997, 'purchase', 7.5, '{{}}'),
-        (9900006, NULL, 999999, 'purchase', 3.25, '{{}}')
+        (9900006, NULL, 999999, 'purchase', 3.25, '{{}}'),
+        -- r9: a NaN metric value — the double-column corruption the
+        -- vector hunt covered for embeddings. Spark and DuckDB share
+        -- the NaN-greatest ordering convention, but aggregates and
+        -- ANSI casts do not forgive: sum/avg poison to NaN, min/max
+        -- return NaN as the maximum, and CAST(NaN AS BIGINT) raises
+        (9900007, TIMESTAMP '2024-01-15 12:00:04', 999996, 'view', CAST('NaN' AS DOUBLE), '{{}}')
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
