@@ -92,4 +92,9 @@ def metric(col: Column | str) -> Column:
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
-DUCK_METRIC = "CASE WHEN isnan(value) THEN NULL ELSE value END"
+DUCK_METRIC = "CASE WHEN isnan({x}) THEN NULL ELSE {x} END"
+
+
+def duck_metric(x: str) -> str:
+    """DuckDB mirror of `metric()` for oracle strings — NaN → NULL."""
+    return DUCK_METRIC.format(x=x)

@@ -211,7 +211,13 @@ def _stack_quantized(pdf, col: str = "_qv"):
     try:
         return quantize_np(np.stack([np.asarray(v, dtype=np.float64) for v in pdf[col]]))
     except ValueError as e:
-        sizes = sorted({len(v) for v in pdf[col]})
+        try:
+            sizes = sorted({len(v) for v in pdf[col] if hasattr(v, "__len__")})
+        except Exception:
+            # the stack failure wasn't raggedness (non-sized / non-
+            # numeric element) — re-raise the original, not a masked
+            # secondary error from the diagnostic itself
+            raise e
         raise ValueError(
             "mixed embedding dimensions reached a vector kernel "
             f"(sizes {sizes}): the operator must exclude ragged rows via "
@@ -540,7 +546,10 @@ def top_similar_pairs_broadcast(
         import pandas as _pd
 
         ids_b, Bm, bn = bc.value
-        vb = bn > 0.0
+        # same valid-mask discipline as _grid_pairs: an Inf-component
+        # build row has bn = inf and would otherwise pair with NaN/inf
+        # scores that rank FIRST under the -cos lexsort
+        vb = _np.isfinite(bn) & (bn > 0.0)
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.functions.money import metric, cents, duck_avg, duck_sum, money_avg, money_sum
+from serverless_etl_reporting_pipeline_spark.functions.money import metric, cents, duck_avg, duck_metric, duck_sum, money_avg, money_sum
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -164,7 +164,7 @@ def a04_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- measurement is NULL (functions/money.py metric contract)
     SELECT CAST(hour(ts) AS INT) AS hour_of_day,
            count(*) AS transactions,
-           {duck_sum('(CASE WHEN isnan(value) THEN NULL ELSE value END)')} AS revenue
+           {duck_sum(f"({duck_metric('value')})")} AS revenue
     FROM events
     GROUP BY 1
     """,

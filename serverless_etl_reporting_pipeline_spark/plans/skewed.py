@@ -22,18 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.skew import salted_agg, salted_join
-from serverless_etl_reporting_pipeline_spark.functions.money import metric
+from serverless_etl_reporting_pipeline_spark.functions.money import duck_metric, metric
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
 
 @query(
     "k01_salted_user_rollup",
-    oracle="""
+    oracle=f"""
     -- NaN value = corrupt telemetry: the event still counts, its
     -- measurement is NULL (the metric contract)
     SELECT user_id,
-           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           CAST(sum(CAST(round(({duck_metric('value')}) * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
            CAST(count(event_id) AS BIGINT) AS count_event_id,
            max(ts) AS max_ts
     FROM events
@@ -71,10 +71,10 @@ def k01_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k02_salted_nation_activity",
-    oracle="""
+    oracle=f"""
     SELECT c.c_nationkey AS nationkey,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round((CASE WHEN isnan(e.value) THEN NULL ELSE e.value END) * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+           CAST(sum(CAST(round(({duck_metric('e.value')}) * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     ORDER BY nationkey

@@ -12,10 +12,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.functions.money import metric, money_sum
+from serverless_etl_reporting_pipeline_spark.functions.money import duck_metric, duck_sum, metric, money_sum
 from serverless_etl_reporting_pipeline_spark.operators.sketch import HASH_SPACE
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+
+# the oracle twin of money_sum(metric("value")) — NaN measurements are
+# missing, then exact integer-cents sum (see functions/money.py)
+_DUCK_SUM_METRIC = duck_sum(f"({duck_metric('value')})")
 
 
 def _cache_tag(src_file: str, *layout_sources: str) -> str:
@@ -36,14 +40,14 @@ def _cache_tag(src_file: str, *layout_sources: str) -> str:
 
 @query(
     "s01_tumbling_1h",
-    oracle="""
+    oracle=f"""
     -- ts IS NOT NULL mirrors F.window(): an event without a timestamp
     -- belongs to NO window (Spark drops it from every time-window
     -- operator); date_trunc alone would invent a NULL window group
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           {_DUCK_SUM_METRIC} AS total_value
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
@@ -62,9 +66,9 @@ def s01_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s02_sliding_1h_15m",
-    oracle="""
+    oracle=f"""
     SELECT ws AS window_start, count(*) AS n_events,
-           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           {_DUCK_SUM_METRIC} AS total_value
     FROM (
         SELECT value,
                date_trunc('hour', ts)
@@ -89,9 +93,9 @@ def s02_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s03_session_window_30m",
-    oracle="""
+    oracle=f"""
     SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           {_DUCK_SUM_METRIC} AS total_value
     FROM (
         SELECT user_id, ts, value,
                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_etl_reporting_pipeline_spark.functions.money import metric, cents, money_sum
+from serverless_etl_reporting_pipeline_spark.functions.money import duck_metric, duck_sum, metric, cents, money_sum
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -182,13 +182,13 @@ def w05_running_total_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w06_sessionization",
-    oracle="""
+    oracle=f"""
     -- NaN value = corrupt telemetry: the event still sessionizes and
     -- counts, its measurement is NULL (the metric contract)
     SELECT user_id,
            count(DISTINCT session_id) AS sessions,
            count(*) AS events,
-           CAST(sum(CAST(round((CASE WHEN isnan(value) THEN NULL ELSE value END) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+           {duck_sum(f"({duck_metric('value')})")} AS total_value
     FROM (
         SELECT user_id, value,
                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

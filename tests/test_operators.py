@@ -741,6 +741,25 @@ def test_zero_norm_vectors_never_ranked(spark):
         pairs = fn(df, k=20).collect()
         assert len(pairs) == 6 and all(3 not in (r["id_a"], r["id_b"]) for r in pairs), fn.__name__
         assert not any(math.isnan(r["raw_cos"]) for r in pairs), fn.__name__
+
+    # Inf/NaN-COMPONENT rows (the doctored row-900009 class) must be
+    # excluded by BOTH pair variants — an Inf build row has norm = inf,
+    # and without the isfinite mask its pairs score ±inf/NaN and rank
+    # FIRST under the -cos lexsort (the r10 ADVICE find on the
+    # broadcast path's build-side mask)
+    df_inf = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.001], 0),
+            (8, [float("inf"), 1.0], 0),
+            (9, [float("nan"), 1.0], 0),
+        ],
+        schema,
+    )
+    for fn in (top_similar_pairs, top_similar_pairs_broadcast):
+        pairs = fn(df_inf, k=20).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)], fn.__name__
+        assert math.isfinite(pairs[0]["raw_cos"]), fn.__name__
     dups = neardup_map(df, threshold=0.9).collect()
     assert [(r["dup_id"], r["kept_id"]) for r in dups] == [(2, 1)]
     banded = neardup_pairs_lsh_banded(df, threshold=-1.0).collect()
