@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from serverless_etl_reporting_pipeline_spark.functions.money import duck_metric, metric
 from serverless_etl_reporting_pipeline_spark.plans.base import query
 from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
 
@@ -251,11 +252,17 @@ def e04_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linear-interpolation definition ((1-g)·a + g·b on the sorted
     # values); inputs are the raw parquet doubles, so the interpolated
     # values agree to the last bit and the 1e-4 round is belt-and-braces.
-    oracle="""
+    # NaN amounts are treated as missing (the metric contract): both
+    # engines' percentile SILENTLY returns NaN for a NaN input — unlike
+    # the money path's cents cast, which fail-stops loudly on both
+    # engines — so this is the one site where a corrupt amount would
+    # surface unnoticed as a p50/p90/p99 value (r9 ADVICE boundary,
+    # decided corpus-wide in round 10; see PARITY.md NaN policy).
+    oracle=f"""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5) * 10000) / 10000.0 AS p50,
-           round(quantile_cont(o_totalprice, 0.9) * 10000) / 10000.0 AS p90,
-           round(quantile_cont(o_totalprice, 0.99) * 10000) / 10000.0 AS p99
+           round(quantile_cont({duck_metric('o_totalprice')}, 0.5) * 10000) / 10000.0 AS p50,
+           round(quantile_cont({duck_metric('o_totalprice')}, 0.9) * 10000) / 10000.0 AS p90,
+           round(quantile_cont({duck_metric('o_totalprice')}, 0.99) * 10000) / 10000.0 AS p99
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -266,7 +273,9 @@ def e04_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e05_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    # NaN amounts are missing measurements (the metric contract):
+    # percentile would otherwise silently surface NaN as p50/p90/p99
+    pct = F.percentile(metric("o_totalprice"), [0.5, 0.9, 0.99])
     return (
         orders.groupBy("o_orderpriority")
         .agg(pct.alias("p"))

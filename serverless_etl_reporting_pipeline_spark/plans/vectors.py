@@ -192,11 +192,16 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (
         -- ragged rows (len <> the query's dimension) are corrupt for
         -- this index: they neither train a centroid nor join the scan —
-        -- the engine's single entry filter, mirrored in both CTEs
+        -- the engine's single entry filter, mirrored in both CTEs.
+        -- vec_id <> 0 trains on the SAME frame the engine's quantizer
+        -- sees (the corpus without the query row): before r10 the
+        -- oracle trained over ALL rows and matched only because
+        -- round(avg) over ~200-vector cells barely moves — a fixture
+        -- regeneration could have flipped a near-tied probe ranking
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),

@@ -88,6 +88,47 @@ def test_x01_null_user_id_excluded_both_engines(spark, tmp_path):
     assert got[0]["n_rows"] == 3 and got[0]["k_used"] == 2 and got[0]["est_distinct"] == 2
 
 
+def test_e05_nan_amount_excluded_both_engines(spark, tmp_path):
+    """The r10 NaN-policy decision, pinned: e05 is the one site where a
+    NaN amount would SURFACE silently (percentile/quantile_cont return
+    NaN on both engines instead of fail-stopping like the money path's
+    cents cast), so it carries the metric guard — a NaN o_totalprice is
+    a missing measurement, excluded from the percentile frame on BOTH
+    engines. Differential on a doctored corpus the sweep can't carry
+    (a NaN amount would fail-stop every other orders money query)."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+
+    d = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "O", 100.0, d, "1-URGENT"),
+        (2, 1, "O", 200.0, d, "1-URGENT"),
+        (3, 1, "O", float("nan"), d, "1-URGENT"),
+        (4, 2, "F", 50.0, d, "5-LOW"),
+    ]
+    spark.createDataFrame(rows, SCHEMAS["orders"]).coalesce(1).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    q = REGISTRY["e05_order_percentiles"]
+    df = q.builder(spark, str(tmp_path))
+    got = df.collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    rel = con.sql(q.oracle)
+    ok, msg, _ = compare(got, rel.fetchall(), df.columns, list(rel.columns))
+    assert ok, msg
+    urgent = next(r for r in got if r["o_orderpriority"] == "1-URGENT")
+    # NaN excluded: p50 of {100, 200} is 150, and nothing is NaN
+    assert urgent["p50"] == 150.0
+    assert all(math.isfinite(r[c]) for r in got for c in ("p50", "p90", "p99"))
+
+
 def test_degenerate_fixtures_crash_free_and_oracle_exact(spark):
     """The r8 degenerate-input sweep, pinned: queries that the doctored
     fixtures (empty/NULL/whitespace docs, zero-norm and quantizes-to-
