@@ -1230,6 +1230,7 @@ def neardup_vector_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 4242,
+    dim: int | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup: probe the corpus's PERSISTED
     band-code index with a freshly-ingested snapshot — the embedding
@@ -1249,13 +1250,18 @@ def neardup_vector_index_probe(
     Returns one row per snapshot vector: ``(id_col, is_dup, dup_src,
     cos)`` — dup_src = the SMALLEST matching corpus id (deterministic),
     cos its exact quantized cosine, both NULL when no corpus near-dup.
+
+    ``dim`` pins the code-space dimension (corrupt-row exclusion rides
+    on it); when absent it is inferred as the corpus's modal length
+    (`_dim_of` — one tiny driver aggregate, the oracles' modal-len CTE).
     """
     import numpy as np
 
     if n_bits % bands:
         raise ValueError("n_bits must be divisible by bands")
     rpb = n_bits // bands
-    P = np.array(random_hyperplanes(n_bits, _dim_of(corpus, vec_col), seed), dtype=np.float64)
+    d = dim if dim is not None else _dim_of(corpus, vec_col)
+    P = np.array(random_hyperplanes(n_bits, d, seed), dtype=np.float64)
     fan_c = _band_code_fan(corpus, P, bands, rpb, id_col, vec_col).persist()
     return probe_band_index(fan_c, snapshot, P, bands, rpb, threshold, id_col, vec_col)
 

@@ -99,10 +99,16 @@ def incremental_vector_dedup_drain(
     seed: int = 4242,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> int:
     """Drain all unprocessed embedding files, one micro-batch per file,
     updating the on-disk band index under ``work_dir``. Returns the
-    number of micro-batches processed this drain."""
+    number of micro-batches processed this drain.
+
+    ``dim`` pins the corpus dimension for the hyperplane codes; when
+    absent each micro-batch infers it with a modal `_dim_of` aggregate
+    (one extra tiny driver job per batch — fine for a fixture drain,
+    pass ``dim`` explicitly for a long-running deployment)."""
     if n_bits % bands:
         raise ValueError("n_bits must be divisible by bands")
     rpb = n_bits // bands
@@ -118,9 +124,8 @@ def incremental_vector_dedup_drain(
         s = batch.sparkSession
         import numpy as np
 
-        P = np.array(
-            random_hyperplanes(n_bits, _dim_of(batch, vec_col), seed), dtype=np.float64
-        )
+        d = dim if dim is not None else _dim_of(batch, vec_col)
+        P = np.array(random_hyperplanes(n_bits, d, seed), dtype=np.float64)
         # probe ONLY strictly-earlier state (replay idempotence: a
         # failed prior attempt's own batch=<id> segment — or its own
         # rows inside a compaction — is invisible)

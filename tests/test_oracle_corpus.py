@@ -88,6 +88,34 @@ def test_x01_null_user_id_excluded_both_engines(spark, tmp_path):
     assert got[0]["n_rows"] == 3 and got[0]["k_used"] == 2 and got[0]["est_distinct"] == 2
 
 
+def test_sweep_pins_fixture_schemas(tmp_path):
+    """r9 verdict ask #6: the degenerate sweep derives empty/doctored
+    table schemas from the base parquet at sweep time, so a silent
+    fixture schema change could sail through. `_assert_base_schemas`
+    pins the declared StructTypes against the on-disk files — green on
+    the real fixtures, loud on a deliberately renamed column."""
+    import shutil
+
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.reader import TABLES
+    from tools.degenerate_sweep import _assert_base_schemas
+
+    base = "/root/testdata/sf0.001"
+    _assert_base_schemas(base)  # the real fixtures must pass
+
+    scratch = tmp_path / "drift"
+    scratch.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{base}/{t}.parquet", scratch / f"{t}.parquet")
+    duckdb.sql(
+        f"COPY (SELECT r_regionkey AS region_key, r_name FROM '{base}/region.parquet') "
+        f"TO '{scratch}/region.parquet' (FORMAT PARQUET)"
+    )
+    with pytest.raises(AssertionError, match="schema drift"):
+        _assert_base_schemas(str(scratch))
+
+
 def test_e05_nan_amount_excluded_both_engines(spark, tmp_path):
     """The r10 NaN-policy decision, pinned: e05 is the one site where a
     NaN amount would SURFACE silently (percentile/quantile_cont return

@@ -569,6 +569,21 @@ def test_streaming_vector_dedup_equals_batch_probe(spark, sf_dir, tmp_path):
         threshold=float(_V12_TAU), n_bits=_V09_BITS, bands=_V09_BANDS, seed=_V09_SEED
     )
 
+    # explicit dim= pins the code space without the per-micro-batch
+    # modal _dim_of job (r9 watch item); it must land the drain on the
+    # exact annotations of the dim-inferring batch operator below
+    dim = len(emb.select("embedding").first()[0])
+    kw["dim"] = dim
+
+    # prove the modal aggregate is SKIPPED when dim is explicit: any
+    # _dim_of call inside the drain would trip this sentinel
+    import serverless_etl_reporting_pipeline_spark.streaming.vectors as sv
+
+    def _boom(*a, **k):  # pragma: no cover - sentinel
+        raise AssertionError("_dim_of ran despite explicit dim=")
+
+    real_dim_of, sv._dim_of = sv._dim_of, _boom
+
     base = emb.filter(f"vec_id < {wm}")
     delta = emb.filter(f"vec_id >= {wm}")
     base.coalesce(1).write.mode("append").parquet(src)
@@ -576,6 +591,7 @@ def test_streaming_vector_dedup_equals_batch_probe(spark, sf_dir, tmp_path):
     delta.coalesce(1).write.mode("append").parquet(src)
     assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
     assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 0
+    sv._dim_of = real_dim_of
 
     # batch 0: no prior state — nothing may be flagged
     b0 = spark.read.parquet(f"{work}/vec_ann/batch=0")

@@ -50,12 +50,54 @@ OUT = "/tmp/spark_graft_degenerate"
 
 _PLAIN = ["part"]
 
+# Spark declared type → DuckDB DESCRIBE type, for pinning the fixture
+# schemas below. TIMESTAMP_NS normalizes to TIMESTAMP (DuckDB surfaces
+# parquet ns-timestamps either way depending on version).
+_SPARK2DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "timestamp_ntz": "TIMESTAMP",
+    "array<float>": "FLOAT[]",
+}
+
+
+def _assert_base_schemas(base: str) -> None:
+    """Pin the TESTDATA.md schemas EXPLICITLY (r9 verdict ask #6):
+    `build_empty`/`build_doctored` otherwise derive every schema from
+    the base parquet at sweep time, so a reader hard-coding a column
+    that silently vanished from TESTDATA would still sweep green. A
+    renamed/retyped/reordered fixture column now trips loudly here
+    instead."""
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+
+    con = duckdb.connect()
+    for t, st in SCHEMAS.items():
+        declared = [(f.name, _SPARK2DUCK[f.dataType.simpleString()]) for f in st.fields]
+        actual = [
+            (name, "TIMESTAMP" if typ == "TIMESTAMP_NS" else typ)
+            for name, typ, *_ in con.sql(
+                f"DESCRIBE SELECT * FROM '{base}/{t}.parquet'"
+            ).fetchall()
+        ]
+        if declared != actual:
+            raise AssertionError(
+                f"fixture schema drift in {base}/{t}.parquet:\n"
+                f"  declared (sources/schemas.py): {declared}\n"
+                f"  on disk:                       {actual}"
+            )
+
 
 def build_doctored(base: str, dest: str) -> str:
     """Copy ``base`` and append the degenerate rows. DuckDB-side so the
     doctored parquet is independent of the engine under test."""
     import duckdb
 
+    _assert_base_schemas(base)
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest)
     for t in _PLAIN:
@@ -241,6 +283,7 @@ def build_empty(base: str, dest: str) -> str:
 
     from serverless_etl_reporting_pipeline_spark.sources.reader import TABLES
 
+    _assert_base_schemas(base)
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest)
     con = duckdb.connect()
