@@ -20,40 +20,29 @@ from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 9
-# (derived, as in r8, from the union of CORRECTNESS_r01-r08 key sets —
-# every query's last driver round):
-#   1. _PRIORITY first — what round 9 ADDED or CHANGED: s05 (the one
-#      NEW query this round — the staged-drain streaming KMV, giving
-#      streaming/sketches.py its registry-level driver row; its kernel
-#      also gained the NULL-key dropna guard), s04 (oracle change:
-#      the explicit ts IS NOT NULL pin of the NULL-event-time CDC
-#      contract, plus the layout-fingerprint cache tag), and the
-#      r9 doctored NULL-ts purchase rows' finds — e01/e08/s01/s03,
-#      whose oracles (and e01's engine filter) now pin the
-#      NULL-event-time contract explicitly (a version row needs a
-#      valid_from; a time window / session needs an event time; a
-#      watermark split can't route a NULL ts; w06/w08's per-user lag
-#      frames — w06 rides the r5-era cohort's slot below). 7 slots.
-#   2. The full r5-era cohort deferred from the r8 window (last driver
-#      row round 5): t16, c07, e06, e07, j01-j03, k01, k02, w01, w02,
-#      w06, w07, w10. 14 slots.
-#   3. The full r6-era cohort (last driver row round 6): c10-c12,
-#      d01-d05, j04-j07, o01-o03, p01-p05, t01, t13, t17, t18, v03,
-#      x04. 26 slots.
-#   4. 10 + 14 + 26 fills the window exactly; the r7-era rows listed
-#      after the cohorts (c08, t11, t20) sit just past the 50-slot cut
-#      and lead round 10's rotation. All deferred rows stay covered
-#      every round by the full-registry sf0.01 oracle run and both
-#      sweep modes (doctored + zero-row).
-#   NOTE (late r9): the ragged-dimension contract changed 14 v-family
-#   oracles AFTER this window was set. They do NOT jump the queue: the
-#   v-family's driver rows are r8 (the freshest cohort), the changed
-#   tree was re-verified by full-registry oracle runs at sf0.01 AND
-#   sf0.1 plus both sweep modes (recorded in PARITY.md/DEGEN_r09), and
-#   evicting the r5/r6-era cohorts would break the ~2.5-round driver-
-#   row freshness contract the round-8 verdict asked to restore. The
-#   v-family leads round 10's window instead.
+# the first 50 registry entries per round. Rotation policy for round 10
+# (derived, as every round, from the union of CORRECTNESS_r01-r09 key
+# sets — every query's last driver round; the r9 verdict names this
+# exact cohort):
+#   1. _PRIORITY first — what round 10 CHANGED: e05 (engine+oracle now
+#      carry the NaN-as-missing metric guard — the one silent-
+#      surfacing site of the corpus-wide NaN decision, PARITY.md),
+#      v05 (oracle's quantizer-training CTE aligned to the engine's
+#      corpus-without-query frame), and w03/w04/w05/x01 (the remaining
+#      queries the r9 ADVICE boundary named — their contract is now
+#      DECIDED and recorded: fail-stop money path / no double read —
+#      so they rotate through the window in the same round per that
+#      note). 6 slots.
+#   2. The full r7-era cohort (last driver row round 7, e05 already
+#      above): a01-a11, c01-c04, c06, c08, e02-e04, m01, pipe01,
+#      pipe02, s02, t07, t09, t11, t15, t19, t20, t24, w09. 32 slots.
+#   3. Backfill with the oldest r8 rows: a12, a14, a17-a20, c05, c09,
+#      m02-m04, p06. 12 slots.
+#   4. 6 + 32 + 12 fills the window exactly; the remaining r8-era rows
+#      (t02-t06, t08, t10, t12, t14, t21-t23, v01-v16 minus v05,
+#      x02/x03/x05) lead round 11's rotation. All deferred rows stay
+#      covered every round by the full-registry sf0.01 oracle run and
+#      both sweep modes (doctored + zero-row).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
@@ -61,33 +50,30 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 # queries stay covered every round by tools/oracle_check.py (full
 # registry at sf0.01 pre-commit) and the spark.sql conformance test.
 _PRIORITY = (
-    # ADDED this round: the staged-drain streaming KMV sketch log
-    "s05",
-    # oracle/engine changed this round: NULL-event-time contract pinned
-    # explicitly (the r9 doctored NULL-ts purchase rows' finds; w06 is
-    # already in the r5-era cohort below)
-    "s04", "e01", "e08", "s01", "s03", "w08",
-    # oracle changed this round: the zero-row-table sweep's find — the
-    # SQL standard emits a count-0 grand-total row from EMPTY input,
-    # Spark's rollup/cube/groupingSets emit nothing; the oracles now
-    # pin Spark's zero-rows -> zero-groups semantics via HAVING
-    "a13", "a15", "a16",
+    # engine+oracle changed this round: the NaN-as-missing guard on the
+    # percentile frame (the corpus-wide NaN decision's one silent-
+    # surfacing site)
+    "e05",
+    # oracle changed this round: quantizer trains on the corpus
+    # without the query row, the frame the engine always used
+    "v05",
+    # named by the r9 ADVICE NaN boundary, now decided and recorded
+    # (PARITY.md): money-path fail-stop (w03-w05), no-double-read (x01)
+    "w03", "w04", "w05", "x01",
 )
 
-# rotation cohorts, oldest driver row first (r5-era, r6-era, then the
-# 8 oldest r7-era rows); the driver window is _PRIORITY + this, cut
-# to 50 by the driver itself
+# rotation cohorts, oldest driver row first (the full r7-era cohort,
+# then the oldest r8-era rows); the driver window is _PRIORITY + this,
+# cut to 50 by the driver itself
 _ROTATION_TAIL = (
-    # r5-era (last driver row round 5)
-    ("t16", "c07", "e06", "e07", "j01", "j02", "j03", "k01", "k02")
-    + ("w01", "w02", "w06", "w07", "w10")
-    # r6-era (last driver row round 6)
-    + ("c10", "c11", "c12", "d01", "d02", "d03", "d04", "d05")
-    + ("j04", "j05", "j06", "j07", "o01", "o02", "o03")
-    + ("p01", "p02", "p03", "p04", "p05")
-    + ("t01", "t13", "t17", "t18", "v03", "x04")
-    # oldest r7-era rows (the rest defer to round 10)
-    + ("c08", "t11", "t20")
+    # r7-era (last driver row round 7)
+    ("a01", "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11")
+    + ("c01", "c02", "c03", "c04", "c06", "c08")
+    + ("e02", "e03", "e04", "m01", "pipe01", "pipe02", "s02")
+    + ("t07", "t09", "t11", "t15", "t19", "t20", "t24", "w09")
+    # oldest r8-era rows (the rest defer to round 11)
+    + ("a12", "a14", "a17", "a18", "a19", "a20")
+    + ("c05", "c09", "m02", "m03", "m04", "p06")
 )
 
 
