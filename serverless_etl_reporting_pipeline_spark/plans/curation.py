@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tokens
 from serverless_etl_reporting_pipeline_spark.plans.base import query
-from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table, spread_scan
 
 # Generic scrub patterns — valid and equivalent in Java regex (Spark) and
 # RE2 (DuckDB): no lookaround, no backrefs.
@@ -197,6 +197,9 @@ _BLOOM_HEX = 4  # 4 hex chars = 16 bits = positions in [0, 65536)
 )
 def c02_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     # one md5 per shingle; both hash slices come from it. The shingle
     # subtree feeds the filter build AND the probe side — persist it.
     hashed = (
@@ -266,6 +269,9 @@ def c02_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c03_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     counts = (
         docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .groupBy("doc_id", "ch")
@@ -620,6 +626,13 @@ def c09_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c06_chargram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # Spread the scan before the ~1000x bigram fan-out (the r10 c06
+    # settlement: the whole explode+partial-agg ran as ONE task on the
+    # single-split fixture file — 3.5 s -> 1.3 s isolated at sf0.1, and
+    # the source of the r9 "conflicting readings"; hashing by doc_id
+    # also satisfies the (doc_id, b) grouping, so the 463k post-explode
+    # rows never shuffle). See sources/reader.py spread_scan.
+    docs = spread_scan(docs, "doc_id")
     bg = docs.select(
         "doc_id",
         F.explode(

@@ -30,7 +30,7 @@ from serverless_etl_reporting_pipeline_spark.operators.minhash import (
     neardup_components,
 )
 from serverless_etl_reporting_pipeline_spark.plans.base import query
-from serverless_etl_reporting_pipeline_spark.sources.reader import load_table
+from serverless_etl_reporting_pipeline_spark.sources.reader import load_table, spread_scan
 
 
 @query(
@@ -248,6 +248,9 @@ def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     sh = (
         docs.select("doc_id", "source", tokens("text").alias("t"))
         .select("doc_id", "source", F.explode(shingles("t", 3)).alias("s"))
@@ -517,6 +520,9 @@ def t12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     toks_e = docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
     tf = toks_e.groupBy("source", "tok").agg(F.count("*").alias("tf"))
     dfreq = toks_e.select("doc_id", "tok").distinct().groupBy("tok").agg(
@@ -570,6 +576,9 @@ def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t15_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     bg = docs.select(tokens("text").alias("t")).select(
         F.explode(shingles("t", 2)).alias("bigram")
     )
@@ -756,6 +765,9 @@ def t18_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     # the tokenize→explode→distinct subtree feeds BOTH the held-out and
     # training sides below — persist it or the most expensive map stage
     # runs twice (same rationale as operators/minhash.py:97)
@@ -1117,6 +1129,9 @@ def t23_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t24_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     sh = (
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", F.explode(shingles("t", 8)).alias("s"))

@@ -73,6 +73,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Spread a small scan across the cluster before a high-fan-out map
+    stage (shingle/char/token explode): input-split sizing sees
+    PRE-explode bytes, so a corpus small enough to sit in one split runs
+    the whole ~1000x fan-out PLUS its partial aggregate on a single core
+    — the r10 c06 finding (3.5 s -> 1.3 s at sf0.1, and the source of
+    its noise-like conflicting readings: one task's wall tracks one
+    core's state). Hash-partitioning by ``key`` also keeps downstream
+    grouping led by the same key co-located, so the POST-explode rows
+    never shuffle. At real scale the input already has thousands of
+    splits and this is a no-op — the operators/minhash.py _shingle_sets
+    discipline, shared."""
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load tables and register them as temp views (for spark.sql use)."""
     out: dict[str, DataFrame] = {}

@@ -34,7 +34,18 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from serverless_etl_reporting_pipeline_spark.session import get_spark  # noqa: E402
-from tools.stress_scale import OUT, build  # noqa: E402
+from tools.stress_scale import _SRC, BASE, OUT, build  # noqa: E402
+
+
+def _segments(state: str, sub: str) -> int:
+    """Live log size for one segment family: raw ``batch=`` dirs plus
+    ``<sub>_compacted/upto=`` folds (what a reader actually lists)."""
+    n = 0
+    for d, prefix in ((os.path.join(state, sub), "batch="),
+                      (os.path.join(state, f"{sub}_compacted"), "upto=")):
+        if os.path.isdir(d):
+            n += sum(1 for p in os.listdir(d) if p.startswith(prefix))
+    return n
 
 
 def _stage_batches(df, id_col: str, src: str) -> None:
@@ -48,52 +59,159 @@ def _stage_batches(df, id_col: str, src: str) -> None:
         ).coalesce(1).write.mode("append").parquet(src)
 
 
-def drain_text(spark, sf_dir: str, work: str) -> float:
+def drain_text(spark, sf_dir: str, work: str) -> dict:
     from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
         incremental_text_dedup_drain,
+        vacuum_text_index,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    src = os.path.join(work, "src")
+    src, state = os.path.join(work, "src"), os.path.join(work, "state")
     _stage_batches(docs, "doc_id", src)
     t0 = time.time()
-    n = incremental_text_dedup_drain(spark, src, docs.schema, os.path.join(work, "state"))
+    n = incremental_text_dedup_drain(spark, src, docs.schema, state)
     assert n == 4, n
-    return time.time() - t0
+    full = time.time() - t0
+
+    # steady state: ONE FIXED-SIZE batch (the BASE corpus, same rows at
+    # every N) onto the xN index — the flat-per-batch-cost claim. The
+    # reversed-alphabet translate is NOT one of the copies' rotations,
+    # so cross-batch similarity stays background noise at every N.
+    base = spark.read.parquet(f"{BASE}/documents.parquet").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def fixed(j: int):
+        return base.select(
+            (F.col("doc_id") + mx + j * 100_000_000).alias("doc_id"),
+            F.translate("text", _SRC, _SRC[::-1]).alias("text"),
+        )
+
+    fixed(0).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_text_dedup_drain(spark, src, docs.schema, state) == 1
+    steady_raw = time.time() - t0
+    segs_raw = _segments(state, "sig_index")
+    compact_text_index(spark, state)
+    vacuum_text_index(spark, state)
+    segs_folded = _segments(state, "sig_index")
+    fixed(1).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_text_dedup_drain(spark, src, docs.schema, state) == 1
+    steady_folded = time.time() - t0
+    return {
+        "sec": round(full, 2),
+        "steady_raw_sec": round(steady_raw, 2),
+        "steady_folded_sec": round(steady_folded, 2),
+        "segs_raw": segs_raw,
+        "segs_folded": segs_folded,
+    }
 
 
-def drain_vector(spark, sf_dir: str, work: str) -> float:
+def drain_vector(spark, sf_dir: str, work: str) -> dict:
     # 48-bit bands: the grown-corpus geometry (see stress_scale.wideband)
     from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        compact_band_index,
         incremental_vector_dedup_drain,
+        vacuum_band_index,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
-    src = os.path.join(work, "src")
+    src, state = os.path.join(work, "src"), os.path.join(work, "state")
+    kw = dict(threshold=0.44, n_bits=48, bands=4, seed=4242, dim=64)
     _stage_batches(emb, "vec_id", src)
     t0 = time.time()
-    n = incremental_vector_dedup_drain(
-        spark, src, emb.schema, os.path.join(work, "state"),
-        threshold=0.44, n_bits=48, bands=4, seed=4242,
-    )
+    n = incremental_vector_dedup_drain(spark, src, emb.schema, state, **kw)
     assert n == 4, n
-    return time.time() - t0
+    full = time.time() - t0
+
+    # fixed-size steady batch: BASE embeddings NEGATED (cosine vs every
+    # copy = -cos, far below +0.44 — background candidates at every N;
+    # negation is not among the copies' rotations)
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet").select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def fixed(j: int):
+        return base.select(
+            (F.col("vec_id") + mx + j * 100_000_000).alias("vec_id"),
+            F.expr("transform(embedding, x -> -x)").alias("embedding"),
+        )
+
+    fixed(0).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, state, **kw) == 1
+    steady_raw = time.time() - t0
+    segs_raw = _segments(state, "band_index")
+    compact_band_index(spark, state)
+    vacuum_band_index(spark, state)
+    segs_folded = _segments(state, "band_index")
+    fixed(1).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_vector_dedup_drain(spark, src, emb.schema, state, **kw) == 1
+    steady_folded = time.time() - t0
+    return {
+        "sec": round(full, 2),
+        "steady_raw_sec": round(steady_raw, 2),
+        "steady_folded_sec": round(steady_folded, 2),
+        "segs_raw": segs_raw,
+        "segs_folded": segs_folded,
+    }
 
 
-def drain_ivf(spark, sf_dir: str, work: str) -> float:
+def drain_ivf(spark, sf_dir: str, work: str) -> dict:
     from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        compact_ivf_segments,
         incremental_ivf_ingest_drain,
+        refresh_ivf_state,
+        vacuum_ivf_segments,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding", "label"
     )
-    src = os.path.join(work, "src")
+    src, state = os.path.join(work, "src"), os.path.join(work, "state")
     _stage_batches(emb, "vec_id", src)
     t0 = time.time()
-    n = incremental_ivf_ingest_drain(spark, src, emb.schema, os.path.join(work, "state"))
+    n = incremental_ivf_ingest_drain(spark, src, emb.schema, state)
     assert n == 4, n
-    return time.time() - t0
+    full = time.time() - t0
+
+    # fixed-size steady batch (assignment cost is content-independent)
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    mx = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def fixed(j: int):
+        return base.select(
+            (F.col("vec_id") + mx + j * 100_000_000).alias("vec_id"), "embedding", "label"
+        )
+
+    fixed(0).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, state) == 1
+    steady_raw = time.time() - t0
+    segs_raw = _segments(state, "postings")
+    compact_ivf_segments(spark, state)
+    vacuum_ivf_segments(spark, state)
+    segs_folded = _segments(state, "postings")
+    fixed(1).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_ivf_ingest_drain(spark, src, emb.schema, state) == 1
+    steady_folded = time.time() - t0
+    # the quiesced Lloyd epoch refresh over the xN postings log — the
+    # index-lifecycle term the drain itself never pays
+    t0 = time.time()
+    refresh_ivf_state(spark, state)
+    refresh_sec = time.time() - t0
+    return {
+        "sec": round(full, 2),
+        "steady_raw_sec": round(steady_raw, 2),
+        "steady_folded_sec": round(steady_folded, 2),
+        "segs_raw": segs_raw,
+        "segs_folded": segs_folded,
+        "refresh_sec": round(refresh_sec, 2),
+    }
 
 
 def best3(fn) -> float:
@@ -235,8 +353,7 @@ def main() -> int:
                 continue
             work = os.path.join(OUT, f"drain_{name}_x{n}")
             shutil.rmtree(work, ignore_errors=True)
-            sec = fn(spark, sf_dir, work)
-            rec = {"module": name, "xN": n, "sec": round(sec, 2)}
+            rec = {"module": name, "xN": n, **fn(spark, sf_dir, work)}
             results.append(rec)
             print(json.dumps(rec), flush=True)
         for name, fn in SYNTH_MODULES.items():
