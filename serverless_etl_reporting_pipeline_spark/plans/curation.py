@@ -88,6 +88,11 @@ _RE_PHONE = r"\+\d[\d-]{6,}\d"
 )
 def c01_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the regex chains — c01
+    # is map-only, so at fixture scale the whole 4-pattern scrub of
+    # every document ran on one core (1.29 -> 0.83 s isolated at sf0.1);
+    # see sources/reader.py spread_scan (no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     sid = F.col("doc_id").cast("string")
     aug = F.concat(
         F.col("text"),

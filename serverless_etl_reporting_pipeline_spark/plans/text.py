@@ -309,6 +309,9 @@ def t07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the fan-out (see
+    # sources/reader.py spread_scan; no-op on a many-split input)
+    docs = spread_scan(docs, "doc_id")
     return simhash_bits(docs, "doc_id", "text")
 
 
