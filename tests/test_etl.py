@@ -351,6 +351,26 @@ def test_training_shard_write_reproducible_and_ordered(spark, sf_dir, tmp_path):
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan[:3000]}"
 
 
+def test_spread_scan_semantics(spark, sf_dir):
+    """spread_scan (the r10 fan-out fix) must (a) repartition a
+    single-split scan to cluster parallelism, (b) be a no-op on frames
+    already at-or-above it, and (c) never change results — the fan-out
+    queries it guards are oracle-checked, this pins the helper itself."""
+    from serverless_etl_reporting_pipeline_spark.sources.reader import load_table, spread_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # the fixture premise
+    spread = spread_scan(docs, "doc_id")
+    target = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == target
+    # no-op on an already-spread frame: the SAME object comes back
+    assert spread_scan(spread, "doc_id") is spread
+    # row-identical (it is only an exchange)
+    assert sorted(r["doc_id"] for r in spread.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+
 def test_e08_synthetic_cdc_edges(spark, tmp_path):
     """Incremental SCD2 apply on a doctored corpus exercising every CDC
     class the fixtures may under-represent: a user with a multi-row
