@@ -463,3 +463,33 @@ def test_v16_lloyd_refresh_map_only_then_aggregates(spark, sf_dir):
     assert "BroadcastExchange" not in tree, tree
     ex = [ln for ln in tree.splitlines() if re.search(r"\bExchange\b", ln)]
     assert len(ex) <= 3, ex  # (cell,dim) agg + cv rebuild agg + output sort
+
+
+_SPREAD_QUERIES = [
+    # the r10 fan-out discipline: a single-split scan feeding a
+    # high-fan-out explode/regex map must carry the doc_id spread
+    # exchange (sources/reader.py spread_scan) so the fan-out and its
+    # partial aggregate parallelize — and, where grouping is doc-keyed,
+    # the post-explode rows never shuffle
+    "c01_pii_scrub",
+    "c02_bloom_decontamination",
+    "c03_entropy_quality",
+    "c06_chargram_lm_score",
+    "t07_ngram_jaccard_pairs",
+    "t08_simhash",
+    "t14_tfidf_top_terms",
+    "t15_top_bigrams",
+    "t19_decontamination",
+    "t24_contamination_ratio",
+]
+
+
+@pytest.mark.parametrize("name", _SPREAD_QUERIES)
+def test_fanout_queries_spread_single_split_scan(spark, sf_dir, name):
+    """At fixture scale every table is one input split, so the fan-out
+    queries must show the spread exchange (hashpartitioning by doc_id)
+    in their physical plan; a regression here silently re-serializes
+    the whole explode onto one core (the r9 c06 'noise')."""
+    q = REGISTRY[name]
+    plan = _plan(spark, q.builder(spark, sf_dir))
+    assert "hashpartitioning(doc_id" in plan, f"{name}: spread exchange missing"
