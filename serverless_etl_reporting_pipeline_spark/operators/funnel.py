@@ -114,14 +114,15 @@ def annotate_batch(
         docs.select("doc_id", "source", "lang", "text")
         .join(_token_profile(docs), "doc_id", "left")
         .select(
-            "doc_id", "source", "lang", "text",
+            "doc_id", "source", "lang",
+            quality_hash().alias("h"),
             F.coalesce(quality_pred(), F.lit(False)).alias("q"),
             ev.alias("ev"),
         )
     )
     firsts = (
         ann0.filter("q")
-        .select("doc_id", quality_hash().alias("h"))
+        .select("doc_id", "h")
         .withColumn("rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id")))
         .filter("rn = 1")
     )
@@ -130,12 +131,16 @@ def annotate_batch(
     sh = shingle_frame if shingle_frame is not None else shingle_set(docs)
     cont = sh.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
     dd = F.coalesce(F.col("_dd"), F.lit(False))
+    # join the winners back on (doc_id, h), NOT doc_id alone: under the
+    # r10 duplicate-id class a doc_id can name several rows — several h
+    # values — and a doc_id-only join MULTIPLIES rows (breaking the
+    # rows-in ≡ rows-out funnel invariant) and flags non-winning shards.
+    # firsts is unique per h, so the two-key join never fans out.
     return (
-        ann0.join(firsts.select("doc_id", F.lit(True).alias("_dd")), "doc_id", "left")
+        ann0.join(firsts.withColumn("_dd", F.lit(True)), ["doc_id", "h"], "left")
         .join(cont.withColumn("_c", F.lit(True)), "doc_id", "left")
         .select(
-            "doc_id", "source", "lang",
-            quality_hash().alias("h"),
+            "doc_id", "source", "lang", "h",
             "q", "ev",
             dd.alias("dd"),
             (dd & ~F.col("ev") & F.col("_c").isNull()).alias("clean"),

@@ -184,7 +184,14 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     index per token and was ~4× slower at sf0.1), no skew (every doc
     aggregates to exactly one 64-int row).
     """
-    toks = df.select(id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    # distinct PER DOCUMENT (not per row): the signature is a function
+    # of the doc's token SET, so a doc sharded into multiple rows with
+    # the same id — the r10 duplicate-id class — hashes the union,
+    # row-sharding-invariant like the minhash family's shingle sets
+    # (the oracle's SELECT DISTINCT doc_id, md5(tok) frame)
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).distinct()
     # 128-bit md5 as four 32-bit integer chunks (hex chars are MSB-first,
     # so chunk c covers bits 32c..32c+31 — same numbering as the
     # nibble-by-nibble oracle construction); bit extraction is then pure

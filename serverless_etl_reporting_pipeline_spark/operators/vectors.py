@@ -1599,27 +1599,31 @@ def ivf_batch_probe(
         # ties break to the lowest cell id
         Sq = np.copysign(np.floor(np.abs(S * QUANT) + 0.5), S)
         pairs = [
-            (int(qids[i]), int(cells[j]))
+            (int(i), int(qids[i]), int(cells[j]))
             for i in range(len(qids))
             for j in np.lexsort((cells, -Sq[i]))[: int(nprobe)]
         ]
     spark = postings.sparkSession
-    probe_df = spark.createDataFrame(pairs, f"{qid_col} long, _cell long")
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    bc = spark.sparkContext.broadcast((qpos, Q, qn))
+    # the probe pair carries the query ROW position, not just its id: a
+    # qid-keyed dict would silently last-win a DUPLICATED qid (the r10
+    # duplicate-id class) and score candidates against the wrong vector
+    # in a collect-order-dependent way. Per-row probing + the final
+    # per-qid rank = deterministic union semantics, the batch_knn shape.
+    probe_df = spark.createDataFrame(pairs, f"_qrow int, {qid_col} long, _cell long")
+    bc = spark.sparkContext.broadcast((Q, qn))
 
     def kernel(batches):
         import numpy as _np
         import pandas as _pd
 
-        qp, Qm, qnorm = bc.value
+        Qm, qnorm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             A = _stack_quantized(pdf)
             ids = pdf["_id"].to_numpy(dtype=_np.int64)
             an = _np.sqrt((A * A).sum(axis=1))
-            cols = _np.asarray([qp[int(x)] for x in pdf[qid_col]], dtype=_np.int64)
+            cols = pdf["_qrow"].to_numpy(dtype=_np.int64)
             raw = _np.zeros(len(ids), dtype=_np.float64)
             # zero-norm posting/query vectors have undefined cosine: they
             # are EXCLUDED from results deterministically, never NaN-ranked
@@ -1641,7 +1645,7 @@ def ivf_batch_probe(
 
     from pyspark.sql import Window
 
-    cand = postings.join(F.broadcast(probe_df), "_cell").select(qid_col, "_id", "_qv")
+    cand = postings.join(F.broadcast(probe_df), "_cell").select("_qrow", qid_col, "_id", "_qv")
     out = cand.mapInPandas(kernel, schema=f"{qid_col} long, {id_col} long, _raw double")
     return (
         out.withColumn(

@@ -399,8 +399,11 @@ def c05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
         SELECT doc_id, lang, n_tokens,
+               -- n_tokens in the tie-break: duplicated doc_ids (r10
+               -- duplicate-id hunt) tie on doc_id alone, shifting every
+               -- later offset nondeterministically per engine
                CAST(coalesce(sum(n_tokens) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang ORDER BY doc_id, n_tokens
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_offset
         FROM toks
     )
@@ -428,9 +431,11 @@ def c07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.greatest(F.size(tokens("text")), F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+    # n_tokens joins the pack order: duplicated doc_ids (r10 hunt) tie
+    # on doc_id alone — the offsets after them would be nondeterministic
     w = (
         Window.partitionBy("lang")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     packed = toks.withColumn("shard_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
@@ -858,9 +863,11 @@ _TOKEN_BUDGET = 20000
     ),
     sel AS (
         SELECT d.doc_id, d.source, d.lang, d.n_tokens, tgt.target_tokens,
+               -- n_tokens in the tie-break: duplicated doc_ids tie on
+               -- (md5, doc_id) — r10 duplicate-id hunt
                CAST(coalesce(sum(d.n_tokens) OVER (
                    PARTITION BY d.source, d.lang
-                   ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id
+                   ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id, d.n_tokens
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         FROM d JOIN tgt ON d.source = tgt.source AND d.lang = tgt.lang
     )
@@ -892,9 +899,13 @@ def c12_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = _mixture_targets_from_counts(dom, budget=_TOKEN_BUDGET).select(
         "source", "lang", F.col("target_docs").alias("target_tokens")
     )
+    # n_tokens joins the greedy-prefix order: a duplicated doc_id with
+    # conflicting text (r10 duplicate-id hunt) ties on (md5, doc_id), so
+    # without it the running sum — and every row after — is
+    # nondeterministic per engine
     w = (
         Window.partitionBy("source", "lang")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

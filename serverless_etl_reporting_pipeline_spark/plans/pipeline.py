@@ -57,7 +57,7 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
     oracle=_QF_PROFILE_SQL
     + f""",
     ann0 AS (
-        SELECT d.doc_id, d.source, d.lang, d.text,
+        SELECT d.doc_id, d.source, d.lang, d.text, md5(lower(d.text)) AS h,
                coalesce(p.n_tokens >= {_QF_MIN_TOKENS}
                 AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
                 AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}, FALSE) AS q,
@@ -65,9 +65,13 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
         FROM documents d LEFT JOIN profile p USING (doc_id)
     ),
     ded AS (
-        SELECT doc_id,
-               row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
-        FROM ann0 WHERE q
+        -- winners keyed by (doc_id, h): under duplicate doc_ids a
+        -- doc_id-only join would fan out (r10 duplicate-id hunt)
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM ann0 WHERE q
+        ) WHERE rn = 1
     ),
     toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
@@ -87,11 +91,11 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
     ),
     ann AS (
         SELECT a.doc_id, a.source, a.lang, a.q,
-               coalesce(d.rn = 1, FALSE) AS dd,
-               (coalesce(d.rn = 1, FALSE) AND NOT a.ev AND c.doc_id IS NULL) AS clean
+               (d.doc_id IS NOT NULL) AS dd,
+               (d.doc_id IS NOT NULL AND NOT a.ev AND c.doc_id IS NULL) AS clean
         FROM ann0 a
-        LEFT JOIN ded d USING (doc_id)
-        LEFT JOIN cont c USING (doc_id)
+        LEFT JOIN ded d ON a.doc_id = d.doc_id AND a.h = d.h
+        LEFT JOIN cont c ON a.doc_id = c.doc_id
     ),
     dom AS (
         SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -192,7 +196,7 @@ _PIPE2_BUDGET = PIPE2_BUDGET
         SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS w FROM documents
     ),
     ann0 AS (
-        SELECT d.doc_id, d.source, d.lang, d.text,
+        SELECT d.doc_id, d.source, d.lang, d.text, md5(lower(d.text)) AS h,
                coalesce(p.n_tokens >= {_QF_MIN_TOKENS}
                 AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
                 AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}, FALSE) AS q,
@@ -201,9 +205,13 @@ _PIPE2_BUDGET = PIPE2_BUDGET
         FROM documents d LEFT JOIN profile p USING (doc_id) CROSS JOIN wm
     ),
     ded AS (
-        SELECT doc_id,
-               row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
-        FROM ann0 WHERE q
+        -- winners keyed by (doc_id, h): under duplicate doc_ids a
+        -- doc_id-only join would fan out (r10 duplicate-id hunt)
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM ann0 WHERE q
+        ) WHERE rn = 1
     ),
     toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
@@ -224,11 +232,11 @@ _PIPE2_BUDGET = PIPE2_BUDGET
     ),
     ann AS (
         SELECT a.doc_id, a.source, a.lang, a.q,
-               coalesce(d.rn = 1, FALSE) AS dd,
-               (coalesce(d.rn = 1, FALSE) AND NOT a.ev AND c.doc_id IS NULL) AS clean
+               (d.doc_id IS NOT NULL) AS dd,
+               (d.doc_id IS NOT NULL AND NOT a.ev AND c.doc_id IS NULL) AS clean
         FROM ann0 a
-        LEFT JOIN ded d USING (doc_id)
-        LEFT JOIN cont c USING (doc_id)
+        LEFT JOIN ded d ON a.doc_id = d.doc_id AND a.h = d.h
+        LEFT JOIN cont c ON a.doc_id = c.doc_id
     ),
     dom AS (
         SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -419,7 +419,11 @@ def d01_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type, value
     FROM (
         SELECT event_id, user_id, event_type, value,
-               row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+               -- value joins the tie-break (NULLS FIRST = Spark's asc
+               -- default): a duplicated event_id with a conflicting
+               -- value must keep ONE deterministic row (r10 dup hunt)
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_id, value ASC NULLS FIRST) AS rn
         FROM events
     )
     WHERE rn = 1
@@ -428,7 +432,13 @@ def d01_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    # value joins the tie-break: a duplicated event_id carrying a
+    # conflicting value (r10 duplicate-id hunt) would otherwise make the
+    # kept row nondeterministic; rows identical in every OUTPUT column
+    # may still tie — either pick yields the same output row
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "event_id", F.col("value").asc_nulls_first()
+    )
     return (
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -1035,7 +1035,10 @@ def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
            CAST(coalesce(sum(CASE WHEN cnt = 1 THEN n_tok END), 0) AS BIGINT) AS n_clean_tokens,
-           md5(coalesce(array_to_string(list(ct ORDER BY chunk_id) FILTER (WHERE cnt = 1), ' '), '')) AS cleaned_fp
+           -- ct joins the reassembly order: duplicate doc_ids (r10 hunt)
+           -- collide on chunk_id, and the engine's struct sort is
+           -- (chunk_id, chunk_text) — mirrored here
+           md5(coalesce(array_to_string(list(ct ORDER BY chunk_id, ct) FILTER (WHERE cnt = 1), ' '), '')) AS cleaned_fp
     FROM f JOIN cnts USING (fp)
     GROUP BY f.doc_id
     ORDER BY f.doc_id

@@ -961,18 +961,24 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    -- cells rank PER QUERY VECTOR, not per qid: a duplicated qid (the
+    -- r10 duplicate-id class) names several vectors, each probing its
+    -- own cells; the raw-q join below restores row multiplicity so an
+    -- identical dup scores its candidates twice, like the engine's
+    -- per-row probe
+    qd AS (SELECT DISTINCT qid, qv FROM q),
     cellrank AS (
-        SELECT qid, label,
+        SELECT qid, qv, label,
                row_number() OVER (
-                   PARTITION BY qid
+                   PARTITION BY qid, qv
                    ORDER BY CAST(round(
                        list_sum(list_transform(list_zip(cv, qv), z -> z[1] * z[2]))
                        / (sqrt(list_sum(list_transform(cv, x -> x * x)))
                           * sqrt(list_sum(list_transform(qv, x -> x * x))))
                        * 1000000) AS BIGINT) DESC, label) AS crk
-        FROM cent, q
+        FROM cent, qd
     ),
-    probed AS (SELECT qid, label FROM cellrank WHERE crk <= 2),
+    probed AS (SELECT qid, qv, label FROM cellrank WHERE crk <= 2),
     e AS (
         -- len(embedding) = dm.d: a vector-less or ragged row is never a
         -- posting (the engine's ivf_index_build filter — the predicate
@@ -988,7 +994,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2]))
                / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
                   * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS raw_cos
-        FROM e JOIN probed p USING (label) JOIN q ON p.qid = q.qid
+        FROM e JOIN probed p USING (label) JOIN q ON p.qid = q.qid AND p.qv = q.qv
     )
     SELECT qid, vec_id, CAST(rk AS INT) AS rk,
            round(raw_cos * 1000000) / 1000000.0 AS cos
@@ -1066,18 +1072,26 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+    -- assignment is a function of the VECTOR: a duplicated vec_id (the
+    -- r10 duplicate-id class) names several arrival rows, each filed to
+    -- its own cell, and the raw-a join restores row multiplicity — the
+    -- engine's per-row map kernel exactly
+    ad AS (SELECT DISTINCT vec_id, av FROM a),
     ranked AS (
-        SELECT a.vec_id, cent.label,
+        SELECT ad.vec_id, ad.av, cent.label,
                row_number() OVER (
-                   PARTITION BY a.vec_id
+                   PARTITION BY ad.vec_id, ad.av
                    ORDER BY CAST(round(
                        list_sum(list_transform(list_zip(cv, av), z -> z[1] * z[2]))
                        / (sqrt(list_sum(list_transform(cv, x -> x * x)))
                           * sqrt(list_sum(list_transform(av, x -> x * x))))
                        * 1000000) AS BIGINT) DESC, label) AS crk
-        FROM cent, a
-    )
-    SELECT vec_id, label AS cell FROM ranked WHERE crk = 1 ORDER BY vec_id
+        FROM cent, ad
+    ),
+    best AS (SELECT vec_id, av, label FROM ranked WHERE crk = 1)
+    SELECT a.vec_id, best.label AS cell
+    FROM a JOIN best ON a.vec_id = best.vec_id AND a.av = best.av
+    ORDER BY a.vec_id
     """,
     doc="IVF ingest assignment: NEW arrivals (ids < 10) filed to their nearest "
     "cell of a FROZEN coarse quantizer (exact-integer centroids of the corpus "
@@ -1143,23 +1157,31 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
+    -- reassignment is per VECTOR: a duplicated vec_id (the r10
+    -- duplicate-id class) names several points, each filed to its own
+    -- cell; the (vec_id, v) join back to the raw rows preserves row
+    -- multiplicity in the retraining means — the engine's per-row
+    -- assign + per-cell mean exactly
+    avd AS (SELECT DISTINCT vec_id, v FROM av),
     ranked AS (
-        SELECT av.vec_id, cent.label,
+        SELECT avd.vec_id, avd.v, cent.label,
                row_number() OVER (
-                   PARTITION BY av.vec_id
+                   PARTITION BY avd.vec_id, avd.v
                    ORDER BY CAST(round(
                        list_sum(list_transform(list_zip(cv, v), z -> z[1] * z[2]))
                        / (sqrt(list_sum(list_transform(cv, x -> x * x)))
                           * sqrt(list_sum(list_transform(v, x -> x * x))))
                        * 1000000) AS BIGINT) DESC, label) AS crk
-        FROM cent, av
+        FROM cent, avd
     ),
-    newmem AS (SELECT vec_id, label AS cell FROM ranked WHERE crk = 1),
+    newmem AS (SELECT vec_id, v, label AS cell FROM ranked WHERE crk = 1),
     newex AS (
         SELECT m.cell, u.pos - 1 AS dim,
                round(CAST(e.embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings e
-        JOIN newmem m USING (vec_id),
+        JOIN newmem m
+          ON m.vec_id = e.vec_id
+         AND m.v = list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) * 1000000)),
              UNNEST(generate_series(1, len(e.embedding))) AS u(pos)
     )
     SELECT cell, dim, CAST(round(avg(x)) AS BIGINT) AS c

@@ -361,12 +361,15 @@ def w07_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
         SELECT event_type, day, cents,
+               -- cents in the tie-break: a duplicated event_id with a
+               -- conflicting value must still yield ONE deterministic
+               -- open/close on both engines (r10 duplicate-id hunt)
                first_value(cents) OVER (
-                   PARTITION BY event_type, day ORDER BY ts, event_id
+                   PARTITION BY event_type, day ORDER BY ts, event_id, cents
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS open_c,
                last_value(cents) OVER (
-                   PARTITION BY event_type, day ORDER BY ts, event_id
+                   PARTITION BY event_type, day ORDER BY ts, event_id, cents
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS close_c
         FROM e
@@ -399,9 +402,13 @@ def w10_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
+    # cents joins the tie-break: a DUPLICATED event_id carrying a
+    # conflicting value (the r10 duplicate-id hunt) would otherwise make
+    # open/close nondeterministic — (ts, event_id) no longer names one
+    # row, and each engine picked its own "first"
     w = (
         Window.partitionBy("event_type", "day")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "cents")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     withoc = e.select(

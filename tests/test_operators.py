@@ -773,6 +773,60 @@ def test_zero_norm_vectors_never_ranked(spark):
     spark.catalog.clearCache()
 
 
+def test_ivf_batch_probe_duplicate_qids_per_row(spark):
+    """The r10 duplicate-id find: the probe kernel used to key its
+    collected query batch by a qid DICT, so a duplicated qid silently
+    last-won and scored candidates against the wrong vector, collect-
+    order-dependently. Contract now: per-ROW probing — each version of
+    a duplicated qid probes its own cells and scores its own candidates,
+    and the final rank merges the union per qid deterministically."""
+    from serverless_etl_reporting_pipeline_spark.operators.vectors import (
+        assign_cells,
+        ivf_batch_probe,
+        ivf_index_build,
+    )
+
+    schema = "vec_id long, embedding array<float>, label long"
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),
+            (11, [0.9, 0.1], 0),
+            (12, [-1.0, 0.0], 1),
+            (13, [-0.9, -0.1], 1),
+        ],
+        schema,
+    )
+    cent, post = ivf_index_build(corpus)
+    # qid 100 twice with OPPOSITE vectors: each version must rank its
+    # own aligned corpus half first — the dict bug scored one version's
+    # candidates with the other's vector
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (100, [-1.0, 0.0])], "qid long, embedding array<float>"
+    )
+    rows = ivf_batch_probe(cent, post, queries, k=2, nprobe=1).collect()
+    got = {(r["qid"], r["vec_id"]): r["cos"] for r in rows}
+    # the union top-2 per qid = one perfect hit from EACH version
+    assert set(got) == {(100, 10), (100, 12)}, rows
+    assert got[(100, 10)] == 1.0 and got[(100, 12)] == 1.0
+    # deterministic across reruns
+    again = ivf_batch_probe(cent, post, queries, k=2, nprobe=1).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # an IDENTICAL dup qid scores its candidates twice (row multiplicity)
+    q2 = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (7, [1.0, 0.0])], "qid long, embedding array<float>"
+    )
+    dup = ivf_batch_probe(cent, post, q2, k=2, nprobe=1).collect()
+    assert [(r["vec_id"], r["cos"]) for r in dup] == [(10, 1.0), (10, 1.0)]
+    # assign_cells stays per-row: a duplicated arrival files both copies
+    arr = spark.createDataFrame(
+        [(5, [1.0, 0.0], None), (5, [-1.0, 0.0], None)], schema
+    )
+    cells = sorted(
+        (r["_id"], r["_cell"]) for r in assign_cells(cent, arr).collect()
+    )
+    assert cells == [(5, 0), (5, 1)]
+
+
 def test_vector_operators_empty_sides_defined(spark):
     """r7 verdict ask #5 (degenerate-input hunt): every persisted-index /
     batch operator must treat an EMPTY side as a defined case — empty

@@ -143,6 +143,13 @@ def build_doctored(base: str, dest: str) -> str:
         (99000005, NULL,    'F',  10.0,  TIMESTAMP '1995-03-01 00:00:00', '2-HIGH'),
         (99000006, NULL,    'O',  11.0,  TIMESTAMP '1996-03-01 00:00:00', '2-HIGH')
       ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+      UNION ALL BY NAME
+      -- r10: a DUPLICATE o_orderkey with a conflicting price — row
+      -- semantics everywhere orders aggregate (both engines see both
+      -- rows; no orders query keys a window on o_orderkey alone)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 7.5 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM '{base}/orders.parquet' WHERE o_orderkey = 32
     ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
     """)
     con.sql(f"""
@@ -189,6 +196,18 @@ def build_doctored(base: str, dest: str) -> str:
         (900011, 'aaaa', 'en', 'uniformdom', 4),       -- zero-variance domain
         (900012, 'bbbb', 'en', 'uniformdom', 4)
       ) t(doc_id, text, lang, source, n_chars)
+      UNION ALL BY NAME
+      -- r10: DUPLICATE ids (the re-ingested-file fault). Contract: a
+      -- doc_id names a document; extra rows are shards — token
+      -- profiles/shingle sets/simhash merge them, per-row transforms
+      -- emit per row, and every id-assumed-unique sort key carries a
+      -- content tie-break (PARITY.md r10). One CONFLICTING dup and one
+      -- IDENTICAL dup (exact re-ingest).
+      SELECT doc_id, 'an entirely different conflicting shard body ' || text AS text,
+             lang, source, n_chars
+      FROM '{base}/documents.parquet' WHERE doc_id = 3
+      UNION ALL BY NAME
+      SELECT * FROM '{base}/documents.parquet' WHERE doc_id = 7
     ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
     dim = con.sql(f"SELECT len(embedding) FROM '{base}/embeddings.parquet' LIMIT 1").fetchone()[0]
@@ -243,6 +262,16 @@ def build_doctored(base: str, dest: str) -> str:
                          || list_transform(embedding[33:64], x -> CAST(x AS FLOAT))
                   FROM '{base}/embeddings.parquet' WHERE vec_id = 15), 8)
       ) t(vec_id, embedding, label)
+      UNION ALL BY NAME
+      -- r10: DUPLICATE vec_ids. Contract: per-ROW semantics — a dup id
+      -- is two points (FAISS-style); write paths file both, read paths
+      -- rank the per-row union per qid (PARITY.md r10). A conflicting
+      -- QUERY-side dup (vec 5, negated), a conflicting CORPUS-side dup
+      -- (vec 20, negated), and an identical corpus dup (vec 9).
+      SELECT vec_id, list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding, label
+      FROM '{base}/embeddings.parquet' WHERE vec_id IN (5, 20)
+      UNION ALL BY NAME
+      SELECT * FROM '{base}/embeddings.parquet' WHERE vec_id = 9
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.sql(f"""
@@ -270,6 +299,14 @@ def build_doctored(base: str, dest: str) -> str:
         -- return NaN as the maximum, and CAST(NaN AS BIGINT) raises
         (9900007, TIMESTAMP '2024-01-15 12:00:04', 999996, 'view', CAST('NaN' AS DOUBLE), '{{}}')
       ) t(event_id, ts, user_id, event_type, value, props)
+      UNION ALL BY NAME
+      -- r10: DUPLICATE event_ids — a conflicting measurement (value
+      -- 2x+1) and an exact re-ingest. The OHLC/keep-first tie-breaks
+      -- now carry the value so the kept row is deterministic.
+      SELECT event_id, ts, user_id, event_type, value * 2 + 1 AS value, props
+      FROM '{base}/events.parquet' WHERE event_id = 11
+      UNION ALL BY NAME
+      SELECT * FROM '{base}/events.parquet' WHERE event_id = 13
     ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
     return dest
