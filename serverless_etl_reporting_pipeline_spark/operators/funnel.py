@@ -26,6 +26,7 @@ from serverless_etl_reporting_pipeline_spark.operators.text import (
     _QF_MIN_STOPWORD_RATIO,
     _QF_MIN_TOKENS,
     _token_profile,
+    casefold,
     shingles,
     tokens,
 )
@@ -47,8 +48,10 @@ def quality_pred() -> Column:
 
 
 def quality_hash() -> Column:
-    """The normalized content hash keying exact keep-first dedup (t02)."""
-    return F.md5(F.lower("text"))
+    """The normalized content hash keying exact keep-first dedup (t02).
+    casefold, not F.lower: the İ divergence (operators/text.py casefold)
+    would give the two engines different hashes for the same text."""
+    return F.md5(casefold("text"))
 
 
 def eval_split(id_col: str = "doc_id") -> Column:

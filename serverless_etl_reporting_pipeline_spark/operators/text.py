@@ -22,17 +22,29 @@ from pyspark.sql import functions as F
 WORD_RE = r"\w+"
 
 
+def casefold(col: Column | str) -> Column:
+    """Engine-portable lowercase for TEXT columns. Java's full Unicode
+    case mapping lowercases İ (U+0130, Turkish dotted capital I) to
+    'i' + U+0307 (combining dot above) while DuckDB's utf8proc simple
+    fold gives plain 'i' — the ONE divergent code point the r10
+    multilingual probe found (ß/ẞ, final sigma, CJK, emoji, Cyrillic,
+    combining marks, NBSP/ZWSP all agree engine-for-engine). Pinning
+    the simple fold via a pre-lower translate keeps every token list,
+    token count, and content hash identical across engines; any future
+    divergent code point joins the translate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(c, "\u0130", "i"))
+
+
 def tokens(col: Column | str) -> Column:
     """Lowercased word tokens (F.regexp_extract_all — JVM-side)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+    return F.regexp_extract_all(casefold(col), F.lit(WORD_RE), 0)
 
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for near-exact dedup: lowercase, strip non-alnum,
     collapse whitespace."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = F.lower(c)
+    out = casefold(col)
     out = F.regexp_replace(out, r"[^a-z0-9\s]", "")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)

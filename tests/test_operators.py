@@ -773,6 +773,29 @@ def test_zero_norm_vectors_never_ranked(spark):
     spark.catalog.clearCache()
 
 
+def test_casefold_turkish_dotted_i_cross_engine(spark):
+    """The r10 multilingual find, pinned at the primitive: Java's full
+    case mapping lowercases İ (U+0130) to 'i' + U+0307 while DuckDB's
+    utf8proc gives plain 'i'. `casefold` pins the simple fold, so the
+    token lists and content hashes of both engines agree."""
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.operators.text import casefold, tokens
+
+    text = "İstanbul ILIK ılık Iı İi dotted"
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(casefold("text").alias("lo"), tokens("text").alias("tok")).first()
+    duck_lo, duck_tok = duckdb.execute(
+        r"SELECT lower(?), regexp_extract_all(lower(?), '\w+')", [text, text]
+    ).fetchone()
+    assert row["lo"] == duck_lo == "istanbul ilik ılık iı ii dotted"
+    assert list(row["tok"]) == list(duck_tok)
+    # and the raw F.lower really does diverge (the reason casefold exists)
+    from pyspark.sql import functions as F
+
+    assert df.select(F.lower("text")).first()[0] != duck_lo
+
+
 def test_ivf_batch_probe_duplicate_qids_per_row(spark):
     """The r10 duplicate-id find: the probe kernel used to key its
     collected query batch by a qid DICT, so a duplicated qid silently

@@ -208,6 +208,24 @@ def build_doctored(base: str, dest: str) -> str:
       FROM '{base}/documents.parquet' WHERE doc_id = 3
       UNION ALL BY NAME
       SELECT * FROM '{base}/documents.parquet' WHERE doc_id = 7
+      UNION ALL BY NAME
+      -- r10: MULTILINGUAL / multibyte text — the probe that found the
+      -- İ (U+0130) case-fold divergence (Java full mapping i+U+0307 vs
+      -- utf8proc simple fold 'i'; operators/text.py casefold pins the
+      -- simple fold). Every other class measured engine-identical:
+      -- ß/ẞ, final sigma, CJK (not \w — zero word tokens), emoji/ZWJ,
+      -- Cyrillic (\w-matched), combining vs precomposed accents,
+      -- NBSP/em-space/ZWSP (not \s and not \w: glued tokens).
+      SELECT * FROM (VALUES
+        (910001, 'Grüße aus München — straße STRASSE ß ẞ', 'de', 'webz', 40),
+        (910002, 'İstanbul ILIK ılık Iı İi dotted', 'tr', 'webz', 31),
+        (910003, '日本語のテキスト、中文文本，한국어 텍스트 mixed with ASCII words', 'zh', 'webz', 40),
+        (910004, 'emoji 😀😀 text 🎉 with zwj 👨\u200d👩\u200d👧 family', 'en', 'webz', 35),
+        (910005, 'café résumé naïve coöperate Ωμέγα ΣΙΓΜΑ σίγμα ς', 'fr', 'webz', 47),
+        (910006, 'а б в г русский текст кириллица ЁёЙй', 'ru', 'webz', 36),
+        (910007, 'combining á é vs precomposed \u00e1 \u00e9', 'en', 'webz', 35),
+        (910008, '\u00a0nbsp and em-space\u2003\u200bzwsp separators', 'en', 'webz', 30)
+      ) t(doc_id, text, lang, source, n_chars)
     ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
     dim = con.sql(f"SELECT len(embedding) FROM '{base}/embeddings.parquet' LIMIT 1").fetchone()[0]
