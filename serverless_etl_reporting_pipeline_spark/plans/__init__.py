@@ -46,10 +46,13 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #   NOTE (late r10): the duplicate-id contract changed engine code or
 #   oracles for w10, d02, c07, t23, t08, v14–v16 AFTER this window was
 #   set (plus in-window c12/pipe01/pipe02/c01–c03/c06/t07/t14/t15/t19/
-#   t24/e05). Per the late-r9 precedent they do NOT jump the queue: the
-#   changed tree was re-verified by full-registry oracle runs at sf0.01
-#   and sf0.1 plus both sweep modes (now carrying the duplicate-id
-#   rows), and the out-of-window changees lead round 11's rotation.
+#   t24/e05), and the multilingual case-fold contract (operators/
+#   text.py casefold) touched every tokens()/normalize_text()/
+#   quality_hash() consumer engine-side (oracles unchanged). Per the
+#   late-r9 precedent they do NOT jump the queue: the changed tree was
+#   re-verified by full-registry oracle runs at sf0.01 and sf0.1 plus
+#   both sweep modes (now carrying duplicate-id AND multilingual rows),
+#   and the out-of-window changees lead round 11's rotation.
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
