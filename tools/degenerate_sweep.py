@@ -150,6 +150,13 @@ def build_doctored(base: str, dest: str) -> str:
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 7.5 AS o_totalprice,
              o_orderdate, o_orderpriority
       FROM '{base}/orders.parquet' WHERE o_orderkey = 32
+      UNION ALL BY NAME
+      -- r10: extreme order dates + a half-cent amount + negative zero
+      -- (parity-clean on first probe; pinned)
+      SELECT * FROM (VALUES
+        (99100001, 1, 'O', 0.005, TIMESTAMP '0001-01-01 00:00:00', '1-URGENT'),
+        (99100002, 1, 'O', -0.0,  TIMESTAMP '9999-12-31 00:00:00', '5-LOW')
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
     ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
     """)
     con.sql(f"""
@@ -325,6 +332,21 @@ def build_doctored(base: str, dest: str) -> str:
       FROM '{base}/events.parquet' WHERE event_id = 11
       UNION ALL BY NAME
       SELECT * FROM '{base}/events.parquet' WHERE event_id = 13
+      UNION ALL BY NAME
+      -- r10: EXTREME timestamps and values — measured parity-clean on
+      -- first probe (no fix needed), pinned so it stays true: year
+      -- 1900/9999 bounds, a pre-epoch second, the leap-day last-us,
+      -- negative zero, a denormal-adjacent 1e-300, and the largest
+      -- value whose cents fit a BIGINT.
+      SELECT * FROM (VALUES
+        (9910001, TIMESTAMP '1900-01-01 00:00:00',        999995, 'view', 1.0, '{{}}'),
+        (9910002, TIMESTAMP '9999-12-31 23:59:59.999999', 999995, 'view', 2.0, '{{}}'),
+        (9910003, TIMESTAMP '1969-12-31 23:59:59',        999995, 'view', 3.0, '{{}}'),
+        (9910004, TIMESTAMP '2024-02-29 23:59:59.999999', 999995, 'view', 4.0, '{{}}'),
+        (9910005, TIMESTAMP '2024-01-15 12:00:05',        999994, 'view', -0.0, '{{}}'),
+        (9910006, TIMESTAMP '2024-01-15 12:00:06',        999994, 'view', 1e-300, '{{}}'),
+        (9910007, TIMESTAMP '2024-01-15 12:00:07',        999994, 'view', 92233720368547.0, '{{}}')
+      ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
     return dest
