@@ -20,39 +20,36 @@ from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 10
-# (derived, as every round, from the union of CORRECTNESS_r01-r09 key
-# sets — every query's last driver round; the r9 verdict names this
-# exact cohort):
-#   1. _PRIORITY first — what round 10 CHANGED: e05 (engine+oracle now
-#      carry the NaN-as-missing metric guard — the one silent-
-#      surfacing site of the corpus-wide NaN decision, PARITY.md),
-#      v05 (oracle's quantizer-training CTE aligned to the engine's
-#      corpus-without-query frame), and w03/w04/w05/x01 (the remaining
-#      queries the r9 ADVICE boundary named — their contract is now
-#      DECIDED and recorded: fail-stop money path / no double read —
-#      so they rotate through the window in the same round per that
-#      note). 6 slots.
-#   2. The full r7-era cohort (last driver row round 7, e05 already
-#      above): a01-a11, c01-c04, c06, c08, e02-e04, m01, pipe01,
-#      pipe02, s02, t07, t09, t11, t15, t19, t20, t24, w09. 32 slots.
-#   3. Backfill with the oldest r8 rows: a12, a14, a17-a20, c05, c09,
-#      m02-m04, p06. 12 slots.
-#   4. 6 + 32 + 12 fills the window exactly; the remaining r8-era rows
-#      (t02-t06, t08, t10, t12, t14, t21-t23, v01-v16 minus v05,
-#      x02/x03/x05) lead round 11's rotation. All deferred rows stay
-#      covered every round by the full-registry sf0.01 oracle run and
-#      both sweep modes (doctored + zero-row).
-#   NOTE (late r10): the duplicate-id contract changed engine code or
-#   oracles for w10, d02, c07, t23, t08, v14–v16 AFTER this window was
-#   set (plus in-window c12/pipe01/pipe02/c01–c03/c06/t07/t14/t15/t19/
-#   t24/e05), and the multilingual case-fold contract (operators/
-#   text.py casefold) touched every tokens()/normalize_text()/
-#   quality_hash() consumer engine-side (oracles unchanged). Per the
-#   late-r9 precedent they do NOT jump the queue: the changed tree was
-#   re-verified by full-registry oracle runs at sf0.01 and sf0.1 plus
-#   both sweep modes (now carrying duplicate-id AND multilingual rows),
-#   and the out-of-window changees lead round 11's rotation.
+# the first 50 registry entries per round. Rotation policy for round 11
+# (derived, as every round, from the union of CORRECTNESS_r01-r10 key
+# sets — every query's last driver round; the r10 verdict names this
+# exact cohort in ask #1):
+#   1. _PRIORITY first — what round 11 CHANGED: w10 (engine+oracle now
+#      write the cents tie-break's null order explicitly — asc NULLS
+#      FIRST on both engines, the d02 pattern — so the deterministic
+#      open/close no longer depends on the upstream NULL/NaN filter;
+#      r10 ADVICE). 1 slot.
+#   2. The full r8-era cohort (last driver row round 8, straight from
+#      the CORRECTNESS_r* union): t02-t06, t08, t10, t12, t14,
+#      t21-t23, v01, v02, v04, v06-v16 (v05 was r10), x02, x03, x05.
+#      29 slots — the entire vector family rotates together, which
+#      also re-anchors the index-lifecycle story after the r10
+#      ragged-contract adders.
+#   3. Backfill with the oldest r9 rows: j01-j07, d01-d05, k01, k02
+#      (this round's hot-key stress targets), s01, s03-s05, e08 (this
+#      round's streaming-degen targets), c07. 20 slots.
+#   4. 1 + 29 + 20 fills the window exactly; the remaining r9-era rows
+#      (a13, a15, a16, c10-c12, e01, e06, e07, o01-o03, p01-p05, t01,
+#      t13, t16-t18, v03, w01, w02, w06-w08, x04) lead round 12's
+#      rotation — they are 2 rounds fresh at r11 close, so the ≤2-round
+#      contract holds. All deferred rows stay covered every round by
+#      the full-registry sf0.01 oracle run and both sweep modes
+#      (doctored + zero-row).
+#   NOTE: round 11's spread_scan probe change (df.rdd -> inputFiles,
+#   r10 ask #4) touches every fan-out query engine-side; per the
+#   late-r9/r10 precedent an engine-plumbing change re-verified by
+#   full-registry oracle runs does not jump the queue (t14/t07 etc.
+#   are in-window anyway).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
@@ -60,30 +57,25 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 # queries stay covered every round by tools/oracle_check.py (full
 # registry at sf0.01 pre-commit) and the spark.sql conformance test.
 _PRIORITY = (
-    # engine+oracle changed this round: the NaN-as-missing guard on the
-    # percentile frame (the corpus-wide NaN decision's one silent-
-    # surfacing site)
-    "e05",
-    # oracle changed this round: quantizer trains on the corpus
-    # without the query row, the frame the engine always used
-    "v05",
-    # named by the r9 ADVICE NaN boundary, now decided and recorded
-    # (PARITY.md): money-path fail-stop (w03-w05), no-double-read (x01)
-    "w03", "w04", "w05", "x01",
+    # engine+oracle changed this round: explicit NULLS FIRST on the
+    # w10 OHLC cents tie-break (both engines), per the r10 ADVICE
+    "w10",
 )
 
-# rotation cohorts, oldest driver row first (the full r7-era cohort,
-# then the oldest r8-era rows); the driver window is _PRIORITY + this,
+# rotation cohorts, oldest driver row first (the full r8-era cohort,
+# then the oldest r9-era rows); the driver window is _PRIORITY + this,
 # cut to 50 by the driver itself
 _ROTATION_TAIL = (
-    # r7-era (last driver row round 7)
-    ("a01", "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09", "a10", "a11")
-    + ("c01", "c02", "c03", "c04", "c06", "c08")
-    + ("e02", "e03", "e04", "m01", "pipe01", "pipe02", "s02")
-    + ("t07", "t09", "t11", "t15", "t19", "t20", "t24", "w09")
-    # oldest r8-era rows (the rest defer to round 11)
-    + ("a12", "a14", "a17", "a18", "a19", "a20")
-    + ("c05", "c09", "m02", "m03", "m04", "p06")
+    # r8-era (last driver row round 8)
+    ("t02", "t03", "t04", "t05", "t06", "t08", "t10", "t12", "t14")
+    + ("t21", "t22", "t23")
+    + ("v01", "v02", "v04", "v06", "v07", "v08", "v09", "v10", "v11")
+    + ("v12", "v13", "v14", "v15", "v16")
+    + ("x02", "x03", "x05")
+    # oldest r9-era rows (the rest defer to round 12)
+    + ("j01", "j02", "j03", "j04", "j05", "j06", "j07")
+    + ("d01", "d02", "d03", "d04", "d05")
+    + ("k01", "k02", "s01", "s03", "s04", "s05", "e08", "c07")
 )
 
 

@@ -364,12 +364,21 @@ def w07_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- cents in the tie-break: a duplicated event_id with a
                -- conflicting value must still yield ONE deterministic
                -- open/close on both engines (r10 duplicate-id hunt)
+               -- NULLS FIRST written out (r10 ADVICE): the upstream
+               -- NULL/NaN filter makes the default orders coincide
+               -- today, but Spark sorts NULLS FIRST and DuckDB NULLS
+               -- LAST — pin it so the tie-break never silently depends
+               -- on that filter staying in place (the d02 pattern)
                first_value(cents) OVER (
-                   PARTITION BY event_type, day ORDER BY ts, event_id, cents
+                   PARTITION BY event_type, day
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                            cents ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS open_c,
                last_value(cents) OVER (
-                   PARTITION BY event_type, day ORDER BY ts, event_id, cents
+                   PARTITION BY event_type, day
+                   ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST,
+                            cents ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS close_c
         FROM e
@@ -406,9 +415,16 @@ def w10_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conflicting value (the r10 duplicate-id hunt) would otherwise make
     # open/close nondeterministic — (ts, event_id) no longer names one
     # row, and each engine picked its own "first"
+    # asc_nulls_first explicitly (Spark's asc default, but the oracle
+    # pins NULLS FIRST too — the tie-break must not depend on the
+    # upstream NULL/NaN filter; see the oracle comment)
     w = (
         Window.partitionBy("event_type", "day")
-        .orderBy("ts", "event_id", "cents")
+        .orderBy(
+            F.asc_nulls_first("ts"),
+            F.asc_nulls_first("event_id"),
+            F.asc_nulls_first("cents"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     withoc = e.select(

@@ -73,6 +73,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+_SPREAD_FRAMES: "weakref.WeakSet[DataFrame]" = None  # type: ignore[assignment]
+
+
 def spread_scan(df: DataFrame, key: str) -> DataFrame:
     """Spread a small scan across the cluster before a high-fan-out map
     stage (shingle/char/token explode): input-split sizing sees
@@ -84,12 +87,37 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     grouping led by the same key co-located, so the POST-explode rows
     never shuffle. At real scale the input already has thousands of
     splits and this is a no-op — the operators/minhash.py _shingle_sets
-    discipline, shared."""
+    discipline, shared.
+
+    The split probe is ``len(df.inputFiles())`` (r10 verdict ask #4 /
+    ADVICE): the old ``df.rdd.getNumPartitions()`` forced a Python->JVM
+    RDD conversion — one avoidable analysis job PER QUERY BUILD at ~10
+    call sites per registry run. ``inputFiles()`` reads the already-
+    materialized file index. Two deliberate edges: (a) a file count
+    can UNDERcount splits for one huge multi-split file — the added
+    exchange there is keyed identically to the downstream grouping, so
+    it is cheap insurance at a fan-out site, never wrong; (b) a derived
+    frame (no input files) is returned untouched — the discipline is
+    raw-scan sites only (derived/state frames were measured WORSE with
+    the spread, BASELINE.md round-10). Frames this helper already
+    spread are tracked in a WeakSet so a repeated call is an identity
+    no-op without any plan probe. Needs defaultParallelism > 1 to do
+    anything (tests run local[32])."""
+    import weakref
+
     from pyspark.sql import functions as F
 
+    global _SPREAD_FRAMES
+    if _SPREAD_FRAMES is None:
+        _SPREAD_FRAMES = weakref.WeakSet()
+    if df in _SPREAD_FRAMES:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key))
+    files = df.inputFiles()
+    if files and len(files) < target:
+        out = df.repartition(target, F.col(key))
+        _SPREAD_FRAMES.add(out)
+        return out
     return df
 
 

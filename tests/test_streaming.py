@@ -584,14 +584,18 @@ def test_streaming_vector_dedup_equals_batch_probe(spark, sf_dir, tmp_path):
 
     real_dim_of, sv._dim_of = sv._dim_of, _boom
 
-    base = emb.filter(f"vec_id < {wm}")
-    delta = emb.filter(f"vec_id >= {wm}")
-    base.coalesce(1).write.mode("append").parquet(src)
-    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
-    delta.coalesce(1).write.mode("append").parquet(src)
-    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
-    assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 0
-    sv._dim_of = real_dim_of
+    # try/finally: a failing drain must not leave the module poisoned
+    # for every later test in the session (r10 ADVICE)
+    try:
+        base = emb.filter(f"vec_id < {wm}")
+        delta = emb.filter(f"vec_id >= {wm}")
+        base.coalesce(1).write.mode("append").parquet(src)
+        assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
+        delta.coalesce(1).write.mode("append").parquet(src)
+        assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 1
+        assert incremental_vector_dedup_drain(spark, src, emb.schema, work, **kw) == 0
+    finally:
+        sv._dim_of = real_dim_of
 
     # batch 0: no prior state — nothing may be flagged
     b0 = spark.read.parquet(f"{work}/vec_ann/batch=0")

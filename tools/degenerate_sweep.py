@@ -77,7 +77,13 @@ def _assert_base_schemas(base: str) -> None:
 
     con = duckdb.connect()
     for t, st in SCHEMAS.items():
-        declared = [(f.name, _SPARK2DUCK[f.dataType.simpleString()]) for f in st.fields]
+        # .get(): an unmapped Spark type (a future date/boolean fixture
+        # column) must surface as the loud drift diagnostic below, not
+        # a bare KeyError (r10 ADVICE)
+        declared = [
+            (f.name, _SPARK2DUCK.get(f.dataType.simpleString(), f"<unmapped:{f.dataType.simpleString()}>"))
+            for f in st.fields
+        ]
         actual = [
             (name, "TIMESTAMP" if typ == "TIMESTAMP_NS" else typ)
             for name, typ, *_ in con.sql(
