@@ -88,7 +88,7 @@ def annotate_batch(
     Returns (doc_id, source, lang, h, q, ev, dd, clean):
 
     - ``q`` — the t16 integer quality rules;
-    - ``h`` — md5(lower(text)), the exact-dedup key;
+    - ``h`` — md5(casefold(text)), the exact-dedup key;
     - ``dd`` — keep-first dedup survivor: first occurrence of ``h``
       within this batch (row_number window) AND, when ``seen_hashes``
       is given, ``h`` absent from that prior-state index (plain keyed

@@ -22,18 +22,72 @@ from pyspark.sql import functions as F
 WORD_RE = r"\w+"
 
 
+# The engine-portable case-fold contract, PROVEN COMPLETE by the
+# exhaustive sweep in tools/casefold_parity.py (r11; every assigned
+# Unicode code point, all planes, four word contexts, Spark lower vs
+# DuckDB lower): exactly 45 code points diverge between the JVM
+# (JDK 17 = Unicode 13, full/contextual case mapping) and DuckDB's
+# utf8proc (simple fold, different Unicode data version). Each is
+# pinned to the UNICODE-STANDARD simple-fold lowercase via a pre-lower
+# translate applied identically on BOTH engines (the oracle SQL carries
+# the same translate — duck_casefold() below). Three classes:
+#   1. Full-vs-simple mapping (both engines know the char, Java's
+#      FULL mapping differs from the simple fold):
+#        U+0130 İ  -> 'i'  (Java emits 'i' + U+0307 combining dot —
+#                           the original r10 find)
+#        U+03A3 Σ  -> 'σ'  (Java applies the CONTEXTUAL final-sigma
+#                           rule: word-final Σ -> ς; the r10 probe
+#                           tested Σ only in isolation and missed it)
+#   2. Unicode-version skew, Java ahead (JDK lowers these; this
+#      DuckDB's utf8proc predates their case mapping and keeps them):
+#      U+2C2F and seven Latin Extended-D capitals (U+A7C0 A7C7 A7C9
+#      A7D0 A7D6 A7D8 A7F5) -> their standard lowercase (+1).
+#   3. Unicode-version skew, both wrong (Vithkuqi, Unicode 14): JDK 17
+#      has no mapping (identity); this utf8proc build maps the 35
+#      capitals by -0x20 INTO THE CAUCASIAN ALBANIAN BLOCK (a data
+#      bug); the standard is +0x27. Pinned to the standard; both
+#      engines leave the small letters (U+10597+) unchanged, so the
+#      translated form folds identically.
+_CASEFOLD_PINS: dict[int, int] = {
+    0x0130: 0x0069,  # İ -> i
+    0x03A3: 0x03C3,  # Σ -> σ (simple fold, never final-form ς)
+    0x2C2F: 0x2C5F,  # GLAGOLITIC CAPITAL CAUDATE CHRIVI
+    0xA7C0: 0xA7C1,  # LATIN CAPITAL OLD POLISH O
+    0xA7C7: 0xA7C8,  # LATIN CAPITAL D WITH SHORT STROKE OVERLAY
+    0xA7C9: 0xA7CA,  # LATIN CAPITAL S WITH SHORT STROKE OVERLAY
+    0xA7D0: 0xA7D1,  # LATIN CAPITAL CLOSED INSULAR G
+    0xA7D6: 0xA7D7,  # LATIN CAPITAL MIDDLE SCOTS S
+    0xA7D8: 0xA7D9,  # LATIN CAPITAL SIGMOID S
+    0xA7F5: 0xA7F6,  # LATIN CAPITAL REVERSED HALF H
+    # Vithkuqi capitals (U+10570-U+10595 minus the three unassigned
+    # slots 1057B/1058B/10593) -> standard lowercase at +0x27
+    **{cp: cp + 0x27 for cp in range(0x10570, 0x10596) if cp not in (0x1057B, 0x1058B, 0x10593)},
+}
+
+CASEFOLD_SRC = "".join(chr(k) for k in _CASEFOLD_PINS)
+CASEFOLD_DST = "".join(chr(v) for v in _CASEFOLD_PINS.values())
+
+
+def duck_casefold(expr: str) -> str:
+    """The oracle-side twin of :func:`casefold`: a DuckDB SQL fragment
+    applying the SAME 45-code-point pre-lower translate, so both
+    engines compute one proven-identical fold. (None of the pinned
+    chars needs SQL escaping.) Oracle strings inline the expansion so
+    they stay self-contained and greppable."""
+    return f"lower(translate({expr}, '{CASEFOLD_SRC}', '{CASEFOLD_DST}'))"
+
+
 def casefold(col: Column | str) -> Column:
-    """Engine-portable lowercase for TEXT columns. Java's full Unicode
-    case mapping lowercases İ (U+0130, Turkish dotted capital I) to
-    'i' + U+0307 (combining dot above) while DuckDB's utf8proc simple
-    fold gives plain 'i' — the ONE divergent code point the r10
-    multilingual probe found (ß/ẞ, final sigma, CJK, emoji, Cyrillic,
-    combining marks, NBSP/ZWSP all agree engine-for-engine). Pinning
-    the simple fold via a pre-lower translate keeps every token list,
-    token count, and content hash identical across engines; any future
-    divergent code point joins the translate."""
+    """Engine-portable lowercase for TEXT columns: the Unicode simple
+    fold, identical on Spark and DuckDB for EVERY assigned code point
+    (proven by the exhaustive tools/casefold_parity.py sweep — see
+    _CASEFOLD_PINS above for the 45 pinned divergences, of which the
+    r10 probe had found one, İ). Keeps every token list, token count,
+    and content hash identical across engines and across JVM/ICU
+    upgrades; oracle SQL applies the same translate via
+    duck_casefold()."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.translate(c, "\u0130", "i"))
+    return F.lower(F.translate(c, CASEFOLD_SRC, CASEFOLD_DST))
 
 
 def tokens(col: Column | str) -> Column:

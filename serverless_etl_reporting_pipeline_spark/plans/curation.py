@@ -164,7 +164,7 @@ _BLOOM_HEX = 4  # 4 hex chars = 16 bits = positions in [0, 65536)
     "c02_bloom_decontamination",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -303,9 +303,9 @@ def c03_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS docs,
            CAST(sum(n_chars) AS BIGINT) AS chars,
            CAST(count(DISTINCT lang) AS BIGINT) AS langs,
-           CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+           CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')),
                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS distinct_fp,
-           round((count(*) - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+           round((count(*) - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')),
                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))))
                  * 10000.0 / count(*)) / 10000.0 AS dup_ratio,
            round(sum(n_chars) * 100.0 / count(*)) / 100.0 AS mean_chars
@@ -394,7 +394,7 @@ def c05_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
         SELECT doc_id, lang,
-               CAST(greatest(len(regexp_extract_all(lower(text), '\w+')), 1) AS BIGINT) AS n_tokens
+               CAST(greatest(len(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')), 1) AS BIGINT) AS n_tokens
         FROM documents
     ),
     packed AS (
@@ -457,7 +457,7 @@ def c07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id, not the doc id — that is the whole point.
     oracle=r"""
     WITH RECURSIVE toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -835,7 +835,7 @@ _TOKEN_BUDGET = 20000
     oracle=f"""
     WITH d AS (
         SELECT doc_id, source, lang,
-               CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens
+               CAST(len(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\\w+')) AS BIGINT) AS n_tokens
         FROM documents
     ),
     dom AS (

@@ -49,15 +49,16 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
 @query(
     "pipe01_pretrain_funnel",
     # One CTE chain restating every stage: the quality rules are ratios
-    # of exact integers, dedup is a row_number over md5(lower(text)),
-    # the eval split and the mixture draw are md5-prefix tests, and the
+    # of exact integers, dedup is a row_number over md5 of the pinned
+    # casefold (operators/text.py duck_casefold, inlined below), the
+    # eval split and the mixture draw are md5-prefix tests, and the
     # apportionment is integer largest-remainder — all previously proven
     # in t16/t02/t19/c10/c11; here they are asserted to survive
     # composition.
     oracle=_QF_PROFILE_SQL
     + f""",
     ann0 AS (
-        SELECT d.doc_id, d.source, d.lang, d.text, md5(lower(d.text)) AS h,
+        SELECT d.doc_id, d.source, d.lang, d.text, md5(lower(translate(d.text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼'))) AS h,
                coalesce(p.n_tokens >= {_QF_MIN_TOKENS}
                 AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
                 AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}, FALSE) AS q,
@@ -74,7 +75,7 @@ _PIPE_BUDGET = 150  # selection budget: forces real downsampling at fixture scal
         ) WHERE rn = 1
     ),
     toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -196,7 +197,7 @@ _PIPE2_BUDGET = PIPE2_BUDGET
         SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS w FROM documents
     ),
     ann0 AS (
-        SELECT d.doc_id, d.source, d.lang, d.text, md5(lower(d.text)) AS h,
+        SELECT d.doc_id, d.source, d.lang, d.text, md5(lower(translate(d.text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼'))) AS h,
                coalesce(p.n_tokens >= {_QF_MIN_TOKENS}
                 AND p.stop * 1.0 / p.n_tokens >= {_QF_MIN_STOPWORD_RATIO}
                 AND p.mx * 1.0 / p.n_tokens <= {_QF_MAX_REPETITION}, FALSE) AS q,
@@ -214,7 +215,7 @@ _PIPE2_BUDGET = PIPE2_BUDGET
         ) WHERE rn = 1
     ),
     toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id,

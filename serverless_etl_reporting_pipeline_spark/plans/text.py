@@ -57,7 +57,7 @@ def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT norm_fp, count(*) AS copies, min(doc_id) AS kept_doc_id
     FROM (
         SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+               md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
         FROM documents
     )
     GROUP BY norm_fp
@@ -77,10 +77,10 @@ def t02_normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t03_token_stats",
     oracle=r"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '\w+')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')) AS INT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_measured,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
-           round(length(text) * 100.0 / greatest(len(regexp_extract_all(lower(text), '\w+')), 1)) / 100.0 AS chars_per_token
+           round(length(text) * 100.0 / greatest(len(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')), 1)) / 100.0 AS chars_per_token
     FROM documents
     """,
     doc="token counting (whitespace/word regex + chars/4 BPE-ish estimate) — north star text analysis",
@@ -108,7 +108,7 @@ _MARKERS = {
 
 def _duck_hits(lang: str) -> str:
     lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
-    return f"len(list_filter(regexp_extract_all(lower(text), '\\w+'), x -> x IN ({lst})))"
+    return f"len(list_filter(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\\w+'), x -> x IN ({lst})))"
 
 
 @query(
@@ -171,9 +171,9 @@ def t04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- (zero tokens, zero chars) scores 0-ratios instead of raising
         -- DIVIDE_BY_ZERO under Spark ANSI mode (degenerate-input hunt)
         SELECT doc_id, text,
-               greatest(len(regexp_extract_all(lower(text), '\w+')), 1) AS n,
+               greatest(len(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')), 1) AS n,
                greatest(length(text), 1) AS len_g,
-               len(list_filter(regexp_extract_all(lower(text), '\w+'),
+               len(list_filter(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+'),
                                x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS stop,
                length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
         FROM documents
@@ -210,7 +210,7 @@ def t05_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t06_fingerprint",
     oracle=r"""
     SELECT doc_id,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+           md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
     doc="document fingerprinting (md5 of normalized content) — north star",
@@ -224,7 +224,7 @@ def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t07_ngram_jaccard_pairs",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, source, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, source, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -289,7 +289,7 @@ def t07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
         SELECT DISTINCT doc_id, md5(x) AS h
-        FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS x FROM documents)
+        FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')) AS x FROM documents)
     ),
     bits AS (
         SELECT doc_id, j,
@@ -325,7 +325,7 @@ def t08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-pairs SQL is a valid oracle.
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -363,7 +363,7 @@ def t09_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative min-label propagation. Both are exact.
     oracle=r"""
     WITH RECURSIVE toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -452,7 +452,7 @@ def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # space-joined chunk (identical hex in both engines).
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
         -- NULL text yields no chunks (chunk_tokens' exclusion contract)
         WHERE text IS NOT NULL
     ),
@@ -496,7 +496,7 @@ def t12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical in Spark and DuckDB; ln() would be libm-dependent.
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, source, UNNEST(regexp_extract_all(lower(text), '\w+')) AS tok
+        SELECT doc_id, source, UNNEST(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')) AS tok
         FROM documents
     ),
     tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -562,7 +562,7 @@ def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t15_top_bigrams",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     bg AS (
         SELECT t[i] || ' ' || t[i+1] AS bigram
@@ -609,7 +609,7 @@ _QF_PROFILE_SQL = r"""
     WITH per_tok AS (
         SELECT doc_id, tok, count(*) AS n
         FROM (
-            SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '\w+')) AS tok
+            SELECT doc_id, UNNEST(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+')) AS tok
             FROM documents
         )
         GROUP BY doc_id, tok
@@ -742,7 +742,7 @@ def t18_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are long enough to be near-unique, so hits mean real overlap.
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -830,7 +830,7 @@ def t13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS w FROM documents
     ),
     toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -906,7 +906,7 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cross-doc duplication profile is hash-stable by construction.
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
         -- NULL text yields no chunks (chunk_tokens' exclusion contract)
         WHERE text IS NOT NULL
     ),
@@ -1007,7 +1007,7 @@ def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (SQL list() over zero rows is NULL; Spark's collect_list is []).
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
         -- NULL text yields no chunks (chunk_tokens' exclusion contract)
         WHERE text IS NOT NULL
     ),
@@ -1099,7 +1099,7 @@ def t23_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verdict), and the reported ratio is micro-rounded once.
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+        SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
         SELECT DISTINCT doc_id,

@@ -225,10 +225,13 @@ def build_doctored(base: str, dest: str) -> str:
       -- r10: MULTILINGUAL / multibyte text — the probe that found the
       -- İ (U+0130) case-fold divergence (Java full mapping i+U+0307 vs
       -- utf8proc simple fold 'i'; operators/text.py casefold pins the
-      -- simple fold). Every other class measured engine-identical:
-      -- ß/ẞ, final sigma, CJK (not \w — zero word tokens), emoji/ZWJ,
+      -- simple fold). ß/ẞ, CJK (not \w — zero word tokens), emoji/ZWJ,
       -- Cyrillic (\w-matched), combining vs precomposed accents,
-      -- NBSP/em-space/ZWSP (not \s and not \w: glued tokens).
+      -- NBSP/em-space/ZWSP (not \s and not \w: glued tokens) measured
+      -- engine-identical. NOTE 910005 carries Σ only word-INITIALLY,
+      -- which is why this probe missed Java's contextual final-sigma
+      -- rule — found r11 by the exhaustive tools/casefold_parity.py
+      -- sweep and probed end-to-end by 910009 below.
       SELECT * FROM (VALUES
         (910001, 'Grüße aus München — straße STRASSE ß ẞ', 'de', 'webz', 40),
         (910002, 'İstanbul ILIK ılık Iı İi dotted', 'tr', 'webz', 31),
@@ -237,7 +240,17 @@ def build_doctored(base: str, dest: str) -> str:
         (910005, 'café résumé naïve coöperate Ωμέγα ΣΙΓΜΑ σίγμα ς', 'fr', 'webz', 47),
         (910006, 'а б в г русский текст кириллица ЁёЙй', 'ru', 'webz', 36),
         (910007, 'combining á é vs precomposed \u00e1 \u00e9', 'en', 'webz', 35),
-        (910008, '\u00a0nbsp and em-space\u2003\u200bzwsp separators', 'en', 'webz', 30)
+        (910008, '\u00a0nbsp and em-space\u2003\u200bzwsp separators', 'en', 'webz', 30),
+        -- r11: the remaining casefold-divergence classes from the
+        -- exhaustive sweep, probed END-TO-END: word-FINAL capital
+        -- sigma (Java contextual \u03c2 vs utf8proc simple fold \u03c3),
+        -- Unicode-version-skew capitals Java lowers but this utf8proc
+        -- keeps (U+2C2F, U+A7C0), and Vithkuqi (U+10570 capital, which
+        -- this utf8proc mis-maps by -0x20 into Caucasian Albanian,
+        -- plus its U+10597 small form). All 45 divergent code points
+        -- are pinned by the operators/text.py translate, mirrored in
+        -- every oracle's inlined duck_casefold fragment.
+        (910009, '\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u039a\u0391\u039b\u039f\u03a3 \u03a3 \u2c2f\u2c5f \ua7c0\ua7c1 \U00010570\U00010597 mixed', 'el', 'webz', 40)
       ) t(doc_id, text, lang, source, n_chars)
     ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
