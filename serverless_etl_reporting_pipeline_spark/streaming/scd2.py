@@ -10,7 +10,13 @@ SCD2 segment and nothing is ever rebuilt.
 CDC contract (the same one e08 documents): event time is monotone
 ACROSS batches — every ``ts`` in batch j follows every ``ts`` in batch
 i < j, exactly what a watermark extract emits. Order WITHIN a batch is
-arbitrary.
+arbitrary. Since r11 the drain ENFORCES the contract rather than
+trusting it: each batch is filtered to rows strictly above the
+committed tip (`_committed_tip`), so an at-least-once redelivery — the
+fault `tools/degenerate_streaming.py` stages — is an idempotent no-op
+instead of feeding the reader's deferred close an earlier
+``_first_ts`` than the open row's ``valid_from`` (backward-travelling
+negative-duration versions, the r11 sweep finding).
 
 Each micro-batch of change events is chained into SCD2 version rows
 with ONE per-user window over the batch alone and written to
@@ -31,11 +37,13 @@ is gone entirely. At 100 TB the version log is just parquet segments —
 compaction and retention are the SAME shared helpers as every other
 streaming state log here.
 
-Idempotence: a segment is a pure function of its batch's source rows,
-written with mode=overwrite under ``batch=<id>`` — a checkpoint-
-recovery replay reproduces it byte-identically. Unlike the funnel's
-hash state, the drain reads NO prior state, so there is no
-self-exclusion hazard to guard.
+Idempotence: a segment is a pure function of its batch's source rows
+and the strictly-earlier committed tip, written with mode=overwrite
+under ``batch=<id>`` — a checkpoint-recovery replay reproduces it
+byte-identically (the tip aggregate excludes the replayed batch's own
+committed segment, so the replay filters against the same watermark
+the original run saw; and a replayed batch that would filter to empty
+SKIPS the write, leaving its committed segment intact).
 
 Maintenance: `compact_scd2_hist` folds committed segments into one
 ``_bid``-tagged parquet (shared `_fold_segments`) and
@@ -88,6 +96,26 @@ def incremental_scd2_drain(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         changes = batch.filter(F.col("event_type") == event_type)
+        # ENFORCE the monotone-CDC contract instead of trusting it
+        # (r11, found by tools/degenerate_streaming.py): an at-least-
+        # once redelivery re-sends events at-or-below the committed
+        # tip, and trusting them would hand the reader's deferred close
+        # an EARLIER _first_ts than the open row's valid_from —
+        # backward-travelling, negative-duration versions. Rows not
+        # strictly above the tip of STRICTLY-EARLIER segments (own-
+        # segment exclusion keeps checkpoint replays idempotent: a
+        # replayed batch filtered against itself would overwrite its
+        # committed segment with an empty one) are non-monotone
+        # arrivals and are dropped; a fully-redelivered batch becomes
+        # an empty batch. NULL event times sort before everything
+        # (nulls-first), so under the contract they can only legally
+        # ride in the FIRST extract — where tip is None and they pass.
+        # At 100 TB: the tip aggregate scans fold+tail once per batch;
+        # a deployment wanting O(1) keeps a one-row watermark file, at
+        # the cost of this module's otherwise state-free drain.
+        tip = _committed_tip(batch.sparkSession, work_dir, batch_id)
+        if tip is not None:
+            changes = changes.filter(F.col("ts") > F.lit(tip).cast("timestamp_ntz"))
         if changes.isEmpty():
             return
         n_batches["n"] += 1
@@ -119,6 +147,23 @@ def incremental_scd2_drain(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def _committed_tip(spark: SparkSession, work_dir: str, batch_id: int):
+    """Max committed event time over segments with ``_bid`` strictly
+    below ``batch_id`` — the watermark the drain enforces monotonicity
+    against. None when no earlier history exists (first batch, fresh
+    work dir). The open row carries the user's LAST event as
+    ``valid_from``, so max(valid_from) over a segment IS its batch's
+    max event time; NULL event times are ignored by max()."""
+    if not _fs_exists(spark, os.path.join(work_dir, "scd2_hist")):
+        return None
+    tagged = _tagged_log(spark, work_dir)
+    if tagged is None:
+        return None
+    return (
+        tagged.filter(F.col("_bid") < batch_id).agg(F.max("valid_from")).first()[0]
+    )
 
 
 def _tagged_log(spark: SparkSession, work_dir: str) -> DataFrame | None:

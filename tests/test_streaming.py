@@ -1566,6 +1566,61 @@ def test_streaming_scd2_cross_batch_close(spark, tmp_path):
     assert got[6] == (None, True)                # user 3 first seen in batch 1
 
 
+def test_streaming_scd2_redelivery_is_idempotent(spark, tmp_path):
+    """The r11 monotone-CDC enforcement (found by the streaming
+    degenerate sweep): an at-least-once redelivery — a NEW arrival file
+    re-sending already-committed events — used to hand the reader's
+    deferred close an earlier _first_ts than the open row's valid_from
+    (a backward-travelling, negative-duration version). The drain now
+    filters each batch to ts strictly above the committed tip, so a
+    full redelivery is a no-op and a PARTIAL overlap keeps only the
+    genuinely-new rows."""
+    import datetime as dt
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    t = [dt.datetime(2024, 1, 1 + i) for i in range(6)]
+    b0 = [
+        (1, t[0], 1, "purchase", 10.0, "{}"),
+        (2, t[1], 1, "purchase", 11.0, "{}"),
+    ]
+    b1 = [
+        (3, t[2], 1, "purchase", 12.0, "{}"),
+        (4, t[3], 2, "purchase", 20.0, "{}"),
+    ]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def arrive(rows):
+        spark.createDataFrame(rows, SCHEMAS["events"]).select(cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        return incremental_scd2_drain(spark, src, SCHEMAS["events"], work)
+
+    assert arrive(b0) == 1
+    assert arrive(b1) == 1
+    want = {r["event_id"]: (r["valid_to"], r["is_current"])
+            for r in scd2_table(spark, work).collect()}
+    # FULL redelivery of the last batch: filtered to empty, not counted
+    assert arrive(b1) == 0
+    # PARTIAL overlap: one already-committed event + one new one —
+    # only the new row may land
+    assert arrive([b1[1], (5, t[4], 1, "purchase", 13.0, "{}")]) == 1
+    got = {r["event_id"]: (r["valid_to"], r["is_current"])
+           for r in scd2_table(spark, work).collect()}
+    assert set(got) == set(want) | {5}
+    assert got[5] == (None, True)
+    assert got[3] == (t[4], False)      # old open row closed by the NEW event only
+    assert got[4] == want[4] == (None, True)  # redelivered row did not re-version
+    # and no version ever travels backward
+    for r in scd2_table(spark, work).collect():
+        if r["valid_to"] is not None:
+            assert r["valid_to"] >= r["valid_from"]
+
+
 def test_streaming_scd2_replay_idempotent(spark, tmp_path):
     """A failed first attempt leaves a wrong/partial batch=1 segment on
     disk; the checkpoint-recovery replay must overwrite it — the drain

@@ -1,0 +1,353 @@
+"""Degenerate-input sweep for the STREAMING drains (r10 verdict ask #5).
+
+The batch registry has `tools/degenerate_sweep.py` (doctored + zero-row
+corpora, full differential oracle). The six stateful streaming modules
+(`streaming/{funnel,minhash,vectors,ivf,scd2,sketches}.py`) were only
+doctored-tested piecemeal (a corrupt-batch twin in tests). This harness
+stages the SAME doctored corpus — every degenerate class the batch
+sweep carries: NULL/empty/multilingual text, duplicate ids, NULL/
+ragged/zero-norm/non-finite vectors, NULL event times/types/users/
+values, malformed JSON — as ARRIVAL FILES, plus the two stream-only
+faults every 100 TB ingest eventually sees:
+
+  - an EMPTY micro-batch (a zero-row-but-committed arrival file: the
+    empty day partition / heartbeat flush), and
+  - an ALL-DUPLICATE batch (byte-identical re-delivery of a previous
+    arrival — the at-least-once fault).
+
+and asserts BATCH == STREAM parity on every module's drain: the
+streamed state/annotations must equal the module's oracle-pinned batch
+operator applied to the same logical arrivals. Parity here is
+engine-vs-engine (the batch operators themselves are differential-
+oracle-checked by the main sweep), so what this hunts is CROSS-BATCH
+STATE COMPOSITION bugs: state rows poisoned by degenerate arrivals,
+empty-batch id gaps breaking segment readers, re-delivered rows
+double-counted or double-flagged.
+
+Usage:
+    python tools/degenerate_streaming.py [base_sf_dir] [--emit PATH]
+        base_sf_dir defaults to /root/testdata/sf0.001; --emit writes
+        the per-module parity record (DEGEN_streaming_r{N}.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+OUT = "/tmp/spark_graft_degen_streaming"
+
+
+def _nskey(row):
+    """None-safe, NaN-safe sort key for multiset comparison: duplicate
+    arrivals legitimately produce rows identical except for a None vs
+    value column, which Python's tuple sort would TypeError on."""
+    out = []
+    for v in row:
+        out.append((v is None, str(type(v).__name__), str(v)))
+    return out
+
+
+def _rows(df, cols):
+    return sorted(([r[c] for c in cols] for r in df.collect()), key=_nskey)
+
+
+def _stage(df, src, parts):
+    """Write arrival files one predicate at a time (one file = one
+    micro-batch under maxFilesPerTrigger=1). `parts` is a list of
+    DataFrames; an EMPTY frame stages the zero-row-file fault."""
+    os.makedirs(src, exist_ok=True)
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+
+def _median(df, col):
+    """Median split cut — NOT the range midpoint: the doctored corpus
+    carries extreme ids/timestamps (the r10 degenerate class), and a
+    range midpoint puts everything but the outliers in one batch."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        # unix_micros rejects TIMESTAMP_NTZ; a fixed cast to TIMESTAMP
+        # is order-preserving and used identically on both sides of
+        # the cut, so the split stays self-consistent
+        ep = F.unix_micros(F.col(col).cast("timestamp"))
+        us = df.filter(F.col(col).isNotNull()).select(ep.alias("us"))
+        mid_us = us.approxQuantile("us", [0.5], 0.001)[0]
+        return ep <= F.lit(int(mid_us))
+    mid = df.filter(F.col(col).isNotNull()).approxQuantile(col, [0.5], 0.001)[0]
+    return F.col(col) <= F.lit(mid)
+
+
+def _split_with_empty_and_dup(df, id_col, dup_of="first"):
+    """The canonical arrival plan: [first-half, EMPTY, second-half,
+    duplicate-of-first-or-last]. NULL ids ride in the first batch."""
+    le_mid = _median(df, id_col)
+    in_b0 = F.col(id_col).isNull() | le_mid
+    a0 = df.filter(in_b0)
+    a1 = df.filter(~in_b0)
+    empty = df.limit(0)
+    dup = a0 if dup_of == "first" else a1
+    return [a0, empty, a1, dup], in_b0
+
+
+def run_module(spark, name, doctored, workroot):
+    src = os.path.join(workroot, name, "src")
+    work = os.path.join(workroot, name, "work")
+    os.makedirs(work, exist_ok=True)
+    rec = {"arrivals": 4, "processed": [], "parity": None, "err": None}
+
+    if name in ("funnel", "text"):
+        docs = spark.read.parquet(f"{doctored}/documents.parquet")
+        docs = docs.select("doc_id", "text", "lang", "source") if name == "funnel" else docs.select("doc_id", "text")
+        parts, _in_b0 = _split_with_empty_and_dup(docs, "doc_id")
+        schema = parts[0].schema
+        if name == "funnel":
+            from serverless_etl_reporting_pipeline_spark.operators.funnel import (
+                annotate_batch,
+                eval_split,
+                quality_hashes,
+                shingle_set,
+            )
+            from serverless_etl_reporting_pipeline_spark.streaming.funnel import incremental_funnel_drain
+
+            for p in parts:
+                _stage(p, src, [p])
+                rec["processed"].append(incremental_funnel_drain(spark, src, schema, work))
+            cols = ["doc_id", "q", "dd", "clean"]
+            # Per-batch twin — the drain's own composition spec (the
+            # split==union property holds only for DISJOINT batches;
+            # the REDELIVERY contract, pinned r11: a cross-batch
+            # byte-identical copy of an already-emitted quality doc is
+            # dd=False/clean=False — the survivor is never re-emitted —
+            # while WITHIN-batch identical shards keep the r10 contract
+            # of sharing the winner's dd=True via the (doc_id, h) join).
+            a0, a1 = parts[0], parts[2]
+            sh0 = shingle_set(a0)
+            hold = sh0.filter(eval_split()).select("s").distinct()
+            want = [
+                _rows(annotate_batch(a0, hold, ev=eval_split(), shingle_frame=sh0), cols),
+                _rows(annotate_batch(a1, hold, seen_hashes=quality_hashes(a0)), cols),
+                _rows(annotate_batch(a0, hold,
+                                     seen_hashes=quality_hashes(a0.unionAll(a1))), cols),
+            ]
+            got = [
+                _rows(spark.read.parquet(f"{work}/funnel_ann/batch={b}"), cols)
+                for b in (0, 2, 3)
+            ]
+            # the redelivery batch must re-emit NO survivor: every
+            # quality doc whose hash is already in state arrives
+            # dd=False (non-quality rows are dd=False by definition)
+            redeliv = spark.read.parquet(f"{work}/funnel_ann/batch=3")
+            assert redeliv.filter("dd").count() == 0, "redelivered batch re-emitted survivors"
+        else:
+            from serverless_etl_reporting_pipeline_spark.operators.minhash import incremental_neardup_flags
+            from serverless_etl_reporting_pipeline_spark.streaming.minhash import incremental_text_dedup_drain
+
+            prior = None
+            want_all, got_dirs = [], []
+            for i, p in enumerate(parts):
+                _stage(p, src, [p])
+                rec["processed"].append(incremental_text_dedup_drain(spark, src, schema, work))
+                if p.isEmpty():
+                    continue
+                got_dirs.append(i)  # batch ids equal arrival index (empty consumes one)
+                if prior is None:
+                    # first batch: nothing may be flagged
+                    want_all.append(_rows(
+                        p.select("doc_id", F.lit(False).alias("is_dup"),
+                                 F.lit(None).cast("bigint").alias("dup_src")),
+                        ["doc_id", "is_dup", "dup_src"]))
+                    prior = p
+                else:
+                    want_all.append(_rows(incremental_neardup_flags(prior, p),
+                                          ["doc_id", "is_dup", "dup_src"]))
+                    prior = prior.unionAll(p)
+            got = [
+                _rows(spark.read.parquet(f"{work}/doc_ann/batch={b}"),
+                      ["doc_id", "is_dup", "dup_src"])
+                for b in got_dirs
+            ]
+            want = want_all
+    elif name in ("vectors", "ivf"):
+        emb = spark.read.parquet(f"{doctored}/embeddings.parquet")
+        # ivf keeps `label` (the drain's cell_col for quantizer training)
+        emb = emb.select("vec_id", "embedding") if name == "vectors" else emb.select(
+            "vec_id", "embedding", "label")
+        parts, _ = _split_with_empty_and_dup(emb, "vec_id")
+        schema = parts[0].schema
+        if name == "vectors":
+            from serverless_etl_reporting_pipeline_spark.operators.vectors import neardup_vector_index_probe
+            from serverless_etl_reporting_pipeline_spark.plans.vectors import (
+                _V09_BANDS, _V09_BITS, _V09_SEED, _V12_TAU,
+            )
+            from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+                incremental_vector_dedup_drain,
+            )
+
+            kw = dict(threshold=float(_V12_TAU), n_bits=_V09_BITS, bands=_V09_BANDS,
+                      seed=_V09_SEED, dim=64)
+            prior, want_all, got_dirs = None, [], []
+            for i, p in enumerate(parts):
+                _stage(p, src, [p])
+                rec["processed"].append(
+                    incremental_vector_dedup_drain(spark, src, schema, work, **kw))
+                if p.isEmpty():
+                    continue
+                got_dirs.append(i)
+                if prior is None:
+                    want_all.append(_rows(
+                        p.select("vec_id", F.lit(False).alias("is_dup"),
+                                 F.lit(None).cast("bigint").alias("dup_src"),
+                                 F.lit(None).cast("double").alias("cos")),
+                        ["vec_id", "is_dup", "dup_src", "cos"]))
+                    prior = p
+                else:
+                    want_all.append(_rows(neardup_vector_index_probe(prior, p, **{
+                        k: v for k, v in kw.items() if k != "dim"}),
+                        ["vec_id", "is_dup", "dup_src", "cos"]))
+                    prior = prior.unionAll(p)
+            got = [
+                _rows(spark.read.parquet(f"{work}/vec_ann/batch={b}"),
+                      ["vec_id", "is_dup", "dup_src", "cos"])
+                for b in got_dirs
+            ]
+            want = want_all
+        else:
+            from serverless_etl_reporting_pipeline_spark.operators.vectors import assign_cells
+            from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+                incremental_ivf_ingest_drain, load_ivf_state,
+            )
+
+            for p in parts:
+                _stage(p, src, [p])
+                rec["processed"].append(incremental_ivf_ingest_drain(spark, src, schema, work))
+            cent, postings = load_ivf_state(spark, work)
+            union = parts[0].unionAll(parts[2]).unionAll(parts[3])
+            got = _rows(postings, ["_cell", "_id"])
+            want = _rows(assign_cells(cent, union), ["_cell", "_id"])
+    elif name == "scd2":
+        from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+        from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+            incremental_scd2_drain, scd2_table,
+        )
+        from serverless_etl_reporting_pipeline_spark.sources.reader import table_path  # noqa: F401
+        from pyspark.sql import Window
+
+        ev = spark.read.schema(SCHEMAS["events"]).parquet(f"{doctored}/events.parquet")
+        # time-ordered split (the CDC monotone contract); NULL ts rides
+        # in batch 0, the median cut dodges the extreme-timestamp rows
+        in_b0 = F.col("ts").isNull() | _median(ev, "ts")
+        a0 = ev.filter(in_b0)
+        a1 = ev.filter(~in_b0)
+        parts = [a0, ev.limit(0), a1, a1]  # dup of the LAST batch: tail redelivery
+        for p in parts:
+            _stage(p, src, [p])
+            rec["processed"].append(incremental_scd2_drain(spark, src, SCHEMAS["events"], work))
+        # the REDELIVERY contract (pinned r11): the drain enforces the
+        # monotone-CDC watermark, so a fully-redelivered batch filters
+        # to empty — no segment, not counted, history untouched
+        assert rec["processed"][3] == 0, "redelivered CDC batch was not idempotent"
+        union = a0.unionAll(a1)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        nxt = F.lead("ts").over(w)
+        rebuild = (
+            union.filter("event_type = 'purchase'")
+            .select("user_id", "event_id", "value",
+                    F.col("ts").alias("valid_from"), nxt.alias("valid_to"),
+                    nxt.isNull().alias("is_current"))
+        )
+        cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
+        got = _rows(scd2_table(spark, work), cols)
+        want = _rows(rebuild, cols)
+    elif name == "kmv":
+        from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
+        from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
+        from serverless_etl_reporting_pipeline_spark.streaming.sketches import kmv_drain, kmv_latest
+
+        ev = spark.read.schema(SCHEMAS["events"]).parquet(f"{doctored}/events.parquet")
+        parts, _ = _split_with_empty_and_dup(ev, "event_id")
+        for p in parts:
+            _stage(p, src, [p])
+            rec["processed"].append(
+                kmv_drain(spark, src, SCHEMAS["events"], work, "event_type",
+                          F.col("user_id"), k=64))
+        union = parts[0].unionAll(parts[2]).unionAll(parts[3])
+        cols = ["group_key", "n_rows", "k_used", "kth_hash", "est_distinct"]
+        got = _rows(kmv_latest(spark, work), cols)
+        want = _rows(
+            kmv_sketch_grouped(union, ["event_type"], F.col("user_id"), k=64)
+            .select(F.col("event_type").alias("group_key"), "n_rows", "k_used",
+                    "kth_hash", "est_distinct"),
+            cols)
+    else:
+        raise KeyError(name)
+
+    rec["parity"] = got == want
+    if not rec["parity"]:
+        def flat(x):
+            out = []
+            stack = [x]
+            while stack:
+                v = stack.pop()
+                if v and isinstance(v[0], list) and v[0] and isinstance(v[0][0], list):
+                    stack.extend(v)
+                else:
+                    out.extend(tuple(map(str, r)) for r in v)
+            return out
+        gs, ws = flat(got), flat(want)
+        gset, wset = set(gs), set(ws)
+        rec["err"] = (f"rows stream={len(gs)} batch={len(ws)}; "
+                      f"stream-only sample: {sorted(gset - wset)[:3]}; "
+                      f"batch-only sample: {sorted(wset - gset)[:3]}")
+    return rec
+
+
+MODULES = ("funnel", "text", "vectors", "ivf", "scd2", "kmv")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    emit = None
+    if "--emit" in args:
+        i = args.index("--emit")
+        emit = args[i + 1]
+        del args[i:i + 2]
+    base = args[0] if args else "/root/testdata/sf0.001"
+    only = args[1].split(",") if len(args) > 1 else MODULES
+
+    from serverless_etl_reporting_pipeline_spark.session import get_spark
+    from tools.degenerate_sweep import build_doctored
+
+    doctored = build_doctored(base, os.path.join(OUT, "fixture"))
+    workroot = os.path.join(OUT, "run")
+    shutil.rmtree(workroot, ignore_errors=True)
+
+    spark = get_spark()
+    results, bad = {}, 0
+    for m in only:
+        try:
+            results[m] = run_module(spark, m, doctored, workroot)
+        except Exception as e:  # a crash is ALWAYS a finding
+            results[m] = {"parity": False, "err": f"{type(e).__name__}: {e}"}
+            traceback.print_exc()
+        ok = results[m]["parity"]
+        bad += 0 if ok else 1
+        print(f"{'ok  ' if ok else 'FAIL'} {m}: processed={results[m].get('processed')} "
+              f"{'' if ok else results[m]['err']}")
+    print(f"\n{len(only) - bad} ok, {bad} fail")
+    if emit:
+        with open(emit, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {emit}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
