@@ -289,29 +289,77 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p06_json_extraction",
-    # json_valid + TRY_CAST mirror Spark's lenient get_json_object
-    # (NULL for malformed JSON / non-integer values) — DuckDB's
-    # json_extract_string is strict and would ERROR on the first
-    # malformed payload (r8 degenerate-input sweep)
-    oracle="""
+    # The ADVERSARIAL-JSON contract (r11 hunt; the r8 json_valid guard
+    # handled merely-malformed payloads). Three parser-divergence
+    # classes found by probing Spark's Jackson against DuckDB's yyjson,
+    # each pinned by a guard written on BOTH engines:
+    #   1. RESOURCE BOUND: payloads with > 256 raw opening brackets
+    #      ('{' or '[', strings included — a byte-level bound, cheap
+    #      and engine-free) are adversarial and treated as
+    #      unparseable. Jackson stops at nesting 1000 while yyjson is
+    #      unbounded, so without the shared bound a depth-1500 payload
+    #      extracts on one engine only; a 100 TB ingest wants the DoS
+    #      bound anyway.
+    #   2. MALFORMED ESCAPES: a lone UTF-16 surrogate escape
+    #      ("\\ud800" with no low mate) is accepted by lenient Jackson
+    #      and rejected by yyjson's validator — the engine rejects it
+    #      explicitly (rlike guard below); the oracle's json_valid
+    #      already does.
+    #   3. INTEGER LITERALS ONLY: DuckDB TRY_CAST('7.0' AS INT) = 7
+    #      while Spark try_cast gives NULL — k contributes only when
+    #      it is an optionally-signed integer literal (the oracle's
+    #      regex guard mirrors Spark's strict string->int domain;
+    #      overflow is NULL on both).
+    oracle=r"""
     SELECT event_type,
-           CAST(sum(TRY_CAST(
-               CASE WHEN json_valid(props)
-                    THEN json_extract_string(props, '$.k') END AS INT)) AS BIGINT) AS k_sum,
+           CAST(sum(TRY_CAST(CASE WHEN regexp_matches(trim(k), '^[+-]?[0-9]+$')
+                                  THEN trim(k) END AS INT)) AS BIGINT) AS k_sum,
            count(*) AS n
-    FROM events
+    FROM (
+        SELECT event_type,
+               CASE WHEN length(props) - length(replace(replace(props, '{', ''), '[', '')) <= 256
+                         AND json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS k
+        FROM events
+    )
     GROUP BY event_type
     """,
-    doc="JSON scalar extraction (props payload) — beyond reference surface (SURVEY.md §2.7 note)",
+    doc="JSON scalar extraction (props payload) with the adversarial-input "
+    "contract — beyond reference surface (SURVEY.md §2.7 note)",
 )
 def p06_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    # try_cast: a non-integer "$.k" value is NULL (excluded from the
-    # sum), never an ANSI CAST crash — get_json_object is already NULL
-    # on malformed JSON, matching the oracle's json_valid guard
-    return events.groupBy("event_type").agg(
-        F.sum(F.expr("try_cast(get_json_object(props, '$.k') AS INT)")).alias("k_sum"),
-        F.count("*").alias("n"),
+    # raw opening-bracket count: the shared parser-resource bound
+    brackets = F.length("props") - F.length(
+        F.translate("props", "{[", "")
+    )
+    # lone-surrogate escapes: a high escape with no low mate, or a low
+    # escape with no high mate (case-insensitive hex; Java regex
+    # look-around — the oracle side needs no twin because yyjson's
+    # json_valid rejects these outright)
+    lone_surrogate = F.col("props").rlike(
+        r"(?i)\\ud[89ab][0-9a-f]{2}(?!\\ud[c-f][0-9a-f]{2})"
+        r"|(?i)(?<!\\ud[89ab][0-9a-f]{2})\\ud[c-f][0-9a-f]{2}"
+    )
+    k = F.when(
+        (brackets <= 256) & ~F.coalesce(lone_surrogate, F.lit(False)),
+        F.expr("get_json_object(props, '$.k')"),
+    )
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            # the same literal integer guard the oracle writes (space-
+            # trim + signed-digits regex), so the two engines share one
+            # contract instead of two cast implementations
+            F.sum(
+                F.expr(
+                    "try_cast(CASE WHEN trim(k) RLIKE '^[+-]?[0-9]+$' "
+                    "THEN trim(k) END AS INT)"
+                )
+            ).alias("k_sum"),
+            F.count("*").alias("n"),
+        )
     )
 
 

@@ -9,7 +9,13 @@ the only harness that exercises the ANSI hazard class at the query
 level: empty/whitespace/NULL documents, single-char and punctuation-only
 text, a NULL-lang row, zero-norm and quantizes-to-zero embeddings,
 NULL user/event_type/value/props events, a malformed-JSON props row,
-an out-of-scheme source id, and (separately) zero-variance domains.
+an out-of-scheme source id, (separately) zero-variance domains,
+duplicate ids, multilingual/casefold probes (İ + the r11 exhaustive-
+sweep classes), extreme timestamps/values, ADVERSARIAL JSON (lone
+surrogate escapes, 1500-deep nesting, duplicate keys, overflow and
+float-rendered numbers — p06's r11 contract), and adversarial
+text->binary payloads (embedded NUL, C0/C1 controls, a ~1 MB
+oversized document).
 
 A crash is ALWAYS a finding: every operator defines its degenerate
 behavior (valid masks, quarantines, floors, try_cast) instead of
@@ -252,6 +258,25 @@ def build_doctored(base: str, dest: str) -> str:
         -- every oracle's inlined duck_casefold fragment.
         (910009, '\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u039a\u0391\u039b\u039f\u03a3 \u03a3 \u2c2f\u2c5f \ua7c0\ua7c1 \U00010570\U00010597 mixed', 'el', 'webz', 40)
       ) t(doc_id, text, lang, source, n_chars)
+      UNION ALL BY NAME
+      -- r11: ADVERSARIAL TEXT->BINARY payloads (m01-m04 encode text as
+      -- the binary payload, so the payload faults stage through text):
+      -- an embedded NUL byte, C0 control bytes, DEL + C1 controls
+      -- (all valid UTF-8 \u2014 the classes a scraped corpus actually
+      -- carries), and an OVERSIZED ~64 KB document, 20x the largest
+      -- fixture doc (the size-bound probe for every Arrow kernel and
+      -- md5/token path). Probe sized 64 KB, not 1 MB: the sweep's
+      -- DUCK-side shingle oracles carry the doc's full token list
+      -- into every lateral-UNNEST row, so a 174k-token doc costs the
+      -- ORACLE O(tokens^2) memory (~30 GB observed) \u2014 an oracle-
+      -- formulation bound, not an engine one (the Spark side explodes
+      -- linearly).
+      SELECT * FROM (VALUES
+        (920001, 'pre' || chr(0) || 'post nul byte payload', 'en', 'webz', 22),
+        (920002, chr(1) || chr(2) || chr(31) || ' control bytes mixed with words', 'en', 'webz', 34),
+        (920003, repeat('oversized payload block ', 2730), 'en', 'webz', 65520),
+        (920004, chr(127) || chr(128) || chr(159) || ' del and c1 controls', 'en', 'webz', 23)
+      ) t(doc_id, text, lang, source, n_chars)
     ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
     dim = con.sql(f"SELECT len(embedding) FROM '{base}/embeddings.parquet' LIMIT 1").fetchone()[0]
@@ -365,6 +390,32 @@ def build_doctored(base: str, dest: str) -> str:
         (9910005, TIMESTAMP '2024-01-15 12:00:05',        999994, 'view', -0.0, '{{}}'),
         (9910006, TIMESTAMP '2024-01-15 12:00:06',        999994, 'view', 1e-300, '{{}}'),
         (9910007, TIMESTAMP '2024-01-15 12:00:07',        999994, 'view', 92233720368547.0, '{{}}')
+      ) t(event_id, ts, user_id, event_type, value, props)
+      UNION ALL BY NAME
+      -- r11: ADVERSARIAL JSON (the parser-divergence hunt, p06's
+      -- contract): valid vs LONE surrogate escapes (lenient Jackson
+      -- accepts the lone one, yyjson rejects it — engine rlike guard),
+      -- nesting at 200 (parses both) and 1500 (Jackson's 1000 bound vs
+      -- unbounded yyjson — the shared >256-bracket resource bound
+      -- rejects it on both), duplicate keys, an overflowing integer
+      -- (engines RENDER it differently: literal digits vs '1e26' —
+      -- NULL under the integer-literal regex either way), float-
+      -- rendered '7.0' (DuckDB TRY_CAST would read 7, Spark NULL —
+      -- the regex pins integer literals only), an array value,
+      -- leading whitespace, and spaces inside the value string.
+      SELECT * FROM (VALUES
+        (9920001, TIMESTAMP '2024-01-15 12:01:00', 999993, 'view', 1.0, '{{"s":"\\ud83d\\ude00 pair","k":"11"}}'),
+        (9920002, TIMESTAMP '2024-01-15 12:01:01', 999993, 'view', 1.0, '{{"s":"\\ud800 lone","k":"13"}}'),
+        (9920003, TIMESTAMP '2024-01-15 12:01:02', 999993, 'view', 1.0,
+            '{{"k":21,"d":' || repeat('{{"d":', 199) || '{{}}' || repeat('}}', 199) || '}}'),
+        (9920004, TIMESTAMP '2024-01-15 12:01:03', 999993, 'view', 1.0,
+            '{{"k":23,"d":' || repeat('{{"d":', 1499) || '{{}}' || repeat('}}', 1499) || '}}'),
+        (9920005, TIMESTAMP '2024-01-15 12:01:04', 999993, 'view', 1.0, '{{"k":"1","k":"2"}}'),
+        (9920006, TIMESTAMP '2024-01-15 12:01:05', 999993, 'view', 1.0, '{{"k":99999999999999999999999999}}'),
+        (9920007, TIMESTAMP '2024-01-15 12:01:06', 999993, 'view', 1.0, '{{"k":7.0}}'),
+        (9920008, TIMESTAMP '2024-01-15 12:01:07', 999993, 'view', 1.0, '{{"k":[5]}}'),
+        (9920009, TIMESTAMP '2024-01-15 12:01:08', 999993, 'view', 1.0, ' {{"k":17}}'),
+        (9920010, TIMESTAMP '2024-01-15 12:01:09', 999993, 'view', 1.0, '{{"k":" 19 "}}')
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
