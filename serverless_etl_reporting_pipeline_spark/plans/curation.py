@@ -36,6 +36,23 @@ _RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _RE_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _RE_PHONE = r"\+\d[\d-]{6,}\d"
 
+# ENGINE-side email pattern (r11 ReDoS hunt): Spark's java.util.regex
+# is a backtracking matcher with NO memoization, so the find() loop
+# retries the leading `[...]+` at EVERY offset of a long unbroken
+# alphanumeric run — O(n^2): one crafted 80 KB run cost 35 s on one
+# core (a 1 MB run is hours — a denial-of-service a scraped 100 TB
+# corpus WILL eventually contain). The negative lookbehind makes every
+# inside-run start fail in O(1), so each run is scanned once — same
+# crafted input measured 0.31 s (flat), and the MATCH SET is provably
+# identical: a start inside a run reaches exactly the same '@' as the
+# run's start, so the leftmost match never changes (pinned by
+# tests/test_operators.py::test_pii_email_regex_linear_scan).
+# The ORACLE keeps the plain pattern — DuckDB's RE2 is linear by
+# construction and does not support lookbehind. URL/IP/PHONE need no
+# anchor: their find loops fail in O(1) at non-prefix offsets
+# (literal 'h'/'+' heads, bounded {1,3} quantifiers).
+_RE_EMAIL_ENGINE = r"(?<![A-Za-z0-9._%+-])" + _RE_EMAIL
+
 
 @query(
     "c01_pii_scrub",
@@ -123,7 +140,7 @@ def c01_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(F.col("t"), _RE_URL, "<URL>"),
-                _RE_EMAIL,
+                _RE_EMAIL_ENGINE,
                 "<EMAIL>",
             ),
             _RE_IP,
@@ -136,7 +153,7 @@ def c01_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "doc_id",
             F.regexp_count("t", F.lit(_RE_URL)).alias("n_urls"),
-            F.regexp_count("t", F.lit(_RE_EMAIL)).alias("n_emails"),
+            F.regexp_count("t", F.lit(_RE_EMAIL_ENGINE)).alias("n_emails"),
             F.regexp_count("t", F.lit(_RE_PHONE)).alias("n_phones"),
             F.regexp_count("t", F.lit(_RE_IP)).alias("n_ips"),
             clean.alias("clean"),

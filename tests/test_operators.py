@@ -868,6 +868,59 @@ def test_casefold_full_unicode_parity(spark):
     assert raw_div == expected
 
 
+def test_pii_email_regex_linear_scan(spark):
+    """The r11 ReDoS find: Spark's backtracking java.util.regex retries
+    the email pattern's leading char-class at EVERY offset of a long
+    unbroken alphanumeric run — O(n^2), 35 s for one crafted 80 KB run
+    (DuckDB's RE2 oracle side is linear by construction). The engine
+    pattern now carries a negative-lookbehind run-start anchor
+    (_RE_EMAIL_ENGINE): inside-run starts fail in O(1) and the match
+    set is provably unchanged (a start inside a run reaches exactly
+    the same '@' as the run's start). This pins (a) cross-engine match
+    parity of anchored-engine vs plain-oracle on the adjacency edge
+    cases, and (b) the linear wall bound on the crafted run."""
+    import time
+
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.plans.curation import (
+        _RE_EMAIL,
+        _RE_EMAIL_ENGINE,
+    )
+
+    cases = [
+        "plain a@b.co end", "!!x.y%z@mail.example.com!!", "..a@b.cc..",
+        "a@b.ccx@d.ee", "no at here", "aaa@bbb", "-a@b.co",
+        "a+b@c-d.org mid b_c@d.io", "tight:aa@bb.cc,dd@ee.ff",
+        "run aaaaaaaaaaaaaaaaaaaa@bb.cc tail", "a@@b.cc", "a@b..cc",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, t string")
+    got = {
+        r["i"]: (list(r["m"]), r["c"])
+        for r in df.select(
+            "i",
+            F.regexp_extract_all("t", F.lit(_RE_EMAIL_ENGINE), 0).alias("m"),
+            F.regexp_replace("t", _RE_EMAIL_ENGINE, "<E>").alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        dm, dc = con.execute(
+            "SELECT regexp_extract_all(?, ?), regexp_replace(?, ?, '<E>', 'g')",
+            [s, _RE_EMAIL, s, _RE_EMAIL],
+        ).fetchone()
+        assert got[i] == (list(dm), dc), f"match divergence on {s!r}"
+
+    # linear bound: the crafted run must complete in engine-linear
+    # time (measured 0.31 s; the unanchored pattern took 35 s)
+    run = spark.createDataFrame([("a" * 80_000 + " z@y.co",)], "t string")
+    t0 = time.perf_counter()
+    n = run.select(F.regexp_count("t", F.lit(_RE_EMAIL_ENGINE)).alias("n")).first()["n"]
+    wall = time.perf_counter() - t0
+    assert n == 1
+    assert wall < 8, f"email scan no longer linear: {wall:.1f}s on an 80 KB run"
+
+
 def test_ivf_batch_probe_duplicate_qids_per_row(spark):
     """The r10 duplicate-id find: the probe kernel used to key its
     collected query batch by a qid DICT, so a duplicated qid silently

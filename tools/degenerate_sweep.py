@@ -275,7 +275,14 @@ def build_doctored(base: str, dest: str) -> str:
         (920001, 'pre' || chr(0) || 'post nul byte payload', 'en', 'webz', 22),
         (920002, chr(1) || chr(2) || chr(31) || ' control bytes mixed with words', 'en', 'webz', 34),
         (920003, repeat('oversized payload block ', 2730), 'en', 'webz', 65520),
-        (920004, chr(127) || chr(128) || chr(159) || ' del and c1 controls', 'en', 'webz', 23)
+        (920004, chr(127) || chr(128) || chr(159) || ' del and c1 controls', 'en', 'webz', 23),
+        -- r11 ReDoS probe: a 32 KB UNBROKEN alphanumeric run followed
+        -- by a real email — the shape that made the plain email regex
+        -- O(n^2) on Spark's backtracking matcher (35 s for one 80 KB
+        -- run) while DuckDB's RE2 stayed linear. c01's engine pattern
+        -- now carries the lookbehind run-start anchor; this row keeps
+        -- the sweep itself the regression test.
+        (920005, repeat('x1', 16384) || ' contact me a@b.co end', 'en', 'webz', 32790)
       ) t(doc_id, text, lang, source, n_chars)
     ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
