@@ -184,10 +184,11 @@ _BLOOM_HEX = 4  # 4 hex chars = 16 bits = positions in [0, 65536)
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 7, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        FROM toks
     ),
     h AS (
         SELECT doc_id,
@@ -477,8 +478,10 @@ def c07_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -618,11 +621,24 @@ def c09_domain_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # logp per bigram TYPE is quantized to a 1e-6 integer before the
     # per-doc weighted sum, so the aggregation is exact integer math in
     # any order (same discipline as c03).
+    # bigrams via list_transform over a ONCE-split code-point list
+    # (r11 oversized-doc find, both engines): per-position
+    # substr(text, i, 2) walks from byte 0 to find the i-th code point
+    # — O(chars^2), 750 s for the 1 MB probe doc — and the lateral
+    # UNNEST additionally carried `text` into every row. string_split
+    # (DuckDB) and split (Spark) decode code points identically
+    # (verified incl. supplementary-plane emoji), and list indexing is
+    # O(1), so both sides are linear now.
     oracle="""
-    WITH bg AS (
-        SELECT doc_id, substr(text, i, 2) AS b
-        FROM documents, UNNEST(generate_series(1, length(text) - 1)) AS u(i)
-        WHERE length(text) >= 2
+    WITH cs AS (
+        SELECT doc_id, string_split(text, '') AS c
+        FROM documents WHERE length(text) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, greatest(len(c) - 1, 0)),
+                                     i -> c[i] || c[i+1])) AS b
+        FROM cs
     ),
     perdoc AS (
         SELECT doc_id, b, count(*) AS m FROM bg GROUP BY doc_id, b
@@ -660,10 +676,26 @@ def c06_chargram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also satisfies the (doc_id, b) grouping, so the 463k post-explode
     # rows never shuffle). See sources/reader.py spread_scan.
     docs = spread_scan(docs, "doc_id")
-    bg = docs.select(
+    # Bigrams via zip_with over two top-level slices of the char array
+    # (r11 oversized-doc find): the old per-position form
+    # `transform(sequence(1, length-1), i -> substring(text, i, 2))`
+    # is O(chars^2) — UTF8String.substring must WALK from byte 0 to
+    # find the i-th code point (variable-width encoding), so a 100 KB
+    # doc cost 32 s on one core and the 1 MB probe doc never finished.
+    # split('') decodes the string into code points ONCE; the slices
+    # and zip_with are linear (1 MB doc: 1.15 s). The big expressions
+    # stay OUTSIDE the lambda deliberately — Catalyst's CollapseProject
+    # inlines project aliases into lambda bodies, and anything
+    # O(doc)-sized inside a per-element lambda re-runs PER ELEMENT
+    # (measured: the hoisted-looking element_at(split(...)) form was
+    # quadratic again after collapse).
+    bg = docs.select("doc_id", F.split("text", "").alias("cs")).select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+            F.expr(
+                "zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),"
+                " (x, y) -> concat(x, y))"
+            )
         ).alias("b"),
     )
     # per-doc counts feed BOTH the corpus LM build and the scoring join

@@ -227,8 +227,10 @@ def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        SELECT DISTINCT doc_id, source, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -328,8 +330,10 @@ def t08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -366,8 +370,10 @@ def t09_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -456,14 +462,20 @@ def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- NULL text yields no chunks (chunk_tokens' exclusion contract)
         WHERE text IS NOT NULL
     ),
+    -- struct-list transform, not a lateral UNNEST join (r11 oversized-
+    -- doc find: the lateral copies the full token list per chunk row —
+    -- O(chunks x tokens) on a 1 MB doc)
+    ch0 AS (
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(0, CAST(greatest(1, floor((len(t) - 20 + 79) / 80.0)) AS BIGINT) - 1),
+                   i -> struct_pack(
+                       chunk_id := CAST(i AS INT),
+                       c := list_slice(t, 1 + i * 80, i * 80 + 100))
+               )) AS u
+        FROM toks
+    ),
     ch AS (
-        SELECT doc_id, CAST(i AS INT) AS chunk_id,
-               list_slice(t, 1 + i * 80, i * 80 + 100) AS c
-        FROM toks,
-             UNNEST(generate_series(
-                 0,
-                 CAST(greatest(1, floor((len(t) - 20 + 79) / 80.0)) AS BIGINT) - 1
-             )) AS u(i)
+        SELECT doc_id, u.chunk_id AS chunk_id, u.c AS c FROM ch0
     )
     -- coalesce: DuckDB's array_to_string([]) is NULL while Spark's
     -- array_join([]) is '' — an empty doc's one empty chunk must
@@ -565,8 +577,10 @@ def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     bg AS (
-        SELECT t[i] || ' ' || t[i+1] AS bigram
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+        SELECT UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
     )
     SELECT bigram, count(*) AS occurrences
     FROM bg
@@ -745,10 +759,11 @@ def t18_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 7, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        FROM toks
     ),
     hold_sh AS (
         SELECT DISTINCT s FROM sh
@@ -833,8 +848,10 @@ def t13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (
@@ -910,15 +927,19 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- NULL text yields no chunks (chunk_tokens' exclusion contract)
         WHERE text IS NOT NULL
     ),
-    ch AS (
+    ch AS MATERIALIZED (
         -- coalesce: array_to_string([]) is NULL in DuckDB; the empty
-        -- chunk must fingerprint as md5('') like Spark's array_join([])
-        SELECT doc_id, md5(coalesce(array_to_string(list_slice(t, 1 + i * 16, i * 16 + 16), ' '), '')) AS fp
-        FROM toks,
-             UNNEST(generate_series(
-                 0,
-                 CAST(greatest(1, ceil(len(t) / 16.0)) AS BIGINT) - 1
-             )) AS u(i)
+        -- chunk must fingerprint as md5('') like Spark's array_join([]).
+        -- list_transform, not a lateral UNNEST join: the lateral form
+        -- copies the doc's FULL token list into every chunk row —
+        -- O(chunks x tokens), 92 s for the sweep's 1 MB probe doc
+        -- (the r11 oversized-doc find; the engine side was always a
+        -- bounded slice per chunk, 7 s same corpus)
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(0, CAST(greatest(1, ceil(len(t) / 16.0)) AS BIGINT) - 1),
+                   i -> md5(coalesce(array_to_string(list_slice(t, 1 + i * 16, i * 16 + 16), ' '), ''))
+               )) AS fp
+        FROM toks
     ),
     cnts AS (
         SELECT fp, count(*) AS cnt FROM ch GROUP BY fp
@@ -1011,18 +1032,27 @@ def t22_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- NULL text yields no chunks (chunk_tokens' exclusion contract)
         WHERE text IS NOT NULL
     ),
-    ch AS (
-        SELECT doc_id, CAST(i AS INT) AS chunk_id,
-               list_slice(t, 1 + i * 16, i * 16 + 16) AS c
-        FROM toks,
-             UNNEST(generate_series(
-                 0,
-                 CAST(greatest(1, ceil(len(t) / 16.0)) AS BIGINT) - 1
-             )) AS u(i)
+    -- struct-list transform, not a lateral UNNEST join: the lateral
+    -- form copies the doc's FULL token list into every chunk row —
+    -- O(chunks x tokens), 98 s for the sweep's 1 MB probe doc (r11
+    -- oversized-doc find; the engine side slices per chunk, 1.7 s)
+    ch0 AS (
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(0, CAST(greatest(1, ceil(len(t) / 16.0)) AS BIGINT) - 1),
+                   i -> struct_pack(
+                       chunk_id := CAST(i AS INT),
+                       c := list_slice(t, 1 + i * 16, i * 16 + 16))
+               )) AS u
+        FROM toks
     ),
-    f AS (
+    ch AS (
+        SELECT doc_id, u.chunk_id AS chunk_id, u.c AS c FROM ch0
+    ),
+    f AS MATERIALIZED (
         -- coalesce: array_to_string([]) is NULL in DuckDB; empty
-        -- chunks must hash/reassemble as '' like Spark (r8 sweep)
+        -- chunks must hash/reassemble as '' like Spark (r8 sweep).
+        -- MATERIALIZED: f feeds both the count aggregate and the
+        -- reassembly join; inlined, the whole chunk build runs twice
         SELECT doc_id, chunk_id,
                md5(coalesce(array_to_string(c, ' '), '')) AS fp,
                len(c) AS n_tok,
@@ -1102,10 +1132,11 @@ def t23_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+') AS t FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id,
-               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-               t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
-        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+        SELECT DISTINCT doc_id, UNNEST(list_transform(
+               generate_series(1, greatest(len(t) - 7, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        FROM toks
     ),
     hold_sh AS (
         SELECT DISTINCT s FROM sh

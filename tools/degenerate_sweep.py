@@ -263,18 +263,19 @@ def build_doctored(base: str, dest: str) -> str:
       -- the binary payload, so the payload faults stage through text):
       -- an embedded NUL byte, C0 control bytes, DEL + C1 controls
       -- (all valid UTF-8 \u2014 the classes a scraped corpus actually
-      -- carries), and an OVERSIZED ~64 KB document, 20x the largest
+      -- carries), and an OVERSIZED ~1 MB document, 300x the largest
       -- fixture doc (the size-bound probe for every Arrow kernel and
-      -- md5/token path). Probe sized 64 KB, not 1 MB: the sweep's
-      -- DUCK-side shingle oracles carry the doc's full token list
-      -- into every lateral-UNNEST row, so a 174k-token doc costs the
-      -- ORACLE O(tokens^2) memory (~30 GB observed) \u2014 an oracle-
-      -- formulation bound, not an engine one (the Spark side explodes
-      -- linearly).
+      -- md5/token path). The 1 MB size first HUNG the sweep: the
+      -- duck-side shingle oracles' lateral UNNEST carried the doc's
+      -- full 174k-token list into every unnested row \u2014 O(tokens^2)
+      -- oracle memory (~30 GB, 309 s for ONE doc). All 11 oracles now
+      -- build shingles with UNNEST(list_transform(...)) instead
+      -- (0.11 s same doc, identical results), so the probe runs at
+      -- full size.
       SELECT * FROM (VALUES
         (920001, 'pre' || chr(0) || 'post nul byte payload', 'en', 'webz', 22),
         (920002, chr(1) || chr(2) || chr(31) || ' control bytes mixed with words', 'en', 'webz', 34),
-        (920003, repeat('oversized payload block ', 2730), 'en', 'webz', 65520),
+        (920003, repeat('oversized payload block ', 43690), 'en', 'webz', 1048560),
         (920004, chr(127) || chr(128) || chr(159) || ' del and c1 controls', 'en', 'webz', 23),
         -- r11 ReDoS probe: a 32 KB UNBROKEN alphanumeric run followed
         -- by a real email — the shape that made the plain email regex
