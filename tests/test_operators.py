@@ -921,6 +921,69 @@ def test_pii_email_regex_linear_scan(spark):
     assert wall < 8, f"email scan no longer linear: {wall:.1f}s on an 80 KB run"
 
 
+def test_engine_regex_inventory_linear_scan(spark):
+    """The r11 ReDoS class, swept over the WHOLE engine regex
+    inventory (the email fix proved one pattern quadratic; this pins
+    every other one linear so a future pattern addition that regresses
+    the class fails here, not in production): each pattern runs against
+    200 KB adversarial runs chosen for its worst case — unbroken
+    alphanumerics (the find-loop retry shape), punctuation, whitespace,
+    backslash runs (the lone-surrogate lookaround's head), '@'-dense
+    text, and a pathological mix. All are engine-linear: measured
+    single-digit milliseconds; the 10 s bound is pure regression
+    headroom (the quadratic email pattern took 35 s at 80 KB)."""
+    import time
+
+    from serverless_etl_reporting_pipeline_spark.operators.text import WORD_RE
+    from serverless_etl_reporting_pipeline_spark.plans.curation import (
+        _RE_EMAIL_ENGINE,
+        _RE_IP,
+        _RE_PHONE,
+        _RE_URL,
+    )
+
+    n = 200_000
+    runs = {
+        "alnum": "a1" * (n // 2),
+        "punct": "!.?," * (n // 4),
+        "space": ("word" + " " * 60) * (n // 64),
+        "backslash": ("\\ud8" + "\\" * 12) * (n // 16),
+        "at_dense": ("a@" * 30 + ".") * (n // 61),
+        "mix": ("a" * 50 + "@." + " " * 10 + "\\u" + "😀") * (n // 66),
+    }
+    lone_surrogate = (
+        r"(?i)\\ud[89ab][0-9a-f]{2}(?!\\ud[c-f][0-9a-f]{2})"
+        r"|(?i)(?<!\\ud[89ab][0-9a-f]{2})\\ud[c-f][0-9a-f]{2}"
+    )
+    patterns = {
+        "word_re": (WORD_RE, "extract"),
+        "normalize_strip": (r"[^a-z0-9\s]", "replace"),
+        "normalize_ws": (r"\s+", "replace"),
+        "punct_strip": (r"[a-zA-Z0-9\s]", "replace"),
+        "pii_url": (_RE_URL, "replace"),
+        "pii_email": (_RE_EMAIL_ENGINE, "replace"),
+        "pii_ip": (_RE_IP, "replace"),
+        "pii_phone": (_RE_PHONE, "replace"),
+        "p06_lone_surrogate": (lone_surrogate, "rlike"),
+    }
+    df = spark.createDataFrame(
+        [(k, s) for k, s in runs.items()], "run string, t string"
+    ).cache()
+    df.count()
+    for name, (pat, op) in patterns.items():
+        if op == "extract":
+            col = F.size(F.regexp_extract_all("t", F.lit(pat), 0))
+        elif op == "replace":
+            col = F.length(F.regexp_replace("t", pat, "x"))
+        else:
+            col = F.col("t").rlike(pat).cast("int")
+        t0 = time.perf_counter()
+        df.select(F.sum(col)).collect()
+        wall = time.perf_counter() - t0
+        assert wall < 10, f"{name} superlinear: {wall:.1f}s over 6x200KB runs"
+    df.unpersist()
+
+
 def test_ivf_batch_probe_duplicate_qids_per_row(spark):
     """The r10 duplicate-id find: the probe kernel used to key its
     collected query batch by a qid DICT, so a duplicated qid silently
