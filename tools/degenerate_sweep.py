@@ -232,7 +232,9 @@ def build_doctored(base: str, dest: str) -> str:
       -- İ (U+0130) case-fold divergence (Java full mapping i+U+0307 vs
       -- utf8proc simple fold 'i'; operators/text.py casefold pins the
       -- simple fold). ß/ẞ, CJK (not \w — zero word tokens), emoji/ZWJ,
-      -- Cyrillic (\w-matched), combining vs precomposed accents,
+      -- Cyrillic (like CJK, NOT \w — both engines' \w is ASCII-only,
+      -- re-verified r11: zero word tokens in both), combining vs
+      -- precomposed accents,
       -- NBSP/em-space/ZWSP (not \s and not \w: glued tokens) measured
       -- engine-identical. NOTE 910005 carries Σ only word-INITIALLY,
       -- which is why this probe missed Java's contextual final-sigma
