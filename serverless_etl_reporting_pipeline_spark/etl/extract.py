@@ -27,6 +27,8 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from serverless_etl_reporting_pipeline_spark.functions.timelit import ntz_lit
+
 _FMT = "%Y-%m-%d %H:%M:%S.%f"
 
 
@@ -62,7 +64,10 @@ def incremental_extract(df: DataFrame, ts_col: str, store: FileWatermarkStore) -
     reprocessing (at-least-once), never loss.
     """
     wm = store.read()
-    new_rows = df.filter(F.col(ts_col) > F.lit(wm)) if wm is not None else df
+    # ntz_lit: a naive-datetime literal would be read through the
+    # session timezone and shift the watermark boundary by the whole
+    # zone offset under a non-UTC session (functions/timelit.py, r11)
+    new_rows = df.filter(F.col(ts_col) > ntz_lit(wm)) if wm is not None else df
     return new_rows, _Commit(new_rows, ts_col, store, wm)
 
 

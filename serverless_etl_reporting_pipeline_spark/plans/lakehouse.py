@@ -120,7 +120,14 @@ def e01_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e02_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
-    w1, w2 = F.lit(_MERGE_W1).cast("timestamp"), F.lit(_MERGE_W2).cast("timestamp")
+    # NTZ literals (r11): casting the string to session-zoned
+    # "timestamp" coerces every comparison against the NTZ ts column
+    # through the session zone — self-consistent, but DST-fragile;
+    # parsing straight to TIMESTAMP_NTZ removes the coercion entirely
+    w1, w2 = (
+        F.lit(_MERGE_W1).cast("timestamp_ntz"),
+        F.lit(_MERGE_W2).cast("timestamp_ntz"),
+    )
 
     def latest(df: DataFrame) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -456,7 +463,8 @@ _SCD2_W = "2024-01-24"  # ~80% of the 2024-01-01..2024-01-30 event span
 )
 def e08_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    wm = F.lit(_SCD2_W).cast("timestamp")
+    # NTZ literal — see e02's note (session-zone coercion removed)
+    wm = F.lit(_SCD2_W).cast("timestamp_ntz")
     base = ev.filter(F.col("ts") <= wm)
     delta = ev.filter(F.col("ts") > wm)
 

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from serverless_etl_reporting_pipeline_spark.functions.timelit import ntz_lit
 from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
     _fs_exists,
@@ -115,7 +116,11 @@ def incremental_scd2_drain(
         # the cost of this module's otherwise state-free drain.
         tip = _committed_tip(batch.sparkSession, work_dir, batch_id)
         if tip is not None:
-            changes = changes.filter(F.col("ts") > F.lit(tip).cast("timestamp_ntz"))
+            # ntz_lit, never lit(datetime).cast: a naive datetime
+            # literal is interpreted through the session timezone and
+            # would shift the watermark by the whole zone offset under
+            # a non-UTC session (functions/timelit.py, the r11 find)
+            changes = changes.filter(F.col("ts") > ntz_lit(tip))
         if changes.isEmpty():
             return
         n_batches["n"] += 1
@@ -242,7 +247,9 @@ def scd2_snapshot(spark: SparkSession, work_dir: str, as_of) -> DataFrame:
     version postdates ``as_of`` are absent. ``as_of`` may be a string
     or datetime. The ``valid_from <= as_of`` bound is pushed into the
     closed-path parquet scans."""
-    t = F.lit(as_of).cast("timestamp_ntz")
+    # tz-free literal: lit(datetime).cast would shift by the session
+    # zone offset (functions/timelit.py)
+    t = ntz_lit(as_of)
     tagged = _tagged_log(spark, work_dir)
     if tagged is None:
         return spark.createDataFrame([], _SCD2_SCHEMA)

@@ -210,7 +210,12 @@ def test_timestamp_queries_are_session_tz_invariant(spark, sf_dir):
     hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
     for name in ["a04_daily_revenue", "a05_hourly_events", "a06_day_of_week",
                  "p04_time_derivations", "s01_tumbling_1h", "j06_asof_prior_view",
-                 "w05_running_total_by_month", "w06_sessionization"]:
+                 "w05_running_total_by_month", "w06_sessionization",
+                 # r11: the watermark/merge-boundary family — their
+                 # timestamp literals must parse tz-free (NTZ casts /
+                 # functions/timelit.py ntz_lit; lit(datetime) or an
+                 # LTZ cast would shift boundaries under this session)
+                 "e02_merge_upsert", "e08_scd2_incremental_apply", "w10_daily_ohlc"]:
         q = REGISTRY[name]
         want = sorted(map(str, q.builder(spark, sf_dir).collect()))
         got = sorted(map(str, q.builder(hostile, sf_dir).collect()))
