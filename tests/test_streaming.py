@@ -1621,6 +1621,45 @@ def test_streaming_scd2_redelivery_is_idempotent(spark, tmp_path):
             assert r["valid_to"] >= r["valid_from"]
 
 
+def test_streaming_scd2_drain_session_tz_invariant(spark, tmp_path):
+    """The r11 timezone-literal hazard, pinned at the drain: the
+    monotone-CDC watermark tip is a collected naive datetime turned
+    back into a plan literal — via lit(datetime) it would be read
+    through the SESSION zone, shifting the boundary by the whole
+    offset under a non-UTC session (5 h under America/New_York) and
+    silently dropping every batch-2 event within the offset of the
+    batch-1 tip. ntz_lit (functions/timelit.py) parses it
+    timezone-free; this drains under a hostile session with events
+    placed INSIDE the would-be shift window and asserts the table
+    equals the batch rebuild."""
+    import datetime as dt
+
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+        scd2_table,
+    )
+
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    b0 = [(1, base, 1, "purchase", 10.0, "{}"),
+          (2, base + dt.timedelta(hours=1), 2, "purchase", 20.0, "{}")]
+    # batch-1 events 1-4 hours after the tip — inside the 5 h window a
+    # session-zoned literal would have swallowed
+    b1 = [(3, base + dt.timedelta(hours=2), 1, "purchase", 11.0, "{}"),
+          (4, base + dt.timedelta(hours=4), 2, "purchase", 21.0, "{}")]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for rows in (b0, b1):
+        hostile.createDataFrame(rows, SCHEMAS["events"]).select(cols).coalesce(1)\
+            .write.mode("append").parquet(src)
+        assert incremental_scd2_drain(hostile, src, SCHEMAS["events"], work) == 1
+
+    union = hostile.createDataFrame(b0 + b1, SCHEMAS["events"]).select(cols)
+    assert _rows(scd2_table(hostile, work)) == _rows(_scd2_rebuild(union))
+
+
 def test_streaming_scd2_replay_idempotent(spark, tmp_path):
     """A failed first attempt leaves a wrong/partial batch=1 segment on
     disk; the checkpoint-recovery replay must overwrite it — the drain
