@@ -29,6 +29,17 @@ from pyspark.sql import types as T
 
 QUANT = 1_000_000.0
 
+# The corrupt-component magnitude bound (r11 extreme-vector hunt): a
+# component with |x| > 1e12 quantizes past BIGINT at 1e-6 precision
+# (CAST_OVERFLOW on both engines' training paths — five queries
+# crashed on a doctored 1e30 row) and is 12 orders of magnitude beyond
+# any real embedding's scale. Such a component is CORRUPT and behaves
+# exactly like a NaN component on every path: kernel paths map it to
+# NaN in quantize_np (NaN norm -> excluded), JVM explode paths exclude
+# it via _has_corrupt_component / the per-component filters, and the
+# oracles carry `abs(x) > 1e12` alongside their isnan/isinf checks.
+COMPONENT_BOUND = 1e12
+
 
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -156,6 +167,14 @@ def quantize_np(a):
             [np.nan if x is None else float(x) for x in a], dtype=np.float64
         )
     v = v * QUANT
+    # EXTREME-MAGNITUDE components (r11 hunt): |x| > COMPONENT_BOUND
+    # quantizes past BIGINT (the JVM training paths crash with
+    # CAST_OVERFLOW, DuckDB's CAST errors the same way) and its f64
+    # products leave the exact-integer window — not an embedding.
+    # Mapping it to NaN HERE makes every kernel treat a huge component
+    # exactly like a NaN component (NaN norm -> excluded by the
+    # existing isfinite guards), with zero per-kernel changes.
+    v = np.where(np.abs(v) > COMPONENT_BOUND * QUANT, np.nan, v)
     return np.copysign(np.floor(np.abs(v) + 0.5), v)
 
 
@@ -169,11 +188,20 @@ def _has_corrupt_component(col: Column | str) -> Column:
     average the surviving components while DuckDB's list_sum skips
     NULLs — and DuckDB orders NaN above every value, so its `nrm > 0`
     would KEEP what the kernels drop. The oracles pin exclusion with a
-    list_filter predicate over the same three checks; the explode-based
-    consumers filter with this helper to match."""
+    list_filter predicate over the same checks; the explode-based
+    consumers filter with this helper to match. Since r11 the EXTREME-
+    MAGNITUDE class (|x| > COMPONENT_BOUND — quantizes past BIGINT)
+    joins NULL/NaN/Inf: same exclusion on every path, see
+    COMPONENT_BOUND."""
     c = F.col(col) if isinstance(col, str) else col
     inf = F.lit(float("inf"))
-    return F.exists(c, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf))
+    return F.exists(
+        c,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == inf)
+        | (F.abs(x) > F.lit(COMPONENT_BOUND)),
+    )
 
 
 def _ids_vectors(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:

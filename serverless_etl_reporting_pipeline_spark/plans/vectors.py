@@ -58,7 +58,7 @@ def _duck_plane(p: list[float]) -> str:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     e AS (
         -- zero-norm vectors are excluded (cosine undefined) and so are
@@ -68,7 +68,7 @@ def _duck_plane(p: list[float]) -> str:
         SELECT vec_id, v FROM (
             SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
             FROM embeddings
-            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+            WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
@@ -112,7 +112,7 @@ def v01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -154,7 +154,8 @@ def v02_top_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE embedding[u.pos] IS NULL
            OR (NOT isnan(CAST(embedding[u.pos] AS DOUBLE))
-               AND NOT isinf(CAST(embedding[u.pos] AS DOUBLE)))
+               AND NOT isinf(CAST(embedding[u.pos] AS DOUBLE))
+               AND abs(CAST(embedding[u.pos] AS DOUBLE)) <= 1e12)
     )
     GROUP BY 1, 2
     """,
@@ -173,7 +174,10 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BEFORE the bigint cast (undefined arithmetic has no mean, and
         # the ANSI cast would raise) — x IS NULL keeps the NULL branch
         # since isnan(NULL) is NULL and NULL OR TRUE = TRUE
-        .filter(F.col("x").isNull() | (~F.isnan("x") & (F.abs("x") != inf)))
+        .filter(
+            F.col("x").isNull()
+            | (~F.isnan("x") & (F.abs("x") != inf) & (F.abs("x") <= F.lit(1e12)))
+        )
         .select("label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
     )
     return exploded.groupBy("label", "dim").agg((F.round(F.avg("q")) / 1000000.0).alias("centroid"))
@@ -187,7 +191,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     ex AS (
         -- ragged rows (len <> the query's dimension) are corrupt for
@@ -201,7 +205,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, u.pos - 1 AS dim,
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -226,7 +230,7 @@ def v03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT vec_id, label,
                        list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS eq
                 FROM embeddings
-                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
             ) WHERE list_sum(list_transform(eq, x -> x * x)) > 0
         ) e
         JOIN probed USING (label), qv
@@ -278,7 +282,7 @@ def _v04_oracle() -> str:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -286,7 +290,7 @@ def _v04_oracle() -> str:
         -- the engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     )
     SELECT vec_id, round(sqrt(s2)) / 1000000.0 AS dist
     FROM (
@@ -342,7 +346,7 @@ def v04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     n AS (
         SELECT vec_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q
@@ -387,7 +391,7 @@ def _v06_oracle() -> str:
         -- the engine short-circuits on its NaN norm; the empty CTE
         -- empties every downstream join here
         SELECT list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS q
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -395,7 +399,7 @@ def _v06_oracle() -> str:
         -- engine's _ids_vectors(dim) filter, mirrored
         SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(q) FROM qv) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     )
     SELECT vec_id, round(raw_cos * 1000000) / 1000000.0 AS cos
     FROM (
@@ -467,7 +471,7 @@ def _v09_oracle() -> str:
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -530,7 +534,8 @@ def v09_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE embedding[u.pos] IS NULL
            OR (NOT isnan(CAST(embedding[u.pos] AS DOUBLE))
-               AND NOT isinf(CAST(embedding[u.pos] AS DOUBLE)))
+               AND NOT isinf(CAST(embedding[u.pos] AS DOUBLE))
+               AND abs(CAST(embedding[u.pos] AS DOUBLE)) <= 1e12)
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     per_vec AS (
@@ -563,7 +568,10 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         emb.select("vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "x"))
         # same component guard as v03 (NaN/Inf out before the ANSI cast)
-        .filter(F.col("x").isNull() | (~F.isnan("x") & (F.abs("x") != inf)))
+        .filter(
+            F.col("x").isNull()
+            | (~F.isnan("x") & (F.abs("x") != inf) & (F.abs("x") <= F.lit(1e12)))
+        )
         .select("vec_id", "label", "dim", F.round(F.col("x") * 1000000).cast("bigint").alias("q"))
     )
     cent = ex.groupBy("label", "dim").agg(F.round(F.avg("q")).alias("c"))
@@ -610,7 +618,7 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- a query with NULL components has no defined neighbor set
         SELECT list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS q8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qq
-        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE vec_id = 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     e AS (
         -- ragged rows (len <> the query's dimension) are corrupt here:
@@ -620,7 +628,7 @@ def v08_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(embedding, x -> greatest(-127, least(127, round(CAST(x AS DOUBLE) * 400)))) AS v8,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS vq
         FROM embeddings
-        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id <> 0 AND len(embedding) = (SELECT len(qq) FROM q) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     cand AS (
         -- zero-norm rows (quantized) are excluded BEFORE the candidate
@@ -688,7 +696,7 @@ _V11_TAU = "0.44"
         SELECT vec_id, label, u.pos - 1 AS dim,
                CAST(round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS BIGINT) AS q
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
-        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE label IS NOT NULL AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(q)) AS c FROM ex GROUP BY 1, 2),
     asg0 AS (
@@ -710,7 +718,7 @@ _V11_TAU = "0.44"
     n AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     nn AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n
@@ -786,7 +794,7 @@ def _v12_oracle() -> str:
     q AS (
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
-        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     coded AS (
         SELECT vec_id, qv,
@@ -878,7 +886,7 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT vec_id AS qid,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
             FROM embeddings
-            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+            WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
         ) WHERE list_sum(list_transform(qv, x -> x * x)) > 0
     ),
     e AS (
@@ -886,7 +894,7 @@ def v12_incremental_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFra
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
             FROM embeddings
-            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+            WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     scored AS (
@@ -947,7 +955,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS qid,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS qv
         FROM embeddings
-        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -957,7 +965,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -987,7 +995,7 @@ def v13_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
         FROM embeddings
-        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id >= 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     scored AS (
         SELECT p.qid, e.vec_id,
@@ -1058,7 +1066,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS av
         FROM embeddings
-        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        WHERE vec_id < 10 AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     ex AS (
         -- label IS NOT NULL: a corrupt (NULL-label) row is not a cell
@@ -1068,7 +1076,7 @@ def v14_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -1142,7 +1150,7 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(embedding[u.pos] AS DOUBLE) * 1000000) AS x
         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(pos)
         WHERE vec_id >= 10 AND label IS NOT NULL
-          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+          AND len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
     ),
     cd AS (SELECT label, dim, round(avg(x)) AS c FROM ex GROUP BY 1, 2),
     cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
@@ -1154,7 +1162,7 @@ def v15_ivf_assign_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, v FROM (
             SELECT vec_id,
                    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000)) AS v
-            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+            FROM embeddings WHERE len(embedding) = (SELECT d FROM dm) AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e12)) = 0
         ) WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     -- reassignment is per VECTOR: a duplicated vec_id (the r10

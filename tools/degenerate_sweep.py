@@ -351,6 +351,26 @@ def build_doctored(base: str, dest: str) -> str:
       FROM '{base}/embeddings.parquet' WHERE vec_id IN (5, 20)
       UNION ALL BY NAME
       SELECT * FROM '{base}/embeddings.parquet' WHERE vec_id = 9
+      UNION ALL BY NAME
+      -- r11: EXTREME-MAGNITUDE components. A 1e30 component CRASHED
+      -- five training-path queries with CAST_OVERFLOW (its 1e-6
+      -- quantization exceeds BIGINT); the contract now treats
+      -- |x| > 1e12 (operators/vectors.py COMPONENT_BOUND) exactly
+      -- like a NaN component on every path — kernel paths via the
+      -- quantize_np NaN mapping, explode paths via
+      -- _has_corrupt_component, oracles via abs(x) > 1e12.
+      SELECT 930001 AS vec_id,
+             list_transform(embedding, x -> CAST(1000000000000000.0 AS FLOAT)) AS embedding,
+             2 AS label
+      FROM '{base}/embeddings.parquet' WHERE vec_id = 11
+      UNION ALL BY NAME
+      -- one huge component inside an otherwise-clean vector: the
+      -- whole VECTOR is corrupt for kernels (NaN norm), the single
+      -- COMPONENT is skipped by the per-component centroid paths
+      SELECT 930002 AS vec_id,
+             list_concat([CAST(1e30 AS FLOAT)], embedding[2:]) AS embedding,
+             3 AS label
+      FROM '{base}/embeddings.parquet' WHERE vec_id = 13
     ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.sql(f"""
