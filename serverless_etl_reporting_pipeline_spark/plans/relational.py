@@ -287,6 +287,16 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the lone-surrogate escape patterns (p06's shared contract, and the
+# ReDoS-linearity inventory in tests/test_operators.py): applied AFTER
+# escaped-backslash pairs are stripped to a placeholder, every match is
+# a real JSON \uXXXX escape. Lookaround-free so DuckDB's RE2 runs the
+# identical bytes; no nested quantifiers, so the scan is linear.
+LONE_SURROGATE_HI = r"(?i)\\ud[89ab][0-9a-f]{2}"
+LONE_SURROGATE_LO = r"(?i)\\ud[c-f][0-9a-f]{2}"
+LONE_SURROGATE_PAIR = r"(?i)\\ud[89ab][0-9a-f]{2}\\ud[c-f][0-9a-f]{2}"
+
+
 @query(
     "p06_json_extraction",
     # The ADVERSARIAL-JSON contract (r11 hunt; the r8 json_valid guard
@@ -302,9 +312,22 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      bound anyway.
     #   2. MALFORMED ESCAPES: a lone UTF-16 surrogate escape
     #      ("\\ud800" with no low mate) is accepted by lenient Jackson
-    #      and rejected by yyjson's validator — the engine rejects it
-    #      explicitly (rlike guard below); the oracle's json_valid
-    #      already does.
+    #      and rejected by yyjson's validator. The guard is a count-
+    #      based, backslash-parity-exact detector written VERBATIM on
+    #      both engines (the bracket-bound precedent; r11 ADVICE — the
+    #      old lookaround rlike false-positived on the ESCAPED-
+    #      backslash text "\\\\ud800", valid JSON): strip escaped-
+    #      backslash pairs with a non-backslash placeholder (so every
+    #      surviving backslash starts a real escape, and a stripped
+    #      pair cannot create false high/low adjacency), then the
+    #      payload has a lone surrogate iff count(high escapes) !=
+    #      count(adjacent high+low pairs) or count(low escapes) !=
+    #      count(pairs) — equality holds iff every escape sits in an
+    #      adjacent pair (greedy non-overlap pairs <= min(hi, lo), and
+    #      pairs = hi = lo forces each escape paired). All patterns
+    #      are lookaround-free, so RE2 (DuckDB) runs the same bytes,
+    #      and linear-scan (no nested quantifiers — the r11 ReDoS
+    #      class stays closed; pinned in test_operators).
     #   3. INTEGER LITERALS ONLY: DuckDB TRY_CAST('7.0' AS INT) = 7
     #      while Spark try_cast gives NULL — k contributes only when
     #      it is an optionally-signed integer literal (the oracle's
@@ -319,6 +342,10 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CASE WHEN length(props) - length(replace(replace(props, '{', ''), '[', '')) <= 256
                          AND json_valid(props)
+                         AND len(regexp_extract_all(replace(props, '\\', '!'), '(?i)\\ud[89ab][0-9a-f]{2}'))
+                             = len(regexp_extract_all(replace(props, '\\', '!'), '(?i)\\ud[89ab][0-9a-f]{2}\\ud[c-f][0-9a-f]{2}'))
+                         AND len(regexp_extract_all(replace(props, '\\', '!'), '(?i)\\ud[c-f][0-9a-f]{2}'))
+                             = len(regexp_extract_all(replace(props, '\\', '!'), '(?i)\\ud[89ab][0-9a-f]{2}\\ud[c-f][0-9a-f]{2}'))
                     THEN json_extract_string(props, '$.k') END AS k
         FROM events
     )
@@ -333,14 +360,15 @@ def p06_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     brackets = F.length("props") - F.length(
         F.translate("props", "{[", "")
     )
-    # lone-surrogate escapes: a high escape with no low mate, or a low
-    # escape with no high mate (case-insensitive hex; Java regex
-    # look-around — the oracle side needs no twin because yyjson's
-    # json_valid rejects these outright)
-    lone_surrogate = F.col("props").rlike(
-        r"(?i)\\ud[89ab][0-9a-f]{2}(?!\\ud[c-f][0-9a-f]{2})"
-        r"|(?i)(?<!\\ud[89ab][0-9a-f]{2})\\ud[c-f][0-9a-f]{2}"
-    )
+    # lone-surrogate escapes: the count-based parity-exact guard (see
+    # the contract note above) — escaped-backslash pairs stripped to a
+    # placeholder first so "\\ud800" (escaped backslash + text, valid
+    # JSON) is NOT flagged while a real lone "\ud800" escape is
+    stripped = F.replace(F.col("props"), F.lit("\\\\"), F.lit("!"))
+    hi = F.regexp_count(stripped, F.lit(LONE_SURROGATE_HI))
+    lo = F.regexp_count(stripped, F.lit(LONE_SURROGATE_LO))
+    pr = F.regexp_count(stripped, F.lit(LONE_SURROGATE_PAIR))
+    lone_surrogate = (hi != pr) | (lo != pr)
     k = F.when(
         (brackets <= 256) & ~F.coalesce(lone_surrogate, F.lit(False)),
         F.expr("get_json_object(props, '$.k')"),

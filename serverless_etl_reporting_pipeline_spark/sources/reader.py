@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,7 +74,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-_SPREAD_FRAMES: "weakref.WeakSet[DataFrame]" = None  # type: ignore[assignment]
+# Frames spread_scan already returned; a repeated call on the same output
+# object is an identity no-op. Frames DERIVED from a spread frame are
+# re-probed (inputFiles() is cheap, and a derived frame usually has no
+# input files so it is returned untouched anyway).
+_SPREAD_FRAMES: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
 
 
 def spread_scan(df: DataFrame, key: str) -> DataFrame:
@@ -103,13 +108,8 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     spread are tracked in a WeakSet so a repeated call is an identity
     no-op without any plan probe. Needs defaultParallelism > 1 to do
     anything (tests run local[32])."""
-    import weakref
-
     from pyspark.sql import functions as F
 
-    global _SPREAD_FRAMES
-    if _SPREAD_FRAMES is None:
-        _SPREAD_FRAMES = weakref.WeakSet()
     if df in _SPREAD_FRAMES:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism

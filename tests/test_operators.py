@@ -928,7 +928,7 @@ def test_engine_regex_inventory_linear_scan(spark):
     the class fails here, not in production): each pattern runs against
     200 KB adversarial runs chosen for its worst case — unbroken
     alphanumerics (the find-loop retry shape), punctuation, whitespace,
-    backslash runs (the lone-surrogate lookaround's head), '@'-dense
+    backslash runs (the lone-surrogate escape patterns' head), '@'-dense
     text, and a pathological mix. All are engine-linear: measured
     single-digit milliseconds; the 10 s bound is pure regression
     headroom (the quadratic email pattern took 35 s at 80 KB)."""
@@ -951,10 +951,12 @@ def test_engine_regex_inventory_linear_scan(spark):
         "at_dense": ("a@" * 30 + ".") * (n // 61),
         "mix": ("a" * 50 + "@." + " " * 10 + "\\u" + "😀") * (n // 66),
     }
-    lone_surrogate = (
-        r"(?i)\\ud[89ab][0-9a-f]{2}(?!\\ud[c-f][0-9a-f]{2})"
-        r"|(?i)(?<!\\ud[89ab][0-9a-f]{2})\\ud[c-f][0-9a-f]{2}"
+    from serverless_etl_reporting_pipeline_spark.plans.relational import (
+        LONE_SURROGATE_HI,
+        LONE_SURROGATE_LO,
+        LONE_SURROGATE_PAIR,
     )
+
     patterns = {
         "word_re": (WORD_RE, "extract"),
         "normalize_strip": (r"[^a-z0-9\s]", "replace"),
@@ -964,7 +966,9 @@ def test_engine_regex_inventory_linear_scan(spark):
         "pii_email": (_RE_EMAIL_ENGINE, "replace"),
         "pii_ip": (_RE_IP, "replace"),
         "pii_phone": (_RE_PHONE, "replace"),
-        "p06_lone_surrogate": (lone_surrogate, "rlike"),
+        "p06_surrogate_hi": (LONE_SURROGATE_HI, "rlike"),
+        "p06_surrogate_lo": (LONE_SURROGATE_LO, "rlike"),
+        "p06_surrogate_pair": (LONE_SURROGATE_PAIR, "rlike"),
     }
     df = spark.createDataFrame(
         [(k, s) for k, s in runs.items()], "run string, t string"

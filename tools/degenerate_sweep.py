@@ -445,7 +445,17 @@ def build_doctored(base: str, dest: str) -> str:
         (9920007, TIMESTAMP '2024-01-15 12:01:06', 999993, 'view', 1.0, '{{"k":7.0}}'),
         (9920008, TIMESTAMP '2024-01-15 12:01:07', 999993, 'view', 1.0, '{{"k":[5]}}'),
         (9920009, TIMESTAMP '2024-01-15 12:01:08', 999993, 'view', 1.0, ' {{"k":17}}'),
-        (9920010, TIMESTAMP '2024-01-15 12:01:09', 999993, 'view', 1.0, '{{"k":" 19 "}}')
+        (9920010, TIMESTAMP '2024-01-15 12:01:09', 999993, 'view', 1.0, '{{"k":" 19 "}}'),
+        -- r12 (ADVICE): backslash-parity shapes for the lone-surrogate
+        -- guard. ESCAPED backslash + literal "ud800" text is VALID
+        -- JSON (k=25 must contribute — the old lookaround guard
+        -- false-positived here); escaped backslash followed by a REAL
+        -- lone low escape is invalid (rejected both); a real pair
+        -- split by a literal backslash is two lone escapes (rejected
+        -- both — the stripped pair must not create false adjacency).
+        (9920011, TIMESTAMP '2024-01-15 12:01:10', 999993, 'view', 1.0, '{{"s":"\\\\ud800 esc","k":"25"}}'),
+        (9920012, TIMESTAMP '2024-01-15 12:01:11', 999993, 'view', 1.0, '{{"s":"\\\\\\udc00","k":"27"}}'),
+        (9920013, TIMESTAMP '2024-01-15 12:01:12', 999993, 'view', 1.0, '{{"s":"\\ud800\\\\\\udc00","k":"29"}}')
       ) t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dest}/events.parquet' (FORMAT PARQUET)
     """)
