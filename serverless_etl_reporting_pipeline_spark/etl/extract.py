@@ -7,7 +7,14 @@ bugs fixed here (SURVEY.md §2.9, §7.3):
 
 - the 1-second bump silently skips rows that share the watermark second
   → we use a strictly-greater predicate on the exact stored timestamp
-  (microsecond precision), no bump;
+  (microsecond precision), no bump. Residual tie semantics, stated
+  explicitly (r12): a row inserted AFTER a run completes with ``ts``
+  exactly equal to that run's committed maximum is skipped by the next
+  run — strict separation is what makes consecutive outputs a valid
+  strictly-monotone CDC feed (the contract `streaming/scd2.py` and e08
+  enforce downstream, under which a tie at the committed tip is always
+  a redelivery). Sources that can emit same-microsecond late rows need
+  a source-side ordering key beyond the timestamp;
 - string interpolation into SQL → the predicate is a Column expression
   here; the JDBC path (sources/jdbc.py) still renders SQL text — the
   `query` option has no bind channel — but constrains both injected

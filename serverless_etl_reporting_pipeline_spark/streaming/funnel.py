@@ -54,7 +54,20 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _prior_segments,
     _read_literal,
     _vacuum_segments,
+    ensure_state_format,
 )
+
+# Hash-space version of the persisted funnel state. v1 (unversioned,
+# pre-r12 marker) keyed exact dedup by md5(lower(text)); v2 is
+# md5(casefold(text)) (operators/funnel.quality_hash, the r11 casefold
+# contract). A v1 seen-hashes index consulted by a v2 drain would
+# silently re-admit previously-seen docs containing any of the 45
+# casefold-divergent code points — `ensure_state_format` turns that
+# into a loud rebuild instruction instead (r11 ADVICE). Bump this token
+# whenever quality_hash, eval_split, or the shingle construction
+# changes meaning.
+FUNNEL_STATE_FORMAT = "v2-md5-casefold"
+
 
 
 def _frozen_at(spark: SparkSession, hold_dir: str) -> int | None:
@@ -90,6 +103,7 @@ def incremental_funnel_drain(
 
     Returns the number of micro-batches processed this drain.
     """
+    ensure_state_format(spark, work_dir, FUNNEL_STATE_FORMAT)
     hold_dir = os.path.join(work_dir, "state_benchmark")
     hashes_dir = os.path.join(work_dir, "state_hashes")
     ann_dir = os.path.join(work_dir, "funnel_ann")

@@ -8,9 +8,25 @@ versioned view from scratch; here each micro-batch lands as a final
 SCD2 segment and nothing is ever rebuilt.
 
 CDC contract (the same one e08 documents): event time is monotone
-ACROSS batches — every ``ts`` in batch j follows every ``ts`` in batch
-i < j, exactly what a watermark extract emits. Order WITHIN a batch is
-arbitrary. Since r11 the drain ENFORCES the contract rather than
+ACROSS batches — every ``ts`` in batch j STRICTLY follows every ``ts``
+in batch i < j, exactly what a watermark extract emits. Order WITHIN a
+batch is arbitrary. The strictness is deliberate and load-bearing
+(r11 ADVICE asked for it to be stated): the upstream extract
+(`etl/extract.py`) filters ``ts > stored-max`` on the exact committed
+maximum, so consecutive extract outputs are strictly ts-separated — a
+row arriving at the drain whose ``ts`` EQUALS the committed tip can
+only be a redelivery of an already-committed row, never a new event,
+and dropping it is exactly idempotence. A genuinely-new event sharing
+the committed maximum's microsecond is excluded one stage UP, by the
+extract's own strictly-greater predicate (its documented semantics —
+the fix for the reference's 1-second bump, which lost a whole second);
+it never reaches this module. Disambiguating ties by (ts, event_id)
+here would be WORSE, not safer: a new tie row whose event_id sorts
+before a committed same-``ts`` row would belong earlier in the
+(ts, event_id) version chain than rows already written to immutable
+committed segments — unreconstructible without rewriting history.
+Feeds not produced by a strictly-greater watermark extract must dedupe
+upstream before this drain. Since r11 the drain ENFORCES the contract rather than
 trusting it: each batch is filtered to rows strictly above the
 committed tip (`_committed_tip`), so an at-least-once redelivery — the
 fault `tools/degenerate_streaming.py` stages — is an idempotent no-op

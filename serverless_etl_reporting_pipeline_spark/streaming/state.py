@@ -293,3 +293,46 @@ def _vacuum_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> list[i
         if uri != keep:
             _fs_delete(spark, uri)
     return gone
+
+
+def ensure_state_format(spark: SparkSession, work_dir: str, token: str) -> None:
+    """Refuse to consult persisted state written under a different
+    format contract (r11 ADVICE: the funnel's exact-dedup key moved
+    from md5(lower(text)) to md5(casefold(text)), so a seen-hashes
+    index persisted before the change silently re-admits every
+    previously-seen doc containing a casefold-divergent code point —
+    an invisible correctness break, not a crash).
+
+    The marker is an empty file whose NAME carries the token
+    (``_state_format=<token>``), so compatibility is one existence
+    check through the same Hadoop FileSystem API as the rest of the
+    state machinery. Rules:
+
+    - marker with the expected token present → compatible, return;
+    - work_dir missing or empty → fresh state, write the marker;
+    - anything else (state without a marker = pre-versioning format,
+      or a marker with a DIFFERENT token) → raise, naming both tokens.
+      The operator rebuilds by draining into a fresh work_dir — state
+      here is always a pure function of the source feed, so a rebuild
+      loses nothing.
+    """
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(work_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = os.path.join(work_dir, f"_state_format={token}")
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+        return
+    if fs.exists(p) and len(fs.listStatus(p)) > 0:
+        found = [
+            st.getPath().getName()[len("_state_format="):]
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("_state_format=")
+        ]
+        raise RuntimeError(
+            f"state under {work_dir} was written with format "
+            f"{found[0] if found else '<unversioned, pre-r12>'!r} but this "
+            f"build expects {token!r}; rebuild the state by draining the "
+            f"source into a fresh work_dir (state is a pure function of "
+            f"the feed — nothing is lost)"
+        )
+    _fs_touch(spark, marker)

@@ -418,6 +418,50 @@ def test_streaming_funnel_cross_batch_dedup_and_decontamination(spark, tmp_path)
     assert ann[12] == (True, True, True)
 
 
+def test_streaming_funnel_state_format_guard(spark, tmp_path):
+    """The r11 ADVICE state-format break: a seen-hashes index persisted
+    under the pre-casefold hash space (md5(lower(text))) must not be
+    silently consulted by a casefold-keyed drain — previously-seen docs
+    containing a casefold-divergent code point would be re-admitted
+    with no detection. The drain now version-tags the work_dir
+    (`_state_format=<token>`) and REFUSES unversioned or mismatched
+    state with a rebuild instruction."""
+    import pytest
+
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        FUNNEL_STATE_FORMAT,
+        incremental_funnel_drain,
+    )
+
+    good = " ".join(f"tok{i} and the of to is in a" for i in range(8))
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(6, "s", "en", good)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    d = spark.createDataFrame([(6, "s", "en", good)], schema)
+
+    # fresh work_dir: drain succeeds and stamps the current token
+    work = tmp_path / "work"
+    assert incremental_funnel_drain(spark, src, d.schema, str(work)) == 1
+    assert (work / f"_state_format={FUNNEL_STATE_FORMAT}").exists()
+    # re-drain on correctly-stamped state: fine (no new files -> 0 batches)
+    assert incremental_funnel_drain(spark, src, d.schema, str(work)) == 0
+
+    # UNVERSIONED prior state (pre-r12 layout): refused, not consulted
+    legacy = tmp_path / "legacy"
+    (legacy / "state_hashes" / "batch=0").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="unversioned"):
+        incremental_funnel_drain(spark, src, d.schema, str(legacy))
+
+    # MISMATCHED token (a future format bump): refused, both tokens named
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "_state_format=v1-md5-lower").touch()
+    with pytest.raises(RuntimeError, match="v1-md5-lower"):
+        incremental_funnel_drain(spark, src, d.schema, str(other))
+
+
 def test_streaming_funnel_replay_idempotent(spark, tmp_path):
     """Checkpoint-recovery replay: a micro-batch whose OWN ``batch=<id>``
     state dirs were already written by a failed prior attempt (crash after
@@ -1619,6 +1663,17 @@ def test_streaming_scd2_redelivery_is_idempotent(spark, tmp_path):
     for r in scd2_table(spark, work).collect():
         if r["valid_to"] is not None:
             assert r["valid_to"] >= r["valid_from"]
+    # TIE AT THE TIP (r11 ADVICE, semantics now stated in the module
+    # docstring): a row whose ts EQUALS the committed tip is dropped.
+    # Under the strictly-greater upstream extract, consecutive CDC
+    # batches are strictly ts-separated, so a tie can only be a
+    # redelivery — a genuinely-new same-microsecond event is excluded
+    # one stage up by the extract itself, never silently here.
+    assert arrive([(5, t[4], 1, "purchase", 13.0, "{}")]) == 0  # exact redelivery
+    assert arrive([(6, t[4], 3, "purchase", 30.0, "{}")]) == 0  # tie: contract says redelivery
+    after = {r["event_id"]: (r["valid_to"], r["is_current"])
+             for r in scd2_table(spark, work).collect()}
+    assert after == got  # the log is byte-stable under tie arrivals
 
 
 def test_streaming_scd2_drain_session_tz_invariant(spark, tmp_path):
