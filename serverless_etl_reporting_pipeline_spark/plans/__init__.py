@@ -20,36 +20,27 @@ from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 11
-# (derived, as every round, from the union of CORRECTNESS_r01-r10 key
-# sets — every query's last driver round; the r10 verdict names this
+# the first 50 registry entries per round. Rotation policy for round 12
+# (derived, as every round, from the union of CORRECTNESS_r01-r11 key
+# sets — every query's last driver round; the r11 verdict names this
 # exact cohort in ask #1):
-#   1. _PRIORITY first — what round 11 CHANGED: w10 (engine+oracle now
-#      write the cents tie-break's null order explicitly — asc NULLS
-#      FIRST on both engines, the d02 pattern — so the deterministic
-#      open/close no longer depends on the upstream NULL/NaN filter;
-#      r10 ADVICE). 1 slot.
-#   2. The full r8-era cohort (last driver row round 8, straight from
-#      the CORRECTNESS_r* union): t02-t06, t08, t10, t12, t14,
-#      t21-t23, v01, v02, v04, v06-v16 (v05 was r10), x02, x03, x05.
-#      29 slots — the entire vector family rotates together, which
-#      also re-anchors the index-lifecycle story after the r10
-#      ragged-contract adders.
-#   3. Backfill with the oldest r9 rows: j01-j07, d01-d05, k01, k02
-#      (this round's hot-key stress targets), s01, s03-s05, e08 (this
-#      round's streaming-degen targets), c07. 20 slots.
-#   4. 1 + 29 + 20 fills the window exactly; the remaining r9-era rows
-#      (a13, a15, a16, c10-c12, e01, e06, e07, o01-o03, p01-p05, t01,
-#      t13, t16-t18, v03, w01, w02, w06-w08, x04) lead round 12's
-#      rotation — they are 2 rounds fresh at r11 close, so the ≤2-round
-#      contract holds. All deferred rows stay covered every round by
-#      the full-registry sf0.01 oracle run and both sweep modes
-#      (doctored + zero-row).
-#   NOTE: round 11's spread_scan probe change (df.rdd -> inputFiles,
-#   r10 ask #4) touches every fan-out query engine-side; per the
-#   late-r9/r10 precedent an engine-plumbing change re-verified by
-#   full-registry oracle runs does not jump the queue (t14/t07 etc.
-#   are in-window anyway).
+#   1. _PRIORITY first — what round 12 CHANGED: p06 (the lone-surrogate
+#      guard is now the count-based backslash-parity-exact detector,
+#      written verbatim on both engines — the old lookaround rlike
+#      false-positived on escaped-backslash text; r11 ADVICE). 1 slot.
+#   2. The full r9-era cohort (last driver row round 9, straight from
+#      the CORRECTNESS_r* union): a13, a15, a16, c10-c12, e01, e06,
+#      e07, o01-o03, p01-p05, t01, t13, t16-t18, v03, w01, w02,
+#      w06-w08, x04. 29 slots — this carries the windows family
+#      (w01/w02/w06-w08) and the mixture family (c10-c12), neither
+#      driver-checked since r9.
+#   3. Backfill with the oldest r10 rows: a01-a12, a14, a17-a20,
+#      c01-c03. 20 slots.
+#   4. 1 + 29 + 20 fills the window exactly; the remaining r10 rows
+#      (a04-era siblings c04-c06, c08, c09) and every r11 row are ≤2
+#      rounds fresh at r12 close, so the ≤2-round contract holds. All
+#      deferred rows stay covered every round by the full-registry
+#      sf0.01 oracle run and both sweep modes (doctored + zero-row).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
@@ -57,25 +48,24 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 # queries stay covered every round by tools/oracle_check.py (full
 # registry at sf0.01 pre-commit) and the spark.sql conformance test.
 _PRIORITY = (
-    # engine+oracle changed this round: explicit NULLS FIRST on the
-    # w10 OHLC cents tie-break (both engines), per the r10 ADVICE
-    "w10",
+    # engine+oracle changed this round: the backslash-parity-exact
+    # lone-surrogate guard on both engines, per the r11 ADVICE
+    "p06",
 )
 
-# rotation cohorts, oldest driver row first (the full r8-era cohort,
-# then the oldest r9-era rows); the driver window is _PRIORITY + this,
+# rotation cohorts, oldest driver row first (the full r9-era cohort,
+# then the oldest r10 rows); the driver window is _PRIORITY + this,
 # cut to 50 by the driver itself
 _ROTATION_TAIL = (
-    # r8-era (last driver row round 8)
-    ("t02", "t03", "t04", "t05", "t06", "t08", "t10", "t12", "t14")
-    + ("t21", "t22", "t23")
-    + ("v01", "v02", "v04", "v06", "v07", "v08", "v09", "v10", "v11")
-    + ("v12", "v13", "v14", "v15", "v16")
-    + ("x02", "x03", "x05")
-    # oldest r9-era rows (the rest defer to round 12)
-    + ("j01", "j02", "j03", "j04", "j05", "j06", "j07")
-    + ("d01", "d02", "d03", "d04", "d05")
-    + ("k01", "k02", "s01", "s03", "s04", "s05", "e08", "c07")
+    # r9-era (last driver row round 9)
+    ("a13", "a15", "a16", "c10", "c11", "c12", "e01", "e06", "e07")
+    + ("o01", "o02", "o03", "p01", "p02", "p03", "p04", "p05")
+    + ("t01", "t13", "t16", "t17", "t18", "v03", "x04")
+    + ("w01", "w02", "w06", "w07", "w08")
+    # oldest r10 rows (the rest defer to round 13)
+    + ("a01", "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09")
+    + ("a10", "a11", "a12", "a14", "a17", "a18", "a19", "a20")
+    + ("c01", "c02", "c03")
 )
 
 

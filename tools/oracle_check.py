@@ -181,11 +181,30 @@ def main() -> int:
             return 2
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
+    session_tz = None
+    if "--session-tz" in args:
+        # HOSTILE-SESSION mode (r11 verdict ask #2): run the whole
+        # differential under a shifted spark.sql.session.timeZone while
+        # the DuckDB oracle stays UTC-naive. Every engine result is
+        # timestamp_ntz / literal-free by contract (functions/timelit),
+        # so any residual session-zoned literal or coercion diverges
+        # loudly here instead of silently shifting values by the zone
+        # offset in production. Use a DST zone (America/New_York) so
+        # dates on both sides of a transition exercise both offsets.
+        i = args.index("--session-tz")
+        if i + 1 >= len(args):
+            print("usage: --session-tz ZONE", file=sys.stderr)
+            return 2
+        session_tz = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     selected = {n: REGISTRY[n] for n in names} if names else REGISTRY
 
     spark = get_spark()
+    if session_tz:
+        spark.conf.set("spark.sql.session.timeZone", session_tz)
+        print(f"session timezone: {session_tz} (hostile-session mode; oracle stays UTC-naive)")
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_nooracle = 0
     exact_warn = []
