@@ -2200,6 +2200,67 @@ def test_streaming_text_dedup_half_written_batch_heals(spark, tmp_path):
     assert ann == {0: (False, None), 10: (True, 0), 11: (False, None)}
 
 
+def test_streaming_text_dedup_torn_drain_fault_injection(spark, tmp_path):
+    """The r11 verdict's torn-drain probe, pinned for the riskiest
+    module (two lockstep logs): unlike the hand-simulated twin above,
+    this CRASHES the real drain at every parquet write boundary via
+    fault injection (tools/degenerate_streaming._tear_after), so it
+    also pins the drain's write ORDER — shingle segment first, then
+    the signature twin, then annotations. Tear #1 must leave the logs
+    de-synced on disk exactly as documented (shingle committed with
+    _SUCCESS, sig absent); every restart replays the uncommitted batch;
+    the converged state must equal a never-crashed run's."""
+    import os as _os
+
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
+        incremental_text_dedup_drain,
+    )
+    from tools.degenerate_streaming import _drain_with_tears
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tb = "completely different words appear here instead tonight my friend"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    spark.createDataFrame([(0, ta)], schema).coalesce(1).write.mode("append").parquet(src)
+    d = spark.createDataFrame([(0, ta)], schema)
+    assert incremental_text_dedup_drain(spark, src, d.schema, work) == 1
+
+    spark.createDataFrame([(10, ta), (11, tb)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    shapes = []
+
+    def on_tear(k):
+        shapes.append((
+            k,
+            _os.path.exists(f"{work}/shingle_index/batch=1/_SUCCESS"),
+            _os.path.exists(f"{work}/sig_index/batch=1/_SUCCESS"),
+            _os.path.exists(f"{work}/doc_ann/batch=1/_SUCCESS"),
+        ))
+
+    rec = {}
+    n = _drain_with_tears(
+        lambda: incremental_text_dedup_drain(spark, src, d.schema, work), rec, on_tear
+    )
+    assert n == 1 and rec["tears"] == 3
+    # the torn shapes prove the write order AND the de-sync window:
+    # tear #1 = shingle only; #2 = +sig (ann missing, checkpoint
+    # uncommitted); #3 = all three written, commit torn off
+    assert shapes == [
+        (1, True, False, False),
+        (2, True, True, False),
+        (3, True, True, True),
+    ]
+    # converged state is indistinguishable from a never-crashed run
+    assert compact_text_index(spark, work) == 1
+    ann = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
+    }
+    assert ann == {0: (False, None), 10: (True, 0), 11: (False, None)}
+
+
 def test_streaming_text_dedup_short_docs_and_gap_batches(spark, tmp_path):
     """Degenerate inputs through the streaming path: a doc with fewer
     tokens than the shingle width has no index rows but must still be

@@ -17,7 +17,23 @@ faults every 100 TB ingest eventually sees:
 
 and asserts BATCH == STREAM parity on every module's drain: the
 streamed state/annotations must equal the module's oracle-pinned batch
-operator applied to the same logical arrivals. Parity here is
+operator applied to the same logical arrivals.
+
+r12 adds TORN-DRAIN fault injection (verdict ask #3 — the failure a
+preempted 100 TB cluster hits weekly): on one mid-stream arrival every
+module's drain is CRASHED at every parquet state-write boundary in
+turn — after the 1st completed write (for the two-log modules this
+tears BETWEEN lockstep segment pairs: minhash's shingle_index written,
+sig_index missing), after the 2nd, ... and after the LAST write but
+before the streaming checkpoint commit — then restarted. The batch
+must eventually commit and the final state must be indistinguishable
+from a never-crashed run (the parity assertion below is computed from
+never-crashed batch operators). The IVF module additionally tears its
+quiesced `refresh_ivf_state` between the epoch's centroids/postings
+writes and before the `_COMMITTED` marker, asserting the uncommitted
+epoch stays invisible to `load_ivf_state` and a clean re-run commits.
+
+Parity here is
 engine-vs-engine (the batch operators themselves are differential-
 oracle-checked by the main sweep), so what this hunts is CROSS-BATCH
 STATE COMPOSITION bugs: state rows poisoned by degenerate arrivals,
@@ -32,6 +48,7 @@ Usage:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -85,6 +102,78 @@ def _median(df, col):
     return F.col(col) <= F.lit(mid)
 
 
+class _TornWrite(RuntimeError):
+    """Injected crash: the drain dies AFTER a state write completes and
+    BEFORE whatever follows it (the lockstep sibling log, the epoch
+    marker, the streaming checkpoint commit)."""
+
+
+@contextlib.contextmanager
+def _tear_after(n):
+    """Patch DataFrameWriter.parquet so the n-th COMPLETED parquet write
+    inside the context raises _TornWrite — the write itself lands on
+    disk (with its _SUCCESS marker), exactly the preempted-executor /
+    killed-driver shape: durable segment, no commit. Yields a dict;
+    ``fired`` records whether the tear was reached (a context whose
+    body performs fewer than n writes completes normally)."""
+    from pyspark.sql import readwriter as rw
+
+    orig = rw.DataFrameWriter.parquet
+    state = {"writes": 0, "fired": False}
+
+    def patched(self, path, *a, **kw):
+        out = orig(self, path, *a, **kw)
+        state["writes"] += 1
+        if state["writes"] == n:
+            state["fired"] = True
+            raise _TornWrite(f"injected tear after write #{n}: {path}")
+        return out
+
+    rw.DataFrameWriter.parquet = patched
+    try:
+        yield state
+    finally:
+        rw.DataFrameWriter.parquet = orig
+
+
+def _drain_with_tears(drain, rec, after_tear=None):
+    """Crash-restart ladder: run ``drain`` with the tear point at write
+    1, 2, ... — each torn attempt leaves its completed writes on disk
+    and its checkpoint uncommitted — until an attempt completes with no
+    tear fired (k exceeded the batch's write count). Returns the final
+    successful attempt's batch count; ``rec['tears']`` accumulates how
+    many distinct crash points were exercised. ``after_tear(k)`` lets a
+    module assert on the torn on-disk shape between attempts."""
+    k = 1
+    while True:
+        with _tear_after(k) as hit:
+            try:
+                n = drain()
+            except Exception:
+                # foreachBatch failures surface as StreamingQueryException
+                # wrapping the injected error; anything NOT ours is real
+                if not hit["fired"]:
+                    raise
+        if not hit["fired"]:
+            return n
+        rec["tears"] = rec.get("tears", 0) + 1
+        if after_tear is not None:
+            after_tear(k)
+        k += 1
+        if k > 16:
+            raise RuntimeError("tear ladder did not terminate (16 writes in one batch?)")
+
+
+def _drain_maybe_torn(i, drain, rec, after_tear=None, tear_at=2):
+    """Drain arrival ``i``; on the ``tear_at``-th arrival run the full
+    crash-restart ladder first. Index 2 is every module's second
+    non-empty batch — prior state exists, so the torn batch exercises
+    cross-batch composition, not the trivial first-batch path."""
+    if i == tear_at:
+        return _drain_with_tears(drain, rec, after_tear)
+    return drain()
+
+
 def _split_with_empty_and_dup(df, id_col, dup_of="first"):
     """The canonical arrival plan: [first-half, EMPTY, second-half,
     duplicate-of-first-or-last]. NULL ids ride in the first batch."""
@@ -117,9 +206,10 @@ def run_module(spark, name, doctored, workroot):
             )
             from serverless_etl_reporting_pipeline_spark.streaming.funnel import incremental_funnel_drain
 
-            for p in parts:
+            for i, p in enumerate(parts):
                 _stage(p, src, [p])
-                rec["processed"].append(incremental_funnel_drain(spark, src, schema, work))
+                rec["processed"].append(_drain_maybe_torn(
+                    i, lambda: incremental_funnel_drain(spark, src, schema, work), rec))
             cols = ["doc_id", "q", "dd", "clean"]
             # Per-batch twin — the drain's own composition spec (the
             # split==union property holds only for DISJOINT batches;
@@ -152,9 +242,24 @@ def run_module(spark, name, doctored, workroot):
 
             prior = None
             want_all, got_dirs = [], []
+
+            def _lockstep_shape(k):
+                # the riskiest tear (verdict ask #3): after write #1 the
+                # two lockstep logs are DE-SYNCED on disk — batch 2's
+                # shingle segment committed (_SUCCESS), its signature
+                # twin absent. Assert the shape is really torn so the
+                # convergence below is proving recovery, not a no-op.
+                if k == 1:
+                    assert os.path.exists(f"{work}/shingle_index/batch=2/_SUCCESS"), \
+                        "tear #1 did not land the shingle segment"
+                    assert not os.path.exists(f"{work}/sig_index/batch=2"), \
+                        "tear #1 unexpectedly wrote the signature twin"
+
             for i, p in enumerate(parts):
                 _stage(p, src, [p])
-                rec["processed"].append(incremental_text_dedup_drain(spark, src, schema, work))
+                rec["processed"].append(_drain_maybe_torn(
+                    i, lambda: incremental_text_dedup_drain(spark, src, schema, work),
+                    rec, after_tear=_lockstep_shape))
                 if p.isEmpty():
                     continue
                 got_dirs.append(i)  # batch ids equal arrival index (empty consumes one)
@@ -196,8 +301,9 @@ def run_module(spark, name, doctored, workroot):
             prior, want_all, got_dirs = None, [], []
             for i, p in enumerate(parts):
                 _stage(p, src, [p])
-                rec["processed"].append(
-                    incremental_vector_dedup_drain(spark, src, schema, work, **kw))
+                rec["processed"].append(_drain_maybe_torn(
+                    i, lambda: incremental_vector_dedup_drain(spark, src, schema, work, **kw),
+                    rec))
                 if p.isEmpty():
                     continue
                 got_dirs.append(i)
@@ -225,9 +331,31 @@ def run_module(spark, name, doctored, workroot):
                 incremental_ivf_ingest_drain, load_ivf_state,
             )
 
-            for p in parts:
+            for i, p in enumerate(parts):
                 _stage(p, src, [p])
-                rec["processed"].append(incremental_ivf_ingest_drain(spark, src, schema, work))
+                rec["processed"].append(_drain_maybe_torn(
+                    i, lambda: incremental_ivf_ingest_drain(spark, src, schema, work), rec))
+            # TORN REFRESH (verdict ask #3): crash the quiesced epoch
+            # swap after its centroids write (k=1) and after its
+            # postings write but BEFORE the _COMMITTED marker (k=2) —
+            # the uncommitted epoch must stay invisible to readers,
+            # and a clean re-run must commit.
+            from serverless_etl_reporting_pipeline_spark.streaming.ivf import refresh_ivf_state
+
+            before = _rows(load_ivf_state(spark, work)[1], ["_cell", "_id"])
+            for k in (1, 2):
+                with _tear_after(k) as hit:
+                    try:
+                        refresh_ivf_state(spark, work)
+                    except Exception:
+                        if not hit["fired"]:
+                            raise
+                assert hit["fired"], f"refresh tear #{k} did not fire"
+                rec["tears"] = rec.get("tears", 0) + 1
+                assert _rows(load_ivf_state(spark, work)[1], ["_cell", "_id"]) == before, \
+                    f"torn refresh (tear #{k}) leaked an uncommitted epoch"
+            assert refresh_ivf_state(spark, work) is not None, \
+                "clean refresh after torn attempts did not commit"
             cent, postings = load_ivf_state(spark, work)
             union = parts[0].unionAll(parts[2]).unionAll(parts[3])
             got = _rows(postings, ["_cell", "_id"])
@@ -247,9 +375,10 @@ def run_module(spark, name, doctored, workroot):
         a0 = ev.filter(in_b0)
         a1 = ev.filter(~in_b0)
         parts = [a0, ev.limit(0), a1, a1]  # dup of the LAST batch: tail redelivery
-        for p in parts:
+        for i, p in enumerate(parts):
             _stage(p, src, [p])
-            rec["processed"].append(incremental_scd2_drain(spark, src, SCHEMAS["events"], work))
+            rec["processed"].append(_drain_maybe_torn(
+                i, lambda: incremental_scd2_drain(spark, src, SCHEMAS["events"], work), rec))
         # the REDELIVERY contract (pinned r11): the drain enforces the
         # monotone-CDC watermark, so a fully-redelivered batch filters
         # to empty — no segment, not counted, history untouched
@@ -273,11 +402,11 @@ def run_module(spark, name, doctored, workroot):
 
         ev = spark.read.schema(SCHEMAS["events"]).parquet(f"{doctored}/events.parquet")
         parts, _ = _split_with_empty_and_dup(ev, "event_id")
-        for p in parts:
+        for i, p in enumerate(parts):
             _stage(p, src, [p])
-            rec["processed"].append(
-                kmv_drain(spark, src, SCHEMAS["events"], work, "event_type",
-                          F.col("user_id"), k=64))
+            rec["processed"].append(_drain_maybe_torn(
+                i, lambda: kmv_drain(spark, src, SCHEMAS["events"], work, "event_type",
+                                     F.col("user_id"), k=64), rec))
         union = parts[0].unionAll(parts[2]).unionAll(parts[3])
         cols = ["group_key", "n_rows", "k_used", "kth_hash", "est_distinct"]
         got = _rows(kmv_latest(spark, work), cols)
@@ -340,7 +469,7 @@ def main() -> int:
         ok = results[m]["parity"]
         bad += 0 if ok else 1
         print(f"{'ok  ' if ok else 'FAIL'} {m}: processed={results[m].get('processed')} "
-              f"{'' if ok else results[m]['err']}")
+              f"tears={results[m].get('tears', 0)} {'' if ok else results[m]['err']}")
     print(f"\n{len(only) - bad} ok, {bad} fail")
     if emit:
         with open(emit, "w") as f:
