@@ -3,6 +3,7 @@ recall vs brute force, simhash properties, dedup survivors."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -866,6 +867,37 @@ def test_casefold_full_unicode_parity(spark):
         if r["raw"] != d_raw:
             raw_div.add(cp)
     assert raw_div == expected
+
+
+@pytest.mark.slow
+def test_casefold_divergent_set_rederivation_matches_pin(spark):
+    """CI-grade re-derivation of the casefold contract (r11 verdict ask
+    #6): the fast test above pins the 45-point set and replays parity,
+    but only THIS test re-runs the full derivation — every assigned
+    code point x four word contexts, Spark lower vs DuckDB lower on
+    identical inputs — against the INSTALLED JVM/DuckDB builds. A
+    dependency bump that shifts either side's Unicode data (a new JDK
+    adding case mappings, a utf8proc upgrade fixing the Vithkuqi
+    mis-map) changes the derived raw-divergent set and trips here
+    loudly, instead of silently un-proving the proven-complete claim.
+    Skippable via `-m 'not slow'`; ~1-2 min."""
+    from serverless_etl_reporting_pipeline_spark.operators.text import _CASEFOLD_PINS
+    from tools.casefold_parity import derive_divergent_sets
+
+    raw_div, pin_div, _ = derive_divergent_sets(spark)
+    assert pin_div == [], (
+        f"live contract broken: casefold != duck_casefold at "
+        f"{[hex(c) for c in pin_div[:10]]}"
+    )
+    assert raw_div == sorted(_CASEFOLD_PINS), (
+        "the installed JVM/DuckDB pair derives a DIFFERENT divergent set "
+        "than the pinned one — a Unicode-data bump shifted the hazard "
+        "inventory; re-run tools/casefold_parity.py, update the pin table "
+        f"in operators/text.py, and refresh PARITY.md. derived-only: "
+        f"{[hex(c) for c in sorted(set(raw_div) - set(_CASEFOLD_PINS))][:10]}, "
+        f"pinned-only: "
+        f"{[hex(c) for c in sorted(set(_CASEFOLD_PINS) - set(raw_div))][:10]}"
+    )
 
 
 def test_pii_email_regex_linear_scan(spark):

@@ -65,16 +65,21 @@ CONTEXTS = (
 )
 
 
-def main() -> int:
+def derive_divergent_sets(spark) -> tuple[list[int], list[int], "object"]:
+    """THE derivation, callable from the CI-grade slow test (r11 verdict
+    ask #6) as well as main(): every assigned code point x four word
+    contexts through Spark lower()/casefold() and DuckDB
+    lower()/duck_casefold() on identical inputs. Returns
+    (raw_divergent, pinned_divergent, merged-frame) — the first is the
+    hazard inventory a JVM/DuckDB Unicode-data bump can shift, the
+    second must be empty while the shared pin table is complete."""
     import duckdb
     import pandas as pd
 
     from serverless_etl_reporting_pipeline_spark.operators.text import casefold, duck_casefold
-    from serverless_etl_reporting_pipeline_spark.session import get_spark
+    from pyspark.sql import functions as F
 
     cps = assigned_codepoints()
-    print(f"{len(cps)} assigned code points x {len(CONTEXTS)} contexts")
-
     rows = []
     for cp in cps:
         ch = chr(cp)
@@ -88,9 +93,6 @@ def main() -> int:
     duck = con.execute(
         f"SELECT cp, ctx, lower(s) AS lo, {duck_casefold('s')} AS pin_ref FROM pdf"
     ).df()
-
-    spark = get_spark()
-    from pyspark.sql import functions as F
 
     sdf = spark.createDataFrame(pdf)
     got = (
@@ -106,6 +108,15 @@ def main() -> int:
     m = got.merge(duck, on=["cp", "ctx"], validate="one_to_one")
     raw_div = sorted(set(m.loc[m.raw_lo != m.lo, "cp"]))
     pin_div = sorted(set(m.loc[m.pin_lo != m.pin_ref, "cp"]))
+    return raw_div, pin_div, m
+
+
+def main() -> int:
+    from serverless_etl_reporting_pipeline_spark.session import get_spark
+
+    cps = assigned_codepoints()
+    print(f"{len(cps)} assigned code points x {len(CONTEXTS)} contexts")
+    raw_div, pin_div, m = derive_divergent_sets(get_spark())
 
     def show(tag: str, div: list[int]) -> None:
         print(f"{tag}: {len(div)} divergent code point(s)")
