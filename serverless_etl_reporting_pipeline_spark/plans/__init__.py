@@ -35,12 +35,15 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #      (w01/w02/w06-w08) and the mixture family (c10-c12), neither
 #      driver-checked since r9.
 #   3. Backfill with the oldest r10 rows: a01-a12, a14, a17-a20,
-#      c01-c03. 20 slots.
-#   4. 1 + 29 + 20 fills the window exactly; the remaining r10 rows
-#      (a04-era siblings c04-c06, c08, c09) and every r11 row are ≤2
-#      rounds fresh at r12 close, so the ≤2-round contract holds. All
-#      deferred rows stay covered every round by the full-registry
-#      sf0.01 oracle run and both sweep modes (doctored + zero-row).
+#      c01, c02 (c03 leads round 13 — see _PRIORITY's t12 note). 19
+#      slots.
+#   4. 2 + 29 + 19 fills the window exactly; the remaining r10 rows
+#      (c03-c06, c08, c09, e02-e05, m01-m04, pipe01/02, s02,
+#      t07/t09/t11/t15/t19/t20/t24, v05, w03-w05, w09, x01) and every
+#      r11 row are ≤2 rounds fresh at r12 close, so the ≤2-round
+#      contract holds. All deferred rows stay covered every round by
+#      the full-registry sf0.01 oracle run and both sweep modes
+#      (doctored + zero-row).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
 # complete at 129 entries. New queries are capped at ~5 per round so
 # the 50-slot driver window re-verifies every query within ~2.5 rounds;
@@ -51,6 +54,12 @@ _PRIORITY = (
     # engine+oracle changed this round: the backslash-parity-exact
     # lone-surrogate guard on both engines, per the r11 ADVICE
     "p06",
+    # engine plan changed this round: the t12 settle (r11 ask #4)
+    # traced its drift to the unspread single-split scan feeding the
+    # chunk fan-out; t12 now spreads (A/B 0.50 -> 0.36 s at sf0.1) and
+    # jumps the queue per the changed-in-round rule. c03 drops to the
+    # round-13 head to make room (it stays exactly 2 rounds fresh).
+    "t12",
 )
 
 # rotation cohorts, oldest driver row first (the full r9-era cohort,

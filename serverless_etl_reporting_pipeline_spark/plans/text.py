@@ -491,6 +491,10 @@ def t10_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split fixture scan before the chunk fan-out
+    # (tokenize + ~6x explode + slice otherwise runs on one core; the
+    # r12 t12-settle A/B measured 0.50 -> 0.36 s at sf0.1)
+    docs = spread_scan(docs, "doc_id")
     ch = chunk_tokens(docs, "doc_id", "text", chunk_size=100, overlap=20)
     return ch.select(
         "doc_id",

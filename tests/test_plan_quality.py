@@ -477,6 +477,7 @@ _SPREAD_QUERIES = [
     "c06_chargram_lm_score",
     "t07_ngram_jaccard_pairs",
     "t08_simhash",
+    "t12_chunking",
     "t14_tfidf_top_terms",
     "t15_top_bigrams",
     "t19_decontamination",
