@@ -95,12 +95,27 @@ def tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(casefold(col), F.lit(WORD_RE), 0)
 
 
+# The whitespace class, written EXPLICITLY on both engines (r12 find,
+# the casefold-pin pattern): Java's \s is [ \t\n\x0B\f\r] while RE2's
+# (DuckDB) is [ \t\n\f\r] — they disagree on exactly one code point,
+# VERTICAL TAB (U+000B; probed against \x0C, \x1C-\x1F, \x85, NBSP,
+# U+2028/29, ZWSP — all others agree). A doc containing \x0B normalized
+# to different bytes per engine ("a b" vs "ab"), flipping t02/t06/c04
+# fingerprints and t05's punct count. Both engines now share these
+# literal classes (= Java's \s set, so engine behavior is unchanged
+# and \x0B stays whitespace, its Unicode category).
+WS = r"\t\n\x0B\f\r "  # class body; spell \s as [WS] on BOTH engines
+NORM_STRIP_RE = "[^a-z0-9" + WS + "]"
+NORM_WS_RE = "[" + WS + "]+"
+PUNCT_STRIP_RE = "[a-zA-Z0-9" + WS + "]"
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for near-exact dedup: lowercase, strip non-alnum,
-    collapse whitespace."""
+    collapse whitespace (the explicit WS class — see its note)."""
     out = casefold(col)
-    out = F.regexp_replace(out, r"[^a-z0-9\s]", "")
-    out = F.regexp_replace(out, r"\s+", " ")
+    out = F.regexp_replace(out, NORM_STRIP_RE, "")
+    out = F.regexp_replace(out, NORM_WS_RE, " ")
     return F.trim(out)
 
 

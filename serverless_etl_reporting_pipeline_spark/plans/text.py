@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_etl_reporting_pipeline_spark.operators.text import (
+    PUNCT_STRIP_RE,
     chunk_tokens,
     exact_dedup,
     fingerprint_md5,
@@ -57,7 +58,7 @@ def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT norm_fp, count(*) AS copies, min(doc_id) AS kept_doc_id
     FROM (
         SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+               md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '[^a-z0-9\t\n\x0B\f\r ]', '', 'g'), '[\t\n\x0B\f\r ]+', ' ', 'g'))) AS norm_fp
         FROM documents
     )
     GROUP BY norm_fp
@@ -175,7 +176,7 @@ def t04_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                greatest(length(text), 1) AS len_g,
                len(list_filter(regexp_extract_all(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '\w+'),
                                x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS stop,
-               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+               length(regexp_replace(text, '[a-zA-Z0-9\t\n\x0B\f\r ]', '', 'g')) AS punct
         FROM documents
     )
     """,
@@ -185,7 +186,7 @@ def t05_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
     n = F.greatest(F.size("toks"), F.lit(1))
     stop = F.expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'is', 'in')))")
-    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    punct = F.length(F.regexp_replace("text", PUNCT_STRIP_RE, ""))
     # greatest(..., 1) floors BOTH divisors — an empty document scores
     # 0-ratios instead of raising DIVIDE_BY_ZERO under ANSI mode
     base = docs.select(
@@ -210,7 +211,7 @@ def t05_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t06_fingerprint",
     oracle=r"""
     SELECT doc_id,
-           md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+           md5(trim(regexp_replace(regexp_replace(lower(translate(text, 'İΣⰯꟀꟇꟉꟐꟖꟘꟵ𐕰𐕱𐕲𐕳𐕴𐕵𐕶𐕷𐕸𐕹𐕺𐕼𐕽𐕾𐕿𐖀𐖁𐖂𐖃𐖄𐖅𐖆𐖇𐖈𐖉𐖊𐖌𐖍𐖎𐖏𐖐𐖑𐖒𐖔𐖕', 'iσⱟꟁꟈꟊꟑꟗꟙꟶ𐖗𐖘𐖙𐖚𐖛𐖜𐖝𐖞𐖟𐖠𐖡𐖣𐖤𐖥𐖦𐖧𐖨𐖩𐖪𐖫𐖬𐖭𐖮𐖯𐖰𐖱𐖳𐖴𐖵𐖶𐖷𐖸𐖹𐖻𐖼')), '[^a-z0-9\t\n\x0B\f\r ]', '', 'g'), '[\t\n\x0B\f\r ]+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
     doc="document fingerprinting (md5 of normalized content) — north star",

@@ -869,6 +869,43 @@ def test_casefold_full_unicode_parity(spark):
     assert raw_div == expected
 
 
+def test_whitespace_class_parity(spark):
+    """The r12 vertical-tab find: Java's \\s is [ \\t\\n\\x0B\\f\\r] while
+    RE2's (DuckDB) lacks \\x0B — the ONE divergent code point in the
+    whitespace zoo (all of FF, FS/GS/RS/US, NEL, NBSP, LS/PS, ZWSP
+    agree). normalize_text and t05's punct strip now spell the class
+    explicitly on both engines (= Java's set, so \\x0B stays
+    whitespace). This replays the zoo through the live normalize +
+    punct expressions on both engines and asserts byte parity."""
+    import duckdb
+
+    from serverless_etl_reporting_pipeline_spark.operators.text import (
+        PUNCT_STRIP_RE,
+        normalize_text,
+    )
+
+    zoo = ["a\x0bb", "a\x0cb", "a\x1cb", "a\x1db", "a\x1eb", "a\x1fb",
+           "a\x85b", "a\xa0b", "a b", "a b", "a​b",
+           "a \t\x0b\f\r b", "\x0bleading", "trailing\x0b"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(zoo)], "i int, t string")
+    eng = df.select(
+        "i",
+        normalize_text("t").alias("norm"),
+        F.length(F.regexp_replace("t", PUNCT_STRIP_RE, "")).alias("punct"),
+    ).collect()
+    assert {r["i"]: r["norm"] for r in eng}[0] == "a b", "VT must stay whitespace"
+    con = duckdb.connect()
+    for r in eng:
+        s = zoo[r["i"]]
+        dn, dp = con.execute(
+            r"SELECT trim(regexp_replace(regexp_replace(lower(?),"
+            r" '[^a-z0-9\t\n\x0B\f\r ]', '', 'g'), '[\t\n\x0B\f\r ]+', ' ', 'g')),"
+            r" length(regexp_replace(?, '[a-zA-Z0-9\t\n\x0B\f\r ]', '', 'g'))",
+            [s, s],
+        ).fetchone()
+        assert (r["norm"], r["punct"]) == (dn, dp), f"diverged on {s!r}"
+
+
 @pytest.mark.slow
 def test_casefold_divergent_set_rederivation_matches_pin(spark):
     """CI-grade re-derivation of the casefold contract (r11 verdict ask
@@ -989,11 +1026,17 @@ def test_engine_regex_inventory_linear_scan(spark):
         LONE_SURROGATE_PAIR,
     )
 
+    from serverless_etl_reporting_pipeline_spark.operators.text import (
+        NORM_STRIP_RE,
+        NORM_WS_RE,
+        PUNCT_STRIP_RE,
+    )
+
     patterns = {
         "word_re": (WORD_RE, "extract"),
-        "normalize_strip": (r"[^a-z0-9\s]", "replace"),
-        "normalize_ws": (r"\s+", "replace"),
-        "punct_strip": (r"[a-zA-Z0-9\s]", "replace"),
+        "normalize_strip": (NORM_STRIP_RE, "replace"),
+        "normalize_ws": (NORM_WS_RE, "replace"),
+        "punct_strip": (PUNCT_STRIP_RE, "replace"),
         "pii_url": (_RE_URL, "replace"),
         "pii_email": (_RE_EMAIL_ENGINE, "replace"),
         "pii_ip": (_RE_IP, "replace"),

@@ -258,7 +258,15 @@ def build_doctored(base: str, dest: str) -> str:
         -- plus its U+10597 small form). All 45 divergent code points
         -- are pinned by the operators/text.py translate, mirrored in
         -- every oracle's inlined duck_casefold fragment.
-        (910009, '\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u039a\u0391\u039b\u039f\u03a3 \u03a3 \u2c2f\u2c5f \ua7c0\ua7c1 \U00010570\U00010597 mixed', 'el', 'webz', 40)
+        (910009, '\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u039a\u0391\u039b\u039f\u03a3 \u03a3 \u2c2f\u2c5f \ua7c0\ua7c1 \U00010570\U00010597 mixed', 'el', 'webz', 40),
+        -- r12: VERTICAL TAB (U+000B) -- the one code point where Java
+        -- regex backslash-s and RE2 backslash-s disagree (probed against
+        -- FF, FS/GS/RS/US, NEL, NBSP, LS/PS, ZWSP: all others agree).
+        -- Before the explicit tab/LF/VT/FF/CR/space class was written on
+        -- both engines, this doc normalized to 'vertical tab' vs
+        -- 'verticaltab' and flipped t02/t06/c04 fingerprints and t05's
+        -- punct count.
+        (910010, 'vertical' || chr(11) || 'tab body and the of to is in a', 'en', 'webz', 40)
       ) t(doc_id, text, lang, source, n_chars)
       UNION ALL BY NAME
       -- r11: ADVERSARIAL TEXT->BINARY payloads (m01-m04 encode text as
