@@ -291,7 +291,13 @@ def p05_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ReDoS-linearity inventory in tests/test_operators.py): applied AFTER
 # escaped-backslash pairs are stripped to a placeholder, every match is
 # a real JSON \uXXXX escape. Lookaround-free so DuckDB's RE2 runs the
-# identical bytes; no nested quantifiers, so the scan is linear.
+# identical bytes; no nested quantifiers, so the scan is linear. The
+# (?i) flag is itself an engine-divergence hazard (Java folds ASCII
+# only, RE2 folds Unicode — Kelvin-sign K matches (?i)k in RE2 alone),
+# but every letter here (u, d, hex a-f) has ZERO non-ASCII simple-fold
+# partners (enumerated r12 over all assigned code points), so the flag
+# is parity-safe in exactly these patterns. Don't reuse (?i) with k/s
+# classes without re-checking.
 LONE_SURROGATE_HI = r"(?i)\\ud[89ab][0-9a-f]{2}"
 LONE_SURROGATE_LO = r"(?i)\\ud[c-f][0-9a-f]{2}"
 LONE_SURROGATE_PAIR = r"(?i)\\ud[89ab][0-9a-f]{2}\\ud[c-f][0-9a-f]{2}"
