@@ -108,6 +108,67 @@ def drain_text(spark, sf_dir: str, work: str) -> dict:
     }
 
 
+def drain_funnel(spark, sf_dir: str, work: str) -> dict:
+    """The curation-funnel drain's steady-batch claim (r12 — pipe02's
+    x256 ladder showed the BATCH form's state-build term growing, and
+    named this drain the amortized deployment shape; this module is the
+    measurement behind that sentence): full drain of the xN corpus,
+    then ONE FIXED-SIZE base-corpus batch (reversed-alphabet translate,
+    orthogonal to every copy's rotation) onto the xN state — raw log vs
+    after hash-state + annotation-lake compaction."""
+    from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+        compact_funnel_lake,
+        compact_hash_state,
+        incremental_funnel_drain,
+        vacuum_funnel_lake,
+        vacuum_hash_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    src, state = os.path.join(work, "src"), os.path.join(work, "state")
+    _stage_batches(docs, "doc_id", src)
+    t0 = time.time()
+    n = incremental_funnel_drain(spark, src, docs.schema, state)
+    assert n == 4, n
+    full = time.time() - t0
+
+    base = spark.read.parquet(f"{BASE}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def fixed(j: int):
+        return base.select(
+            (F.col("doc_id") + mx + j * 100_000_000).alias("doc_id"),
+            "source", "lang",
+            F.translate("text", _SRC, _SRC[::-1]).alias("text"),
+        )
+
+    fixed(0).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_funnel_drain(spark, src, docs.schema, state) == 1
+    steady_raw = time.time() - t0
+    segs_raw = _segments(state, "state_hashes")
+    compact_hash_state(spark, state)
+    vacuum_hash_state(spark, state)
+    compact_funnel_lake(spark, state)
+    vacuum_funnel_lake(spark, state)
+    segs_folded = _segments(state, "state_hashes")
+    fixed(1).coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    assert incremental_funnel_drain(spark, src, docs.schema, state) == 1
+    steady_folded = time.time() - t0
+    return {
+        "sec": round(full, 2),
+        "steady_raw_sec": round(steady_raw, 2),
+        "steady_folded_sec": round(steady_folded, 2),
+        "segs_raw": segs_raw,
+        "segs_folded": segs_folded,
+    }
+
+
 def drain_vector(spark, sf_dir: str, work: str) -> dict:
     # 48-bit bands: the grown-corpus geometry (see stress_scale.wideband)
     from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
@@ -329,7 +390,7 @@ def measure_kmv(spark, n_batches: int, work: str) -> dict:
     }
 
 
-MODULES = {"text": drain_text, "vector": drain_vector, "ivf": drain_ivf}
+MODULES = {"funnel": drain_funnel, "text": drain_text, "vector": drain_vector, "ivf": drain_ivf}
 # synthetic modules: n means BATCH COUNT, no derived corpus is built
 SYNTH_MODULES = {"scd2": measure_scd2, "kmv": measure_kmv}
 
