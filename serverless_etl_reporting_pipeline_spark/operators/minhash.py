@@ -95,6 +95,7 @@ def neardup_index_probe(
     bands: int = 32,
     rows_per_band: int = 2,
     snapshot_ids: DataFrame | None = None,
+    broadcast_snapshot: bool = False,
 ) -> DataFrame:
     """Probe a prebuilt MinHash band index with a snapshot batch: flag
     each snapshot doc that has an exact-jaccard ≥ threshold near-dup in
@@ -111,17 +112,87 @@ def neardup_index_probe(
     proportional to the SNAPSHOT plus its collision buckets — never
     corpus × corpus. Exact-Jaccard verification of candidates only (same
     recall analysis as minhash_neardup_pairs) keeps precision 1.0.
+
+    ``broadcast_snapshot=True`` switches to the BOUNDED-SNAPSHOT
+    strategy (the r12 streaming-drain find). Inside a foreachBatch
+    write, the runtime re-plan that makes the BATCH form cheap — AQE
+    materializing the tiny/empty candidate side and pruning the
+    index-sized subtrees entirely — does not fire, so every micro-batch
+    paid a FULL scan of the accumulated index (shingle side + exploded
+    signature side: ~25 s/batch against a 1.3 M-doc index at x256,
+    while the identical probe as a batch query read ~1 s). The bounded
+    strategy makes that pruning explicit and planner-independent:
+
+    - every snapshot-derived join side carries a broadcast hint (no
+      index-sized exchange at any corpus size);
+    - the candidate pairs are probed with a LIMIT-bounded collect (at
+      most cap+1 = 10 001 rows ever reach the driver — a one-file
+      micro-batch can still carry hundreds of thousands of docs, so an
+      unbounded collect would be a driver OOM, measured at x256);
+    - ZERO candidates (the common steady case) short-circuits to a
+      map-only "nothing is a dup" result — the index is never touched
+      past the signature scan that produced the empty candidate set;
+    - otherwise (≤ 10k pairs — the limit returned everything) the
+      exact-verify sides are PRUNED to candidate corp_ids before their
+      joins (isin → parquet row-group skipping on monotone-id
+      segments), so verification work is ∝ candidates, never ∝ corpus.
+      A TRUNCATED probe (> 10k pairs: a dup-heavy or corpus-sized
+      batch) falls back to the hinted full joins — correct at any
+      size, index-scan-priced.
+
+    Leave False when the snapshot can be corpus-sized (t20's watermark
+    split), where AQE picks the right strategy at runtime. The one
+    index-proportional term the bounded path keeps is the signature
+    scan+explode that candidate DISCOVERY needs — ∝ index docs (not
+    shingle rows), and bounded further by `compact_text_index` folding
+    the segment tail (tiny-file splits, not data volume, dominate it).
+
+    Every hint is GUARDED by a measurement, never assumed: the
+    discovery-side broadcast by a snapshot row count (≤ 100k docs), the
+    verify-side broadcasts by the candidate probe coming back complete
+    (≤ 10k pairs). A hint on an unboundedly-large frame is itself the
+    failure mode — the first cut broadcast the verify side of a
+    320k-doc full-drain batch and died on spark.driver.maxResultSize.
     """
+    maybe_b = lambda df: df  # upgraded to F.broadcast only when proven bounded
     cbk = _band_buckets(index_sigs, id_col, bands, rows_per_band).withColumnRenamed(
         id_col, "corp_id"
     )
     sbk = _band_buckets(snap_sigs, id_col, bands, rows_per_band).withColumnRenamed(
         id_col, "snap_id"
     )
+    if broadcast_snapshot and snap_sigs.count() <= 100_000:
+        sbk = F.broadcast(sbk)
     cand = sbk.join(cbk, ["band", "sig"]).select("snap_id", "corp_id").distinct()
 
+    if broadcast_snapshot:
+        spark = index_sigs.sparkSession
+        src_type = index_sigs.schema[id_col].dataType
+        left = (
+            snapshot_ids.select(F.col(id_col))
+            if snapshot_ids is not None
+            else snap_sigs.select(F.col(id_col))
+        )
+        pairs = cand.limit(10_001).collect()
+        if not pairs:
+            return left.select(
+                id_col,
+                F.lit(False).alias("is_dup"),
+                F.lit(None).cast(src_type).alias("dup_src"),
+            )
+        if len(pairs) <= 10_000:  # the limit returned the COMPLETE set
+            maybe_b = F.broadcast
+            cand = spark.createDataFrame(pairs, cand.schema)
+            ids = sorted({r["corp_id"] for r in pairs})
+            index_shingles = index_shingles.filter(F.col(id_col).isin(ids))
+            index_sigs = index_sigs.filter(F.col(id_col).isin(ids))
+
     common = (
-        cand.join(snap_shingles.select(F.col(id_col).alias("snap_id"), "s"), "snap_id")
+        maybe_b(
+            cand.join(
+                snap_shingles.select(F.col(id_col).alias("snap_id"), "s"), "snap_id"
+            )
+        )
         .join(index_shingles.select(F.col(id_col).alias("corp_id"), "s"), ["corp_id", "s"])
         .groupBy("snap_id", "corp_id")
         .agg(F.count("*").alias("c"))
@@ -130,7 +201,7 @@ def neardup_index_probe(
     cb = index_sigs.select(F.col(id_col).alias("corp_id"), F.col("n").alias("nb"))
     jaccard = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     dups = (
-        common.join(ca, "snap_id")
+        maybe_b(common.join(ca, "snap_id"))
         .join(cb, "corp_id")
         .filter(jaccard >= jaccard_threshold)
         .groupBy("snap_id")

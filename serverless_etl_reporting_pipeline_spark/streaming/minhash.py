@@ -193,6 +193,13 @@ def incremental_text_dedup_drain(
         # segments — or its own rows inside a compaction — are invisible)
         csh, csigs = _prior_index(s, work_dir, batch_id)
         if csh is not None and csigs is not None:
+            # broadcast_snapshot: the batch is maxFilesPerTrigger-
+            # bounded by this drain's contract, so every snapshot-side
+            # join pins as a broadcast — without it the foreachBatch
+            # plan sort-merges and SHUFFLES the whole accumulated index
+            # per micro-batch (the r12 x256 find: 18 s/batch against a
+            # 1.3 M-doc index vs ~1 s; AQE's runtime rescue of the
+            # batch form does not fire here)
             ann = neardup_index_probe(
                 csh,
                 csigs,
@@ -203,6 +210,7 @@ def incremental_text_dedup_drain(
                 bands,
                 rpb,
                 snapshot_ids=batch,
+                broadcast_snapshot=True,
             )
         else:
             ann = batch.select(
