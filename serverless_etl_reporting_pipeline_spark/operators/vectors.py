@@ -1303,17 +1303,49 @@ def probe_band_index(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bounded_snapshot: bool = False,
 ) -> DataFrame:
     """Probe an ALREADY-BUILT corpus band-code fan (in-session persisted,
     or loaded from a stored index — `streaming/vectors.py` maintains one
     on disk) with a snapshot batch. Split out of
     `neardup_vector_index_probe` so a continuously-fed index pays the
-    corpus fan exactly once per corpus row, ever."""
+    corpus fan exactly once per corpus row, ever.
+
+    ``bounded_snapshot=True`` (the streaming drain, whose batch is
+    maxFilesPerTrigger-bounded) is the vector twin of the text probe's
+    r12 bounded strategy: the plain plan UNIONS the whole stored fan
+    with the batch fan and SHUFFLES it into the per-bucket kernel —
+    index-sized exchange per micro-batch (~6 s against 512 k vectors at
+    x256 for a 2 k-vec batch). Bounded mode collects the batch's
+    (band, code) set via a LIMIT-bounded collect (≤ 50 001 rows to the
+    driver; a batch of B vectors fans to exactly B×bands codes), then:
+    empty → map-only all-false short-circuit; complete → the stored fan
+    is broadcast-SEMI-JOINED down to matching buckets before the union,
+    so the kernel shuffle carries collision buckets, never the index
+    (the stored-fan scan itself remains, ∝ index — foldable, same
+    residual as the text side); truncated → the plain plan.
+    """
     tau = float(threshold)
+    snap_fan = _band_code_fan(snapshot, P, bands, rpb, id_col, vec_col)
+    if bounded_snapshot:
+        spark = corpus_fan.sparkSession
+        codes = snap_fan.select("_band", "_code").distinct().limit(50_001).collect()
+        if not codes:
+            return snapshot.select(
+                F.col(id_col).cast("long").alias(id_col),
+                F.lit(False).alias("is_dup"),
+                F.lit(None).cast("long").alias("dup_src"),
+                F.lit(None).cast("double").alias("cos"),
+            ).orderBy(id_col)
+        if len(codes) <= 50_000:  # the limit returned the COMPLETE set
+            code_df = spark.createDataFrame(
+                codes, snap_fan.select("_band", "_code").schema
+            )
+            corpus_fan = corpus_fan.join(
+                F.broadcast(code_df), ["_band", "_code"], "leftsemi"
+            )
     fan = corpus_fan.withColumn("_side", F.lit(0)).unionByName(
-        _band_code_fan(snapshot, P, bands, rpb, id_col, vec_col).withColumn(
-            "_side", F.lit(1)
-        )
+        snap_fan.withColumn("_side", F.lit(1))
     )
 
     probe_schema = T.StructType(

@@ -131,8 +131,14 @@ def incremental_vector_dedup_drain(
         # rows inside a compaction — is invisible)
         corpus_fan = _prior_fan(s, work_dir, batch_id)
         if corpus_fan is not None:
+            # bounded_snapshot: the batch is maxFilesPerTrigger-bounded,
+            # so the stored fan is semi-joined down to the batch's band
+            # codes instead of being SHUFFLED whole into the bucket
+            # kernel every micro-batch (the r12 x256 find — see
+            # probe_band_index's contract note)
             ann = probe_band_index(
-                corpus_fan, batch, P, bands, rpb, threshold, id_col, vec_col
+                corpus_fan, batch, P, bands, rpb, threshold, id_col, vec_col,
+                bounded_snapshot=True,
             )
         else:
             ann = batch.select(
