@@ -34,14 +34,15 @@ from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401
 #      w06-w08, x04. 29 slots — this carries the windows family
 #      (w01/w02/w06-w08) and the mixture family (c10-c12), neither
 #      driver-checked since r9.
-#   3. Backfill with the oldest r10 rows: a01-a12, a14, a17-a20,
-#      c01, c02 (c03 leads round 13 — see _PRIORITY's t12 note). 19
-#      slots.
-#   4. 2 + 29 + 19 fills the window exactly; the remaining r10 rows
-#      (c03-c06, c08, c09, e02-e05, m01-m04, pipe01/02, s02,
-#      t07/t09/t11/t15/t19/t20/t24, v05, w03-w05, w09, x01) and every
-#      r11 row are ≤2 rounds fresh at r12 close, so the ≤2-round
-#      contract holds. All deferred rows stay covered every round by
+#   3. Backfill with the oldest r10 rows: a01-a12, a14, a17, a18
+#      (a19/a20/c01-c03 lead round 13 — displaced by the changed-in-
+#      round cohort, see _PRIORITY). 15 slots.
+#   4. 6 + 29 + 15 fills the window exactly; the remaining r10 rows
+#      (a19, a20, c01-c03, c05, c06, c08, c09, e02-e05, m01-m04,
+#      pipe01/02, s02, t07/t09/t11/t15/t19/t20/t24, v05, w03-w05,
+#      w09, x01) and every r11 row are ≤2 rounds fresh at r12 close,
+#      so the ≤2-round contract holds (post-r12 freshness: 50 r12 /
+#      46 r11 / 33 r10). All deferred rows stay covered every round by
 #      the full-registry sf0.01 oracle run and both sweep modes
 #      (doctored + zero-row).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
@@ -60,6 +61,12 @@ _PRIORITY = (
     # jumps the queue per the changed-in-round rule. c03 drops to the
     # round-13 head to make room (it stays exactly 2 rounds fresh).
     "t12",
+    # engine+oracle changed this round: the explicit whitespace class
+    # (the vertical-tab find — normalize_text/punct strip now spell
+    # Java's \s set literally on both engines). These four carry the
+    # changed expressions; the displaced backfill tail (a20, c01, c02,
+    # with c03) stays exactly 2 rounds fresh and leads round 13.
+    "t02", "t05", "t06", "c04",
 )
 
 # rotation cohorts, oldest driver row first (the full r9-era cohort,
