@@ -82,6 +82,7 @@ def annotate_batch(
     seen_hashes: DataFrame | None = None,
     ev: Column | None = None,
     shingle_frame: DataFrame | None = None,
+    bounded_batch: bool = False,
 ) -> DataFrame:
     """Annotate one batch of documents against funnel state.
 
@@ -91,10 +92,17 @@ def annotate_batch(
     - ``h`` — md5(casefold(text)), the exact-dedup key;
     - ``dd`` — keep-first dedup survivor: first occurrence of ``h``
       within this batch (row_number window) AND, when ``seen_hashes``
-      is given, ``h`` absent from that prior-state index (plain keyed
-      anti-join — the index is corpus-scale, never broadcast). With
-      monotone doc ids across batches this equals union-wide
-      keep-first;
+      is given, ``h`` absent from that prior-state index. The index is
+      corpus-scale, NEVER broadcast; the plain form is a keyed
+      anti-join that shuffles it per call. ``bounded_batch=True`` (the
+      streaming drain, whose micro-batch is maxFilesPerTrigger-bounded
+      — the r12 bounded-probe pattern) rewrites it as scan-only when a
+      batch count confirms boundedness: broadcast-SEMI-join the index
+      down to hashes present in the batch (map-only over the index, no
+      corpus shuffle), then broadcast-ANTI-join the batch against that
+      ≤ batch-sized matched set — identical semantics, per-batch index
+      cost = one scan instead of one shuffle. With monotone doc ids
+      across batches this equals union-wide keep-first;
     - ``clean`` — dd AND NOT ev AND sharing no ``SHINGLE_N``-gram with
       ``hold_sh``, the frozen benchmark shingle index (benchmark-sized:
       the only broadcast in the stage).
@@ -130,7 +138,15 @@ def annotate_batch(
         .filter("rn = 1")
     )
     if seen_hashes is not None:
-        firsts = firsts.join(seen_hashes.select("h"), "h", "left_anti")
+        if bounded_batch and docs.count() <= 1_000_000:
+            matched = (
+                seen_hashes.select("h")
+                .join(F.broadcast(firsts.select("h")), "h", "leftsemi")
+                .distinct()
+            )
+            firsts = firsts.join(F.broadcast(matched), "h", "left_anti")
+        else:
+            firsts = firsts.join(seen_hashes.select("h"), "h", "left_anti")
     sh = shingle_frame if shingle_frame is not None else shingle_set(docs)
     cont = sh.join(F.broadcast(hold_sh), "s").select("doc_id").distinct()
     dd = F.coalesce(F.col("_dd"), F.lit(False))

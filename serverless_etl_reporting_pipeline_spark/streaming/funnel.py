@@ -152,8 +152,14 @@ def incremental_funnel_drain(
             # persisted: the frame feeds TWO write actions (annotation
             # lake + hash state) — without it the profile/window/
             # anti-join/shingle subtree executes twice per micro-batch
+            # bounded_batch: the micro-batch is maxFilesPerTrigger-
+            # bounded, so the keep-first anti-join runs scan-only
+            # against the corpus-scale hash index instead of shuffling
+            # it per batch (operators/funnel.py annotate_batch, the
+            # r12 bounded-probe pattern)
             ann = annotate_batch(
-                batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh
+                batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh,
+                bounded_batch=True,
             ).persist()
             try:
                 ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
