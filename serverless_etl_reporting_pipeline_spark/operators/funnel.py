@@ -83,6 +83,7 @@ def annotate_batch(
     ev: Column | None = None,
     shingle_frame: DataFrame | None = None,
     bounded_batch: bool = False,
+    batch_count: int | None = None,
 ) -> DataFrame:
     """Annotate one batch of documents against funnel state.
 
@@ -97,12 +98,18 @@ def annotate_batch(
       anti-join that shuffles it per call. ``bounded_batch=True`` (the
       streaming drain, whose micro-batch is maxFilesPerTrigger-bounded
       — the r12 bounded-probe pattern) rewrites it as scan-only when a
-      batch count confirms boundedness: broadcast-SEMI-join the index
-      down to hashes present in the batch (map-only over the index, no
-      corpus shuffle), then broadcast-ANTI-join the batch against that
-      ≤ batch-sized matched set — identical semantics, per-batch index
-      cost = one scan instead of one shuffle. With monotone doc ids
-      across batches this equals union-wide keep-first;
+      batch count confirms boundedness (≤ 100k docs, the same order as
+      the other bounded-probe gates — the broadcast frames below are
+      batch-derived, so the gate is also the driver-memory bound):
+      broadcast-SEMI-join the index down to hashes present in the
+      batch (map-only over the index, no corpus shuffle), then
+      broadcast-ANTI-join the batch against that ≤ batch-sized matched
+      set — identical semantics, per-batch index cost = one scan
+      instead of one shuffle. Callers that already materialized the
+      batch pass its row count via ``batch_count`` so the gate costs
+      zero extra jobs (r12 ADVICE); without it the gate counts
+      ``docs`` itself. With monotone doc ids across batches this
+      equals union-wide keep-first;
     - ``clean`` — dd AND NOT ev AND sharing no ``SHINGLE_N``-gram with
       ``hold_sh``, the frozen benchmark shingle index (benchmark-sized:
       the only broadcast in the stage).
@@ -138,7 +145,9 @@ def annotate_batch(
         .filter("rn = 1")
     )
     if seen_hashes is not None:
-        if bounded_batch and docs.count() <= 1_000_000:
+        if bounded_batch and (
+            batch_count if batch_count is not None else docs.count()
+        ) <= 100_000:
             matched = (
                 seen_hashes.select("h")
                 .join(F.broadcast(firsts.select("h")), "h", "leftsemi")

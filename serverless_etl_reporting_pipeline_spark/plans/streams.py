@@ -211,10 +211,14 @@ def s04_scd2_streaming_log(spark: SparkSession, sf_dir: str) -> DataFrame:
                 part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
             part.coalesce(1).write.mode("append").parquet(src)
             lo = hi
-        incremental_scd2_drain(spark, src, ev.schema, work)
+        # drain into work/state, NOT work itself: the drain's
+        # state-format guard (streaming/state.py ensure_state_format)
+        # requires a fresh-or-stamped dir, and the staged src files
+        # above would read as unversioned pre-guard state
+        incremental_scd2_drain(spark, src, ev.schema, os.path.join(work, "state"))
         with open(marker, "w") as fh:
             fh.write(tag)
-    return scd2_table(spark, work)
+    return scd2_table(spark, os.path.join(work, "state"))
 
 
 _S05_K = 256  # mirrors x03's _KMV_K so the two sketch forms stay comparable
@@ -300,13 +304,17 @@ def s05_kmv_streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(
                 F.coalesce(F.pmod(F.col("event_id"), F.lit(4)), F.lit(0)) == i
             ).coalesce(1).write.mode("append").parquet(src)
-        kmv_drain(spark, src, ev.schema, work, "event_type", F.col("user_id"), k=_S05_K)
+        # drain into work/state, NOT work itself (the s04 guard note)
+        kmv_drain(
+            spark, src, ev.schema, os.path.join(work, "state"),
+            "event_type", F.col("user_id"), k=_S05_K,
+        )
         with open(marker, "w") as fh:
             fh.write(tag)
     # k_used > 0 matches the batch operator: a group that has seen only
     # NULL keys never surfaces from kmv_sketch_grouped either
     return (
-        kmv_latest(spark, work)
+        kmv_latest(spark, os.path.join(work, "state"))
         .filter(F.col("k_used") > 0)
         .select(
             F.col("group_key").alias("event_type"),

@@ -111,7 +111,15 @@ def incremental_funnel_drain(
     n_batches = {"n": 0}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        # persist + count ONCE: the batch frame feeds three subtrees
+        # (shingle set, token profile, annotation projection), each of
+        # which would otherwise re-scan the arrival file, and the count
+        # doubles as the emptiness check AND the bounded_batch gate
+        # measurement (r12 ADVICE: the gate ran its own uncached action)
+        batch = batch.persist()
+        n_rows = batch.count()
+        if n_rows == 0:
+            batch.unpersist()
             return
         n_batches["n"] += 1
         s = batch.sparkSession
@@ -143,23 +151,25 @@ def incremental_funnel_drain(
             hold = _read_literal(s, hold_dir)
 
             # the shared funnel stage (operators/funnel.py): keep-first
-            # dedup against the accumulated hash index (plain keyed
-            # anti-join, never broadcast — the c08 lesson; batch ids are
+            # dedup against the accumulated hash index (batch ids are
             # monotone so this equals union-wide keep-first) +
-            # decontamination against the frozen benchmark (the only
-            # broadcast)
+            # decontamination against the frozen benchmark. Join
+            # strategy for the hash index: bounded_batch — the
+            # micro-batch is maxFilesPerTrigger-bounded, so when the
+            # measured batch count confirms it the keep-first anti-join
+            # runs SCAN-ONLY against the corpus-scale index (semi-join
+            # the index down to batch hashes, broadcast-anti against
+            # the ≤batch-sized matched set — the r12 bounded-probe
+            # pattern); an oversized batch falls back to the plain
+            # keyed anti-join, which shuffles the index but never
+            # broadcasts it (the c08 lesson).
             seen = _prior_hash_state(s, hashes_dir, batch_id)
             # persisted: the frame feeds TWO write actions (annotation
             # lake + hash state) — without it the profile/window/
             # anti-join/shingle subtree executes twice per micro-batch
-            # bounded_batch: the micro-batch is maxFilesPerTrigger-
-            # bounded, so the keep-first anti-join runs scan-only
-            # against the corpus-scale hash index instead of shuffling
-            # it per batch (operators/funnel.py annotate_batch, the
-            # r12 bounded-probe pattern)
             ann = annotate_batch(
                 batch, hold, seen_hashes=seen, ev=ev, shingle_frame=sh,
-                bounded_batch=True,
+                bounded_batch=True, batch_count=n_rows,
             ).persist()
             try:
                 ann.select("doc_id", "source", "lang", "q", "dd", "clean").write.mode(
@@ -172,6 +182,7 @@ def incremental_funnel_drain(
                 ann.unpersist()
         finally:
             sh.unpersist()
+            batch.unpersist()
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(source_dir)

@@ -76,7 +76,18 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fs_touch,
     _read_literal,
     _union_all,
+    ensure_state_format,
 )
+
+# Format token of the persisted IVF state (r12 ADVICE: every stateful
+# drain versions its state the way the funnel does). Pins the exact-
+# integer 1e-6 quantizer (`ivf_centroids` / `lloyd_refresh`), the
+# quantized-cosine `assign_cells` kernel with its lowest-cell tie break
+# and -1 zero-norm quarantine, and the epoch/fold/tail tiling contract
+# — a change to any of those re-interprets stored cells, and consulting
+# old postings would silently mis-route probes. Bump on contract
+# change; a rebuild re-drains the feed and loses nothing.
+IVF_STATE_FORMAT = "v1-int1e6-coslow"
 
 
 def _current_epoch(spark: SparkSession, work_dir: str) -> tuple[int, str] | None:
@@ -110,6 +121,7 @@ def incremental_ivf_ingest_drain(
     """Drain all unprocessed embedding files, one micro-batch per file,
     growing the on-disk IVF index under ``work_dir``. Returns the
     number of micro-batches processed this drain."""
+    ensure_state_format(spark, work_dir, IVF_STATE_FORMAT)
     cent_dir = os.path.join(work_dir, "centroids")
     post_dir = os.path.join(work_dir, "postings")
     ckpt_dir = os.path.join(work_dir, "checkpoint")

@@ -84,7 +84,18 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fs_exists,
     _log_state,
     _vacuum_segments,
+    ensure_state_format,
 )
+
+# Format-token prefix of the persisted SCD2 log (r12 ADVICE: every
+# stateful drain versions its state the way the funnel does). Pins the
+# contracts a stored version row's meaning depends on: the monotone-CDC
+# tip filter with its keep-earliest tie semantics (the documented
+# redelivery-vs-tie choice, see incremental_scd2_drain), timestamps as
+# session-zone-free timestamp_ntz (`ntz_lit`), and the deferred-close
+# reader tiling. The drain appends the ``event_type`` it filters on, so
+# logs built from different change feeds can never be silently merged.
+SCD2_STATE_FORMAT = "v1-ntz-tiekeep"
 
 # the version-row schema every reader emits — also what an EMPTY log
 # yields (a drained feed that produced zero versions is a value, not an
@@ -107,6 +118,7 @@ def incremental_scd2_drain(
     under ``work_dir``. Only rows of ``event_type`` become versions
     (the e01 filter, pushed into each micro-batch). Returns the number
     of non-empty micro-batches processed this drain."""
+    ensure_state_format(spark, work_dir, f"{SCD2_STATE_FORMAT}-{event_type}")
     hist_dir = os.path.join(work_dir, "scd2_hist")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     n_batches = {"n": 0}

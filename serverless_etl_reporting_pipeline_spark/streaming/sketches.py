@@ -37,7 +37,18 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
     _log_state,
     _vacuum_segments,
+    ensure_state_format,
 )
+
+# Format-token prefix of the persisted KMV log (r12 ADVICE: every
+# stateful drain versions its state the way the funnel does). Pins the
+# xxhash64 key-hash space and the k-min merge the stored sketch rows
+# assume; the drain appends its ``k`` and grouping column so sketches
+# of different capacity or keying can never be silently merged. The
+# ``key`` Column EXPRESSION is not capturable in a token — changing it
+# re-interprets every stored hash, so treat a key change as a prefix
+# bump (rebuild into a fresh work_dir).
+KMV_STATE_FORMAT = "v1-xxh64-kmin"
 
 KMV_OUTPUT_SCHEMA = T.StructType(
     [
@@ -129,6 +140,7 @@ def kmv_drain(
     run exactly once per trigger (see write_batch), so there is no
     pre-write emptiness probe to skip on. A group's newest segment row
     IS its current sketch; `kmv_latest` assembles that view."""
+    ensure_state_format(spark, work_dir, f"{KMV_STATE_FORMAT}-k{k}-g{group_col}")
     log_dir = os.path.join(work_dir, "kmv_log")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     n_batches = {"n": 0}

@@ -47,7 +47,19 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
     _fold_segments,
     _prior_segments,
     _vacuum_segments,
+    ensure_state_format,
 )
+
+# Format-token prefix of the persisted vector-dedup state (r12 ADVICE:
+# every stateful drain versions its state the way the funnel does). It
+# pins the sign-LSH scheme the stored fan's meaning depends on — the
+# `random_hyperplanes` LCG construction, the 1e-6 component
+# quantization, the (_band, _code) fan layout; the drain appends its
+# geometry parameters (bit count, bands, seed, threshold) so two runs
+# with different knobs can never silently share an index. Bump the
+# prefix when the shared operators change meaning (state is a pure
+# function of the feed — a rebuild loses nothing).
+VECTOR_STATE_FORMAT = "v1-signlsh-q1e6"
 
 
 def _prior_fan(spark: SparkSession, work_dir: str, batch_id: int) -> DataFrame | None:
@@ -112,6 +124,11 @@ def incremental_vector_dedup_drain(
     if n_bits % bands:
         raise ValueError("n_bits must be divisible by bands")
     rpb = n_bits // bands
+    ensure_state_format(
+        spark,
+        work_dir,
+        f"{VECTOR_STATE_FORMAT}-n{n_bits}-b{bands}-s{seed}-t{threshold}",
+    )
     index_dir = os.path.join(work_dir, "band_index")
     ann_dir = os.path.join(work_dir, "vec_ann")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
