@@ -85,6 +85,30 @@ def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) 
     )
 
 
+# directory-partition fan-out of the PERSISTED band index: band-code
+# buckets per band (`band_fan`'s `_bkt` column, compactions partition by
+# (band, _bkt) — bands × FAN_BUCKETS = 2048 dirs with the default
+# geometry). Sized so a trickle batch (tens of docs → hundreds of band
+# codes) prunes most directories while the dir count stays a sane
+# filesystem listing; a steady batch hits every bucket and degrades
+# gracefully to the full (3-column) fan scan.
+FAN_BUCKETS = 64
+
+
+def band_fan(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """The PERSISTED form of `_band_buckets`: (id, band, sig, _bkt) with
+    ``_bkt = pmod(sig, FAN_BUCKETS)`` — the band-code bucket that keys
+    the IVF-cells directory layout (streaming/minhash.py fan log,
+    compacted with partitionBy(band, _bkt)). Storing the fan means a
+    probe reads 3 narrow columns instead of re-hashing the 64-column
+    signature frame per batch, and the bucket column gives candidate
+    discovery a partition-prunable access path (r12's named structural
+    dial)."""
+    return _band_buckets(sigs, id_col, bands, rows_per_band).withColumn(
+        "_bkt", F.pmod(F.col("sig"), F.lit(FAN_BUCKETS)).cast("int")
+    )
+
+
 def neardup_index_probe(
     index_shingles: DataFrame,
     index_sigs: DataFrame,
@@ -96,6 +120,7 @@ def neardup_index_probe(
     rows_per_band: int = 2,
     snapshot_ids: DataFrame | None = None,
     broadcast_snapshot: bool = False,
+    index_fan: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a prebuilt MinHash band index with a snapshot batch: flag
     each snapshot doc that has an exact-jaccard ≥ threshold near-dup in
@@ -134,18 +159,30 @@ def neardup_index_probe(
       past the signature scan that produced the empty candidate set;
     - otherwise (≤ 10k pairs — the limit returned everything) the
       exact-verify sides are PRUNED to candidate corp_ids before their
-      joins (isin → parquet row-group skipping on monotone-id
-      segments), so verification work is ∝ candidates, never ∝ corpus.
+      joins (a broadcast semi-join against the localized candidate
+      ids), so verification work is ∝ candidates, never ∝ corpus.
       A TRUNCATED probe (> 10k pairs: a dup-heavy or corpus-sized
       batch) falls back to the hinted full joins — correct at any
       size, index-scan-priced.
 
     Leave False when the snapshot can be corpus-sized (t20's watermark
-    split), where AQE picks the right strategy at runtime. The one
-    index-proportional term the bounded path keeps is the signature
-    scan+explode that candidate DISCOVERY needs — ∝ index docs (not
-    shingle rows), and bounded further by `compact_text_index` folding
-    the segment tail (tiny-file splits, not data volume, dominate it).
+    split), where AQE picks the right strategy at runtime.
+
+    ``index_fan`` — a PREBUILT `band_fan` frame for the index side (the
+    r13 structural fix for the one index-proportional term the bounded
+    path kept). Without it, candidate discovery re-derives the band
+    codes per probe: a scan of the 64-column signature frame plus 64
+    xxhash64 evaluations and a 32-struct explode PER INDEX DOC — ∝
+    index docs every micro-batch. With it, discovery reads 3 narrow
+    columns the index writer computed exactly once; and when the fan
+    carries the ``_bkt`` bucket column, the bounded path additionally
+    prunes it to the batch's own (band, bucket) set before the
+    candidate join — directory-level pruning on a (band, _bkt)-
+    partitioned compaction (the IVF-cells layout,
+    streaming/minhash.py), a plain data filter on uncompacted tail
+    segments. The (band, bucket) set is collected from the batch fan —
+    bounded by bands × FAN_BUCKETS rows (≤ 2 048 with the default
+    geometry), never by batch size.
 
     Every hint is GUARDED by a measurement, never assumed: the
     discovery-side broadcast by a snapshot row count (≤ 100k docs), the
@@ -155,13 +192,38 @@ def neardup_index_probe(
     320k-doc full-drain batch and died on spark.driver.maxResultSize.
     """
     maybe_b = lambda df: df  # upgraded to F.broadcast only when proven bounded
-    cbk = _band_buckets(index_sigs, id_col, bands, rows_per_band).withColumnRenamed(
-        id_col, "corp_id"
-    )
+    if index_fan is not None:
+        cbk = index_fan.withColumnRenamed(id_col, "corp_id")
+    else:
+        cbk = _band_buckets(index_sigs, id_col, bands, rows_per_band).withColumnRenamed(
+            id_col, "corp_id"
+        )
     sbk = _band_buckets(snap_sigs, id_col, bands, rows_per_band).withColumnRenamed(
         id_col, "snap_id"
     )
-    if broadcast_snapshot and snap_sigs.count() <= 100_000:
+    bounded = broadcast_snapshot and snap_sigs.count() <= 100_000
+    if bounded and "_bkt" in cbk.columns:
+        # prune the stored fan to the batch's own (band, bucket) set
+        # before the candidate join — partition-dir pruning on a
+        # (band, _bkt)-partitioned compaction, a data filter on tail
+        # segments. The collected set is bounded by bands × FAN_BUCKETS
+        # (≤ 2 048), never by batch size.
+        hit = (
+            sbk.select(
+                "band", F.pmod(F.col("sig"), F.lit(FAN_BUCKETS)).cast("int").alias("_bkt")
+            )
+            .distinct()
+            .collect()
+        )
+        by_band: dict[int, list[int]] = {}
+        for r in hit:
+            by_band.setdefault(r["band"], []).append(r["_bkt"])
+        pred = F.lit(False)  # no batch signatures at all → empty fan
+        for b in sorted(by_band):
+            pred = pred | ((F.col("band") == b) & F.col("_bkt").isin(by_band[b]))
+        cbk = cbk.filter(pred)
+    cbk = cbk.select("corp_id", "band", "sig")
+    if bounded:
         sbk = F.broadcast(sbk)
     cand = sbk.join(cbk, ["band", "sig"]).select("snap_id", "corp_id").distinct()
 
@@ -183,9 +245,16 @@ def neardup_index_probe(
         if len(pairs) <= 10_000:  # the limit returned the COMPLETE set
             maybe_b = F.broadcast
             cand = spark.createDataFrame(pairs, cand.schema)
-            ids = sorted({r["corp_id"] for r in pairs})
-            index_shingles = index_shingles.filter(F.col(id_col).isin(ids))
-            index_sigs = index_sigs.filter(F.col(id_col).isin(ids))
+            # prune the verify sides to candidate corp_ids with a
+            # broadcast SEMI-join against the already-localized cand
+            # frame — not a 10k-literal In expression, which inflated
+            # the analyzed plan and (on non-contiguous ids) bought no
+            # row-group skipping anyway (r12 ADVICE)
+            cand_ids = cand.select(F.col("corp_id").alias(id_col)).distinct()
+            index_shingles = index_shingles.join(
+                F.broadcast(cand_ids), id_col, "leftsemi"
+            )
+            index_sigs = index_sigs.join(F.broadcast(cand_ids), id_col, "leftsemi")
 
     common = (
         maybe_b(

@@ -227,7 +227,12 @@ def _log_state(
     return _assemble(spark, segs, comps, tip + 1, keep_bid), tip
 
 
-def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | None:
+def _fold_segments(
+    spark: SparkSession,
+    seg_dir: str,
+    comp_dir: str,
+    partition_by: list[str] | None = None,
+) -> int | None:
     """Fold the committed state under ``seg_dir`` into ONE parquet at
     ``comp_dir/upto=<max id>``, each row tagged with its origin batch
     id (``_bid``) — the small-files answer for a long-running ingest,
@@ -247,7 +252,14 @@ def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | No
     previous ``upto`` (a replayed batch re-writing its vacuumed dir)
     is deliberately ignored — its rows are already in the fold.
     Returns the new ``upto`` id, None when no state exists, and
-    short-circuits when the committed span is already folded."""
+    short-circuits when the committed span is already folded.
+
+    ``partition_by`` gives the fold a directory layout (the IVF-cells
+    pattern — e.g. the text band fan's (band, _bkt), so probes
+    partition-prune to the buckets they hit). The fold is repartitioned
+    by those keys first, so each partition dir gets ONE file instead of
+    one per writer task — the keys are hash-derived and uniform, so the
+    extra exchange is balanced and priced only at maintenance time."""
     comps = _committed_dirs(spark, comp_dir, "upto=")
     prev = comps[-1][0] if comps else -1
     tail = [(bid, uri) for bid, uri in _committed_dirs(spark, seg_dir) if bid > prev]
@@ -258,7 +270,13 @@ def _fold_segments(spark: SparkSession, seg_dir: str, comp_dir: str) -> int | No
     parts += [
         _read_literal(spark, uri).withColumn("_bid", F.lit(bid)) for bid, uri in tail
     ]
-    _union_all(parts).write.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
+    folded = _union_all(parts)
+    w = (
+        folded.repartition(*partition_by).write.partitionBy(*partition_by)
+        if partition_by
+        else folded.write
+    )
+    w.mode("overwrite").parquet(os.path.join(comp_dir, f"upto={upto}"))
     return upto
 
 

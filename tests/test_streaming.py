@@ -462,6 +462,65 @@ def test_streaming_funnel_state_format_guard(spark, tmp_path):
         incremental_funnel_drain(spark, src, d.schema, str(other))
 
 
+def test_stateful_drain_format_guards_cover_all_modules(spark, tmp_path):
+    """r12 ADVICE: EVERY stateful drain versions its work_dir the way
+    the funnel does (not just the casefold-hash module the r11 guard
+    was built for), and the token embeds the drain's geometry
+    parameters — so a dir drained with different knobs (band count,
+    sketch capacity, CDC event type, LSH seed) is refused with a
+    rebuild instruction instead of silently merging incompatible
+    state. The guard fires BEFORE any stream starts, so a bogus marker
+    is enough to pin each module's coverage."""
+    import pytest
+
+    from pyspark.sql import types as T
+    from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
+        incremental_ivf_ingest_drain,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        incremental_text_dedup_drain,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
+        incremental_scd2_drain,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.sketches import kmv_drain
+    from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+        incremental_vector_dedup_drain,
+    )
+
+    dschema = T.StructType([T.StructField("doc_id", T.LongType())])
+    src = str(tmp_path / "nosrc")  # never read: the guard fires first
+    drains = {
+        "text": lambda wd: incremental_text_dedup_drain(spark, src, dschema, wd),
+        "vectors": lambda wd: incremental_vector_dedup_drain(spark, src, dschema, wd),
+        "ivf": lambda wd: incremental_ivf_ingest_drain(spark, src, dschema, wd),
+        "scd2": lambda wd: incremental_scd2_drain(spark, src, dschema, wd),
+        "kmv": lambda wd: kmv_drain(spark, src, dschema, wd, "g", F.lit(1), k=64),
+    }
+    for name, drain in drains.items():
+        wd = tmp_path / name
+        wd.mkdir()
+        (wd / "_state_format=bogus-token").touch()
+        with pytest.raises(RuntimeError, match="bogus-token"):
+            drain(str(wd))
+
+    # the PARAMETERIZED half of the contract, driven end-to-end on the
+    # text module: a real drain stamps the geometry-bearing token, and
+    # re-draining the same dir with a different band count is refused
+    # naming both tokens
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    real_src = str(tmp_path / "src")
+    spark.createDataFrame([(0, ta)], "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(real_src)
+    d = spark.createDataFrame([(0, ta)], "doc_id long, text string")
+    work = tmp_path / "textwork"
+    assert incremental_text_dedup_drain(spark, real_src, d.schema, str(work)) == 1
+    assert (work / "_state_format=v2-bandfan64-xxh64-h64-b32-k3-j0.5").exists()
+    with pytest.raises(RuntimeError, match="b16"):
+        incremental_text_dedup_drain(spark, real_src, d.schema, str(work), bands=16)
+
+
 def test_streaming_funnel_replay_idempotent(spark, tmp_path):
     """Checkpoint-recovery replay: a micro-batch whose OWN ``batch=<id>``
     state dirs were already written by a failed prior attempt (crash after
@@ -2206,10 +2265,11 @@ def test_streaming_text_dedup_torn_drain_fault_injection(spark, tmp_path):
     this CRASHES the real drain at every parquet write boundary via
     fault injection (tools/degenerate_streaming._tear_after), so it
     also pins the drain's write ORDER — shingle segment first, then
-    the signature twin, then annotations. Tear #1 must leave the logs
-    de-synced on disk exactly as documented (shingle committed with
-    _SUCCESS, sig absent); every restart replays the uncommitted batch;
-    the converged state must equal a never-crashed run's."""
+    the signature sibling, then the discovery fan, then annotations.
+    Tears #1/#2 must leave the logs de-synced on disk exactly as
+    documented (earlier logs committed with _SUCCESS, later absent);
+    every restart replays the uncommitted batch; the converged state
+    must equal a never-crashed run's."""
     import os as _os
 
     from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
@@ -2236,6 +2296,7 @@ def test_streaming_text_dedup_torn_drain_fault_injection(spark, tmp_path):
             k,
             _os.path.exists(f"{work}/shingle_index/batch=1/_SUCCESS"),
             _os.path.exists(f"{work}/sig_index/batch=1/_SUCCESS"),
+            _os.path.exists(f"{work}/band_fan/batch=1/_SUCCESS"),
             _os.path.exists(f"{work}/doc_ann/batch=1/_SUCCESS"),
         ))
 
@@ -2243,14 +2304,15 @@ def test_streaming_text_dedup_torn_drain_fault_injection(spark, tmp_path):
     n = _drain_with_tears(
         lambda: incremental_text_dedup_drain(spark, src, d.schema, work), rec, on_tear
     )
-    assert n == 1 and rec["tears"] == 3
-    # the torn shapes prove the write order AND the de-sync window:
-    # tear #1 = shingle only; #2 = +sig (ann missing, checkpoint
-    # uncommitted); #3 = all three written, commit torn off
+    assert n == 1 and rec["tears"] == 4
+    # the torn shapes prove the write order AND the de-sync windows:
+    # tear #1 = shingle only; #2 = +sig; #3 = +fan (ann missing,
+    # checkpoint uncommitted); #4 = all four written, commit torn off
     assert shapes == [
-        (1, True, False, False),
-        (2, True, True, False),
-        (3, True, True, True),
+        (1, True, False, False, False),
+        (2, True, True, False, False),
+        (3, True, True, True, False),
+        (4, True, True, True, True),
     ]
     # converged state is indistinguishable from a never-crashed run
     assert compact_text_index(spark, work) == 1
@@ -2259,6 +2321,87 @@ def test_streaming_text_dedup_torn_drain_fault_injection(spark, tmp_path):
         for r in spark.read.parquet(f"{work}/doc_ann/batch=*").collect()
     }
     assert ann == {0: (False, None), 10: (True, 0), 11: (False, None)}
+
+
+def test_streaming_text_index_torn_compaction(spark, tmp_path):
+    """r12 verdict ask #5: compaction rewrites multi-segment state, a
+    crash window DISTINCT from a drain's — a tear between 'compacted
+    segment written' and the remaining lockstep folds (or the vacuum)
+    must neither double-count rows nor de-sync the three text-index
+    logs. Tears compact_text_index at its fold-write boundaries and
+    asserts: the half-folded shape is really torn, a drain probing it
+    annotates exactly as an untorn run would, retries converge every
+    log to the same upto, and a PARTIAL vacuum (one log's folded dirs
+    retired, the siblings' not) stays invisible to probes."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
+        incremental_text_dedup_drain,
+        vacuum_text_index,
+    )
+    from serverless_etl_reporting_pipeline_spark.streaming.state import _vacuum_segments
+    from tools.degenerate_streaming import _tear_after, _TornWrite
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tb = "completely different words appear here instead tonight my friend"
+    tc = "yet another unrelated sentence about mountains rivers and weather"
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    def arrive_and_drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        assert incremental_text_dedup_drain(
+            spark, src, spark.createDataFrame([], schema).schema, work
+        ) == 1
+
+    arrive_and_drain([(0, ta)])
+    arrive_and_drain([(10, ta), (11, tb)])
+
+    # tear #1: shingle fold committed, sig/fan siblings unfolded
+    with _tear_after(1) as hit:
+        with _pytest.raises(_TornWrite):
+            compact_text_index(spark, work)
+    assert hit["fired"]
+    assert _os.path.exists(f"{work}/shingle_index_compacted/upto=1/_SUCCESS")
+    assert not _os.path.exists(f"{work}/sig_index_compacted")
+    assert not _os.path.exists(f"{work}/band_fan_compacted")
+
+    # a drain against the HALF-FOLDED state stays exact (fold+tail per
+    # log spans the same rows either way)
+    arrive_and_drain([(20, ta), (21, tc)])
+    ann2 = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=2").collect()
+    }
+    assert ann2 == {20: (True, 0), 21: (False, None)}
+
+    # retry tears after the sig fold this time (the attempt's write #1
+    # re-folds the shingle tail, #2 is the sig fold); a clean retry
+    # then converges every log to the same upto — no double-fold of
+    # the already-committed shingle span
+    with _tear_after(2) as hit:
+        with _pytest.raises(_TornWrite):
+            compact_text_index(spark, work)
+    assert hit["fired"]
+    assert compact_text_index(spark, work) == 2
+
+    # PARTIAL vacuum — only the shingle log's folded dirs retired (a
+    # crash between per-log vacuums): probes read fold-only for the
+    # shingle side, fold-plus-ignored-segments for the siblings
+    _vacuum_segments(spark, f"{work}/shingle_index", f"{work}/shingle_index_compacted")
+    arrive_and_drain([(30, tb), (31, "too short")])
+    ann3 = {
+        r["doc_id"]: (r["is_dup"], r["dup_src"])
+        for r in spark.read.parquet(f"{work}/doc_ann/batch=3").collect()
+    }
+    assert ann3 == {30: (True, 11), 31: (False, None)}
+
+    # full vacuum + fold converge and stay in lockstep
+    vacuum_text_index(spark, work)
+    assert compact_text_index(spark, work) == 3
 
 
 def test_streaming_text_dedup_short_docs_and_gap_batches(spark, tmp_path):
@@ -2378,10 +2521,10 @@ def test_streaming_funnel_freezer_batch_replay_keeps_ev(spark, sf_dir, tmp_path)
 
 
 def test_prior_index_raises_on_one_sided_state(spark, tmp_path):
-    """r7 advisor: the two text-index logs advance in lockstep, so
-    exactly ONE side having committed state is restore damage — the
-    probe must refuse loudly instead of silently treating it as 'no
-    prior state' and annotating every doc is_dup=False."""
+    """r7 advisor: the text-index logs advance in lockstep, so SOME
+    sides having committed state while others have none is restore
+    damage — the probe must refuse loudly instead of silently treating
+    it as 'no prior state' and annotating every doc is_dup=False."""
     import shutil
 
     import pytest as _pytest
@@ -2398,9 +2541,9 @@ def test_prior_index_raises_on_one_sided_state(spark, tmp_path):
     d1.coalesce(1).write.mode("append").parquet(src)
     assert incremental_text_dedup_drain(spark, src, d1.schema, work) == 1
 
-    # healthy two-sided state reads fine
-    sh, sigs = _prior_index(spark, work, 1)
-    assert sh is not None and sigs is not None
+    # healthy three-sided state reads fine
+    sh, sigs, fan = _prior_index(spark, work, 1)
+    assert sh is not None and sigs is not None and fan is not None
 
     # one log lost (bad restore): loud refusal, not an empty index
     shutil.rmtree(f"{work}/sig_index")
