@@ -33,6 +33,16 @@ quiesced `refresh_ivf_state` between the epoch's centroids/postings
 writes and before the `_COMMITTED` marker, asserting the uncommitted
 epoch stays invisible to `load_ivf_state` and a clean re-run commits.
 
+r13 adds TORN-COMPACTION injection (verdict ask #5 — compaction
+rewrites multi-segment state, a distinct crash window): after the
+third arrival every module's compaction is crashed at every fold-write
+boundary (`_compact_with_tears`) — for the text module's three-log
+lockstep compaction that tears between the shingle/sig/fan folds —
+then retried to convergence and vacuumed; the following (redelivery)
+batch probes the folded state, so the parity assertion also proves a
+torn-then-healed fold neither double-counts rows nor de-syncs the
+lockstep logs.
+
 Parity here is
 engine-vs-engine (the batch operators themselves are differential-
 oracle-checked by the main sweep), so what this hunts is CROSS-BATCH
@@ -164,6 +174,31 @@ def _drain_with_tears(drain, rec, after_tear=None):
             raise RuntimeError("tear ladder did not terminate (16 writes in one batch?)")
 
 
+def _compact_with_tears(compact, rec):
+    """Crash-restart ladder for MAINTENANCE ops (r12 verdict ask #5):
+    run ``compact`` with the tear point at write 1, 2, ... until a
+    clean pass. Compaction rewrites multi-segment state, so its crash
+    window differs from a drain's: a tear lands BETWEEN per-log folds
+    (text's shingle fold committed, its sig/fan siblings unfolded) or
+    between "fold committed" and the caller's vacuum — the retry must
+    short-circuit already-folded logs to the same ``upto`` and never
+    double-count rows a reader sees. Returns the clean pass's result."""
+    k = 1
+    while True:
+        with _tear_after(k) as hit:
+            try:
+                out = compact()
+            except Exception:
+                if not hit["fired"]:
+                    raise
+        if not hit["fired"]:
+            return out
+        rec["tears"] = rec.get("tears", 0) + 1
+        k += 1
+        if k > 16:
+            raise RuntimeError("compaction tear ladder did not terminate")
+
+
 def _drain_maybe_torn(i, drain, rec, after_tear=None, tear_at=2):
     """Drain arrival ``i``; on the ``tear_at``-th arrival run the full
     crash-restart ladder first. Index 2 is every module's second
@@ -204,12 +239,27 @@ def run_module(spark, name, doctored, workroot):
                 quality_hashes,
                 shingle_set,
             )
-            from serverless_etl_reporting_pipeline_spark.streaming.funnel import incremental_funnel_drain
+            from serverless_etl_reporting_pipeline_spark.streaming.funnel import (
+                compact_funnel_lake,
+                compact_hash_state,
+                incremental_funnel_drain,
+                vacuum_hash_state,
+            )
 
             for i, p in enumerate(parts):
                 _stage(p, src, [p])
                 rec["processed"].append(_drain_maybe_torn(
                     i, lambda: incremental_funnel_drain(spark, src, schema, work), rec))
+                if i == 2:
+                    # torn COMPACTION between batches (ask #5): both
+                    # funnel folds crashed at every write boundary,
+                    # then healed; the final (redelivery) batch probes
+                    # the folded hash state. The lake is folded but NOT
+                    # vacuumed — the parity read below addresses batch
+                    # dirs directly.
+                    _compact_with_tears(lambda: compact_hash_state(spark, work), rec)
+                    _compact_with_tears(lambda: compact_funnel_lake(spark, work), rec)
+                    vacuum_hash_state(spark, work)
             cols = ["doc_id", "q", "dd", "clean"]
             # Per-batch twin — the drain's own composition spec (the
             # split==union property holds only for DISJOINT batches;
@@ -238,28 +288,49 @@ def run_module(spark, name, doctored, workroot):
             assert redeliv.filter("dd").count() == 0, "redelivered batch re-emitted survivors"
         else:
             from serverless_etl_reporting_pipeline_spark.operators.minhash import incremental_neardup_flags
-            from serverless_etl_reporting_pipeline_spark.streaming.minhash import incremental_text_dedup_drain
+            from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+                compact_text_index,
+                incremental_text_dedup_drain,
+                vacuum_text_index,
+            )
 
             prior = None
             want_all, got_dirs = [], []
 
             def _lockstep_shape(k):
-                # the riskiest tear (verdict ask #3): after write #1 the
-                # two lockstep logs are DE-SYNCED on disk — batch 2's
-                # shingle segment committed (_SUCCESS), its signature
-                # twin absent. Assert the shape is really torn so the
+                # the riskiest tears (verdict ask #3, extended to the
+                # r13 three-log layout): after write #1 the lockstep
+                # logs are DE-SYNCED on disk — batch 2's shingle
+                # segment committed (_SUCCESS), its signature and fan
+                # siblings absent; after write #2 the fan alone is
+                # missing. Assert the shapes are really torn so the
                 # convergence below is proving recovery, not a no-op.
                 if k == 1:
                     assert os.path.exists(f"{work}/shingle_index/batch=2/_SUCCESS"), \
                         "tear #1 did not land the shingle segment"
                     assert not os.path.exists(f"{work}/sig_index/batch=2"), \
-                        "tear #1 unexpectedly wrote the signature twin"
+                        "tear #1 unexpectedly wrote the signature sibling"
+                    assert not os.path.exists(f"{work}/band_fan/batch=2"), \
+                        "tear #1 unexpectedly wrote the fan sibling"
+                if k == 2:
+                    assert os.path.exists(f"{work}/sig_index/batch=2/_SUCCESS"), \
+                        "tear #2 did not land the signature segment"
+                    assert not os.path.exists(f"{work}/band_fan/batch=2"), \
+                        "tear #2 unexpectedly wrote the fan sibling"
 
             for i, p in enumerate(parts):
                 _stage(p, src, [p])
                 rec["processed"].append(_drain_maybe_torn(
                     i, lambda: incremental_text_dedup_drain(spark, src, schema, work),
                     rec, after_tear=_lockstep_shape))
+                if i == 2:
+                    # torn COMPACTION between batches (ask #5): the
+                    # three-fold lockstep compaction crashed at every
+                    # write boundary (shingle fold committed / sig and
+                    # fan unfolded, …) then healed; the final batch
+                    # probes the folded-and-vacuumed index.
+                    _compact_with_tears(lambda: compact_text_index(spark, work), rec)
+                    vacuum_text_index(spark, work)
                 if p.isEmpty():
                     continue
                 got_dirs.append(i)  # batch ids equal arrival index (empty consumes one)
@@ -293,7 +364,9 @@ def run_module(spark, name, doctored, workroot):
                 _V09_BANDS, _V09_BITS, _V09_SEED, _V12_TAU,
             )
             from serverless_etl_reporting_pipeline_spark.streaming.vectors import (
+                compact_band_index,
                 incremental_vector_dedup_drain,
+                vacuum_band_index,
             )
 
             kw = dict(threshold=float(_V12_TAU), n_bits=_V09_BITS, bands=_V09_BANDS,
@@ -304,6 +377,10 @@ def run_module(spark, name, doctored, workroot):
                 rec["processed"].append(_drain_maybe_torn(
                     i, lambda: incremental_vector_dedup_drain(spark, src, schema, work, **kw),
                     rec))
+                if i == 2:
+                    # torn COMPACTION between batches (ask #5)
+                    _compact_with_tears(lambda: compact_band_index(spark, work), rec)
+                    vacuum_band_index(spark, work)
                 if p.isEmpty():
                     continue
                 got_dirs.append(i)
@@ -328,13 +405,18 @@ def run_module(spark, name, doctored, workroot):
         else:
             from serverless_etl_reporting_pipeline_spark.operators.vectors import assign_cells
             from serverless_etl_reporting_pipeline_spark.streaming.ivf import (
-                incremental_ivf_ingest_drain, load_ivf_state,
+                compact_ivf_segments, incremental_ivf_ingest_drain, load_ivf_state,
+                vacuum_ivf_segments,
             )
 
             for i, p in enumerate(parts):
                 _stage(p, src, [p])
                 rec["processed"].append(_drain_maybe_torn(
                     i, lambda: incremental_ivf_ingest_drain(spark, src, schema, work), rec))
+                if i == 2:
+                    # torn COMPACTION between batches (ask #5)
+                    _compact_with_tears(lambda: compact_ivf_segments(spark, work), rec)
+                    vacuum_ivf_segments(spark, work)
             # TORN REFRESH (verdict ask #3): crash the quiesced epoch
             # swap after its centroids write (k=1) and after its
             # postings write but BEFORE the _COMMITTED marker (k=2) —
@@ -363,7 +445,7 @@ def run_module(spark, name, doctored, workroot):
     elif name == "scd2":
         from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
         from serverless_etl_reporting_pipeline_spark.streaming.scd2 import (
-            incremental_scd2_drain, scd2_table,
+            compact_scd2_hist, incremental_scd2_drain, scd2_table, vacuum_scd2_hist,
         )
         from serverless_etl_reporting_pipeline_spark.sources.reader import table_path  # noqa: F401
         from pyspark.sql import Window
@@ -379,6 +461,12 @@ def run_module(spark, name, doctored, workroot):
             _stage(p, src, [p])
             rec["processed"].append(_drain_maybe_torn(
                 i, lambda: incremental_scd2_drain(spark, src, SCHEMAS["events"], work), rec))
+            if i == 2:
+                # torn COMPACTION between batches (ask #5): the tip
+                # watermark of the redelivery batch below must read
+                # identically from the folded log
+                _compact_with_tears(lambda: compact_scd2_hist(spark, work), rec)
+                vacuum_scd2_hist(spark, work)
         # the REDELIVERY contract (pinned r11): the drain enforces the
         # monotone-CDC watermark, so a fully-redelivered batch filters
         # to empty — no segment, not counted, history untouched
@@ -398,7 +486,9 @@ def run_module(spark, name, doctored, workroot):
     elif name == "kmv":
         from serverless_etl_reporting_pipeline_spark.operators.sketch import kmv_sketch_grouped
         from serverless_etl_reporting_pipeline_spark.sources.schemas import SCHEMAS
-        from serverless_etl_reporting_pipeline_spark.streaming.sketches import kmv_drain, kmv_latest
+        from serverless_etl_reporting_pipeline_spark.streaming.sketches import (
+            compact_kmv_log, kmv_drain, kmv_latest, vacuum_kmv_log,
+        )
 
         ev = spark.read.schema(SCHEMAS["events"]).parquet(f"{doctored}/events.parquet")
         parts, _ = _split_with_empty_and_dup(ev, "event_id")
@@ -407,6 +497,12 @@ def run_module(spark, name, doctored, workroot):
             rec["processed"].append(_drain_maybe_torn(
                 i, lambda: kmv_drain(spark, src, SCHEMAS["events"], work, "event_type",
                                      F.col("user_id"), k=64), rec))
+            if i == 2:
+                # torn COMPACTION between batches (ask #5): kmv_latest
+                # keys on the row-level _bid tag, so the newest-sketch
+                # view must survive the fold+vacuum
+                _compact_with_tears(lambda: compact_kmv_log(spark, work), rec)
+                vacuum_kmv_log(spark, work)
         union = parts[0].unionAll(parts[2]).unionAll(parts[3])
         cols = ["group_key", "n_rows", "k_used", "kth_hash", "est_distinct"]
         got = _rows(kmv_latest(spark, work), cols)
