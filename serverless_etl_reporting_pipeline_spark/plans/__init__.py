@@ -20,68 +20,67 @@ from serverless_etl_reporting_pipeline_spark.plans import sketches  # noqa: F401
 from serverless_etl_reporting_pipeline_spark.plans import pipeline  # noqa: F401, E402
 
 # Registry ORDER is deliberate: the driver's differential oracle verifies
-# the first 50 registry entries per round. Rotation policy for round 12
-# (derived, as every round, from the union of CORRECTNESS_r01-r11 key
-# sets — every query's last driver round; the r11 verdict names this
-# exact cohort in ask #1):
-#   1. _PRIORITY first — what round 12 CHANGED: p06 (the lone-surrogate
-#      guard is now the count-based backslash-parity-exact detector,
-#      written verbatim on both engines — the old lookaround rlike
-#      false-positived on escaped-backslash text; r11 ADVICE). 1 slot.
-#   2. The full r9-era cohort (last driver row round 9, straight from
-#      the CORRECTNESS_r* union): a13, a15, a16, c10-c12, e01, e06,
-#      e07, o01-o03, p01-p05, t01, t13, t16-t18, v03, w01, w02,
-#      w06-w08, x04. 29 slots — this carries the windows family
-#      (w01/w02/w06-w08) and the mixture family (c10-c12), neither
-#      driver-checked since r9.
-#   3. Backfill with the oldest r10 rows: a01-a12, a14, a17, a18
-#      (a19/a20/c01-c03 lead round 13 — displaced by the changed-in-
-#      round cohort, see _PRIORITY). 15 slots.
-#   4. 6 + 29 + 15 fills the window exactly; the remaining r10 rows
-#      (a19, a20, c01-c03, c05, c06, c08, c09, e02-e05, m01-m04,
-#      pipe01/02, s02, t07/t09/t11/t15/t19/t20/t24, v05, w03-w05,
-#      w09, x01) and every r11 row are ≤2 rounds fresh at r12 close,
-#      so the ≤2-round contract holds (post-r12 freshness: 50 r12 /
-#      46 r11 / 33 r10). All deferred rows stay covered every round by
-#      the full-registry sf0.01 oracle run and both sweep modes
+# the first 50 registry entries per round. Rotation policy for round 13
+# (derived, as every round, from the union of CORRECTNESS_r01-r12 key
+# sets — every query's last driver round; the r12 verdict names this
+# exact cohort in ask #3):
+#   1. _PRIORITY first — what round 13 CHANGED: pipe03 (NEW — pipe02's
+#      persisted-state twin, r12 ask #2) and t20 (its probe operator,
+#      neardup_index_probe, gained the stored-fan discovery path and
+#      the semi-join verify prune this round — the registry plan is
+#      the unchanged non-bounded branch, but the changed-in-round rule
+#      is about the operator). 2 slots.
+#   2. The full r10-era cohort (last driver row round 10, straight
+#      from the CORRECTNESS_r* union; 33 rows, t20 carried in
+#      _PRIORITY): pipe01/pipe02 lead (their shared stage operator
+#      annotate_batch grew the batch_count/100k-gate contract this
+#      round — non-bounded plans unchanged, same conservatism as t20),
+#      then a19, a20, c01-c03, c05, c06, c08, c09, e02-e05, m01-m04,
+#      s02, t07/t09/t11/t15/t19/t24, v05, w03-w05, w09, x01 — the
+#      m-/e-family and multimodal rows' first driver check since r10.
+#      32 slots.
+#   3. Backfill to 50 with r11 rows, the ever-failed queries first
+#      (v04, c07, k01, k02 — green in every check since; re-pinned
+#      whenever they enter the window), then d01-d05, e08, j01-j06.
+#      16 slots.
+#   4. 2 + 32 + 16 fills the window exactly; the remaining r11 rows
+#      (j07, s01, s03-s05, t03/t04/t08/t10/t14/t21-t23, the rest of
+#      the v family, w10, x02/x03/x05) and every r12 row are ≤2 rounds
+#      fresh at r13 close. All deferred rows stay covered every round
+#      by the full-registry sf0.01 oracle run and both sweep modes
 #      (doctored + zero-row).
 # CORPUS POLICY (round-7 verdict ask #8): the corpus is feature-
-# complete at 129 entries. New queries are capped at ~5 per round so
-# the 50-slot driver window re-verifies every query within ~2.5 rounds;
-# freed slots go to rotation cadence, oldest driver row first. Deferred
-# queries stay covered every round by tools/oracle_check.py (full
-# registry at sf0.01 pre-commit) and the spark.sql conformance test.
+# complete (130 entries with pipe03). New queries are capped at ~5 per
+# round so the 50-slot driver window re-verifies every query within
+# ~2.5 rounds; freed slots go to rotation cadence, oldest driver row
+# first. Deferred queries stay covered every round by
+# tools/oracle_check.py (full registry at sf0.01 pre-commit) and the
+# spark.sql conformance test.
 _PRIORITY = (
-    # engine+oracle changed this round: the backslash-parity-exact
-    # lone-surrogate guard on both engines, per the r11 ADVICE
-    "p06",
-    # engine plan changed this round: the t12 settle (r11 ask #4)
-    # traced its drift to the unspread single-split scan feeding the
-    # chunk fan-out; t12 now spreads (A/B 0.50 -> 0.36 s at sf0.1) and
-    # jumps the queue per the changed-in-round rule. c03 drops to the
-    # round-13 head to make room (it stays exactly 2 rounds fresh).
-    "t12",
-    # engine+oracle changed this round: the explicit whitespace class
-    # (the vertical-tab find — normalize_text/punct strip now spell
-    # Java's \s set literally on both engines). These four carry the
-    # changed expressions; the displaced backfill tail (a20, c01, c02,
-    # with c03) stays exactly 2 rounds fresh and leads round 13.
-    "t02", "t05", "t06", "c04",
+    # NEW this round: the persisted-state incremental funnel (r12 ask
+    # #2) — base state built once on disk, the priced query a
+    # fixed-size delta probe against it
+    "pipe03",
+    # operator changed this round: neardup_index_probe gained the
+    # stored band-fan discovery path + the semi-join verify prune
+    "t20",
 )
 
-# rotation cohorts, oldest driver row first (the full r9-era cohort,
-# then the oldest r10 rows); the driver window is _PRIORITY + this,
+# rotation cohorts, oldest driver row first (the full r10-era cohort,
+# then the r11 backfill); the driver window is _PRIORITY + this,
 # cut to 50 by the driver itself
 _ROTATION_TAIL = (
-    # r9-era (last driver row round 9)
-    ("a13", "a15", "a16", "c10", "c11", "c12", "e01", "e06", "e07")
-    + ("o01", "o02", "o03", "p01", "p02", "p03", "p04", "p05")
-    + ("t01", "t13", "t16", "t17", "t18", "v03", "x04")
-    + ("w01", "w02", "w06", "w07", "w08")
-    # oldest r10 rows (the rest defer to round 13)
-    + ("a01", "a02", "a03", "a04", "a05", "a06", "a07", "a08", "a09")
-    + ("a10", "a11", "a12", "a14", "a17", "a18", "a19", "a20")
-    + ("c01", "c02", "c03")
+    # r10-era (last driver row round 10); pipe01/pipe02 lead — their
+    # shared stage operator (annotate_batch) changed this round
+    ("pipe01", "pipe02")
+    + ("a19", "a20", "c01", "c02", "c03", "c05", "c06", "c08", "c09")
+    + ("e02", "e03", "e04", "e05", "m01", "m02", "m03", "m04", "s02")
+    + ("t07", "t09", "t11", "t15", "t19", "t24", "v05")
+    + ("w03", "w04", "w05", "w09", "x01")
+    # r11 backfill: the ever-failed four first, then the d/e/j families
+    + ("v04", "c07", "k01", "k02")
+    + ("d01", "d02", "d03", "d04", "d05", "e08")
+    + ("j01", "j02", "j03", "j04", "j05", "j06")
 )
 
 
