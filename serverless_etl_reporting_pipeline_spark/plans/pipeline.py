@@ -423,20 +423,26 @@ def _docs_fingerprint(sf_dir: str) -> str:
 def _pipe03_state(
     spark: SparkSession, sf_dir: str, wm: int, bench_w: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Read — or build once — the PERSISTED base funnel state for
-    ``sf_dir``: (frozen benchmark shingle index, base quality-hash
-    index, per-domain base clean counts), parquet under a cache dir
-    keyed by the corpus fingerprint + split geometry. The build is the
-    'base ingestion' event a deployment pays exactly once (the
-    streaming funnel's batch-0 freeze, `streaming/funnel.py`); every
-    later invocation — and every probe of a growing corpus whose base
-    did not change — reads three parquet scans instead. A crashed
-    build leaves no ``_COMMITTED`` marker and is rebuilt with
+    """Read — or build once PER SPARK APPLICATION — the persisted base
+    funnel state for ``sf_dir``: (frozen benchmark shingle index, base
+    quality-hash index, per-domain base clean counts), parquet under a
+    cache dir keyed by the application id + corpus fingerprint + split
+    geometry. The build is the 'base ingestion' event a deployment pays
+    exactly once (the streaming funnel's batch-0 freeze,
+    `streaming/funnel.py`); later probes in the same session read three
+    parquet scans instead. The application id in the key is the
+    no-cross-run-precomputation guarantee: every bench/oracle PROCESS
+    recomputes the state from the parquet inputs before any probe is
+    timed — nothing keyed on the test data outlives the session (the
+    in-session reuse is the same CacheManager-equivalence the other
+    incremental probes' persist() calls get). The corpus fingerprint
+    still invalidates when a sweep rewrites the table mid-session. A
+    crashed build leaves no ``_COMMITTED`` marker and is rebuilt with
     overwrite (the segment-log idempotence discipline)."""
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{_docs_fingerprint(sf_dir)}|{wm}|{bench_w}".encode()
     ).hexdigest()
-    cache = os.path.join(_P3_CACHE_ROOT, key)
+    cache = os.path.join(_P3_CACHE_ROOT, spark.sparkContext.applicationId, key)
     marker = os.path.join(cache, "_COMMITTED")
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents")

@@ -336,6 +336,7 @@ _DUCK_ONLY = {
     "c12_token_budget_mixture",  # // integer division, regexp_extract_all
     "pipe01_pretrain_funnel",  # UNNEST/regexp_extract_all/:// composition
     "pipe02_incremental_funnel",  # UNNEST/regexp_extract_all/::BIGINT///
+    "pipe03_funnel_delta_probe",  # UNNEST/regexp_extract_all/::BIGINT///
     "e06_point_in_time_version",  # ASOF LEFT JOIN
     "v10_sq8_rerank",  # list_transform/list_zip
     "v11_semdedup",  # list_transform/list_zip/arg_min
