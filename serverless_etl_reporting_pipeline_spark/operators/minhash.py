@@ -390,6 +390,9 @@ def minhash_neardup_pairs(
     )
 
 
+_CC_DRIVER_CAP = 100_000  # edge bound for the driver union-find fold
+
+
 def neardup_components(
     pairs: DataFrame, max_iters: int = 25, stats: dict | None = None
 ) -> DataFrame:
@@ -397,23 +400,68 @@ def neardup_components(
     `lbl` is the SMALLEST doc id reachable through near-dup edges — the
     component's canonical survivor.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds, which for near-dup clusters (dense,
-    shallow) is a handful. Each round is one key-partitioned join+agg
-    over the EDGE set (candidate pairs only — tiny next to the corpus),
-    with `localCheckpoint` truncating lineage so plans don't snowball;
-    on a cluster with a checkpoint dir, swap in `checkpoint`. The only
-    driver-side values are the per-round changed-row counts.
-    Deterministic: pure min arithmetic, no RNG.
+    Two strategies, chosen by a measurement (the r12 bounded-probe
+    pattern — every driver fold is LIMIT-bounded, never assumed small):
+
+    - **Bounded edge set** (≤ ``_CC_DRIVER_CAP`` pairs, probed with a
+      LIMIT-bounded collect): union-find on the driver — O(E α(E))
+      integer work over ≤100k 16-byte rows, zero distributed rounds.
+      The iterative form below costs ~4 Spark jobs per round
+      (join+agg, checkpoint materialization, convergence count) whose
+      scheduling floor dwarfs the data work whenever the graph is
+      small; the fold replaces them with one job (the probe) and a
+      local-relation result. Near-dup EDGES are dup-pair-bounded, not
+      corpus-bounded, so most real corpora land here.
+    - **Unbounded** (the probe truncated): iterative min-label
+      propagation — each round every node takes the min of its own
+      label and its neighbors' labels; converges in O(component
+      diameter) rounds, which for near-dup clusters (dense, shallow)
+      is a handful. Each round is one key-partitioned join+agg over
+      the EDGE set (candidate pairs only — tiny next to the corpus),
+      with `localCheckpoint` truncating lineage so plans don't
+      snowball; on a cluster with a checkpoint dir, swap in
+      `checkpoint`. The only driver-side values are the per-round
+      changed-row counts.
+
+    Both are exact and deterministic (pure min arithmetic, no RNG) and
+    return identical rows: every node that appears in an edge, labeled
+    with its component minimum.
 
     ``stats``, when given, is filled with ``{"edges": pair count,
     "iters": propagation rounds run}`` — the scale-evidence hooks the
     stress harness records (per-round cost is ∝ edges and rounds are
     bounded by component diameter; tools/stress_scale.py measures both
-    instead of arguing them). The edge count is one cheap count() over
-    the already-checkpointed pair graph.
+    instead of arguing them). ``iters`` is 0 on the driver-fold path:
+    no distributed rounds ran.
     """
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    probe = pairs.select("id_a", "id_b").limit(_CC_DRIVER_CAP + 1).collect()
+    if len(probe) <= _CC_DRIVER_CAP:  # the limit returned the COMPLETE set
+        if stats is not None:
+            stats["edges"] = len(probe)
+            stats["iters"] = 0
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # root = component min
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, f"id {id_type}, lbl {id_type}"
+        )
+
     # materialize the pair graph once — both union branches and every
     # propagation round read it, and upstream is the whole MinHash
     # pipeline (recomputing it per branch doubled t11's cost)

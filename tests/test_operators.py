@@ -78,6 +78,23 @@ def test_neardup_components_chain_propagation(spark):
     assert comp == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
+def test_neardup_components_driver_fold_matches_distributed(spark, monkeypatch):
+    """The bounded driver union-find (edges ≤ _CC_DRIVER_CAP) and the
+    distributed min-label loop must label every graph identically —
+    forcing the fallback with a cap of 0 pins the equivalence on a
+    shape with chains, a V, and a singleton edge."""
+    from serverless_etl_reporting_pipeline_spark.operators import minhash as mh
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (5, 40), (70, 80), (80, 60)],
+        "id_a long, id_b long",
+    )
+    fold = {r["id"]: r["lbl"] for r in mh.neardup_components(pairs).collect()}
+    monkeypatch.setattr(mh, "_CC_DRIVER_CAP", 0)  # probe always truncates
+    loop = {r["id"]: r["lbl"] for r in mh.neardup_components(pairs).collect()}
+    assert fold == loop == {10: 5, 20: 5, 30: 5, 40: 5, 5: 5, 70: 60, 80: 60, 60: 60}
+
+
 def test_transitive_survivors_collapse_vshapes(spark):
     """docs 1 and 2 are each near-dups of 3 but not of each other:
     greedy keep-lowest keeps {1, 2}; connected-components keeps only
