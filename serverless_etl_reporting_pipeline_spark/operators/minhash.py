@@ -34,14 +34,17 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> 
 
     Tokenize+explode is the CPU-heavy map stage; its parallelism is the
     SCAN's, not the shuffle's. A small corpus in one parquet file would
-    run it on a single core, so when the scan has fewer partitions than
+    run it on a single core, so when the scan has fewer input files than
     the cluster we first spread the (narrow) doc rows — at real scale
     the input already has thousands of splits and no repartition fires.
+    The probe is `spread_scan`'s `inputFiles()` (the r10 discipline);
+    the old `narrow.rdd.getNumPartitions()` here forced a Python->JVM
+    RDD conversion per query build — ~60 ms dearer than the file-index
+    read at every `_shingle_sets` call site.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    narrow = df.select(id_col, F.col(text_col).alias("_t"))
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target, F.col(id_col))
+    from serverless_etl_reporting_pipeline_spark.sources.reader import spread_scan
+
+    narrow = spread_scan(df.select(id_col, F.col(text_col).alias("_t")), id_col)
     return (
         narrow.select(id_col, tokens("_t").alias("toks"))
         .select(id_col, F.explode(shingles("toks", shingle_k)).alias("s"))
