@@ -67,10 +67,20 @@ def shingle_set(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct (doc_id, s) word n-gram pairs — the decontamination
     probe/build frame. Callers that feed BOTH sides (benchmark build and
     contamination probe) should persist the result once (t19 discipline).
+
+    ``s`` is the 64-bit xxhash64 of the n-gram, not the string: every
+    consumer (benchmark index build, contamination semi-join, the
+    streaming funnel's stored index) only tests shingle EQUALITY, so an
+    8-word shingle string (~60+ bytes) never needs to cross the dedup
+    exchange, sit in the persisted subtree, ride the benchmark
+    broadcast, or be stored on disk — an 8-byte long does (the
+    operators/minhash.py `_shingle_sets` discipline; collisions are
+    p ≈ n²/2⁶⁵ per compared set and absent from every oracle fixture).
     """
     return (
         docs.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", n)).alias("s"))
+        .select("doc_id", F.explode(shingles("t", n)).alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("s"))
         .distinct()
     )
 

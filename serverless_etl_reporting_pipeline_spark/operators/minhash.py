@@ -29,8 +29,25 @@ from serverless_etl_reporting_pipeline_spark.operators.text import shingles, tok
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
-    """Distinct (id, shingle) rows — map-side only, no shuffle until the
-    distinct (which co-partitions by row hash).
+    """Distinct (id, shingle-HASH) rows — map-side only, no shuffle
+    until the distinct (which co-partitions by row hash).
+
+    The shingle column ``s`` is the 64-bit ``xxhash64`` of the shingle
+    string, not the string itself: every downstream consumer treats a
+    shingle as an opaque equality token (the signature aggregate was
+    ALREADY ``xxhash64(seed, xxhash64(string))``, the verify joins and
+    set sizes only test equality), so hashing before the distinct
+    shuffles 8-byte longs where 25+-byte strings used to flow — through
+    the dedup exchange, the persist, the exact-verify joins, and the
+    streaming drains' on-disk shingle log. Signature values are
+    BIT-IDENTICAL to the string-shingle form (the hash chain is
+    unchanged — ``minhash_signatures`` consumes this hash as its base),
+    so LSH recall is untouched; only the exact-verify common/size
+    counts switch from distinct strings to distinct 64-bit hashes,
+    which differ only under an xxhash64 collision inside one document
+    pair's shingle sets (p ≈ n²/2⁶⁵ — immaterial next to the banding
+    miss probability the threshold already budgets for, and absent
+    from every oracle-checked fixture).
 
     Tokenize+explode is the CPU-heavy map stage; its parallelism is the
     SCAN's, not the shuffle's. A small corpus in one parquet file would
@@ -47,7 +64,8 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> 
     narrow = spread_scan(df.select(id_col, F.col(text_col).alias("_t")), id_col)
     return (
         narrow.select(id_col, tokens("_t").alias("toks"))
-        .select(id_col, F.explode(shingles("toks", shingle_k)).alias("s"))
+        .select(id_col, F.explode(shingles("toks", shingle_k)).alias("_s"))
+        .select(id_col, F.xxhash64("_s").alias("s"))
         .distinct()
     )
 
@@ -58,12 +76,19 @@ def minhash_signatures(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame
     verify stage needs it for |A|+|B|-|A∩B|).
 
     Single partial+final hash aggregate with map-side combine. The
-    string shingle is hashed ONCE to a 64-bit base; the `num_hashes`
-    permutation hashes are xxhash64 over (seed, base) — an 8-byte input,
-    ~4× cheaper than re-hashing the string per permutation, same
+    string shingle is hashed ONCE to a 64-bit base (by `_shingle_sets`,
+    whose ``s`` column IS that hash; a string column — any caller
+    holding raw shingles — is hashed here instead); the `num_hashes`
+    permutation hashes are xxhash64 over (seed, base) — an 8-byte
+    input, ~4× cheaper than re-hashing the string per permutation, same
     determinism and the same independence the banding analysis assumes.
     """
-    base = sh.select(id_col, F.xxhash64("s").alias("_h"))
+    from pyspark.sql.types import LongType
+
+    base_col = (
+        F.col("s") if isinstance(sh.schema["s"].dataType, LongType) else F.xxhash64("s")
+    )
+    base = sh.select(id_col, base_col.alias("_h"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh{i}") for i in range(num_hashes)
     ] + [F.count("*").alias("n")]

@@ -793,10 +793,15 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(docs, "doc_id")
     # the tokenize→explode→distinct subtree feeds BOTH the held-out and
     # training sides below — persist it or the most expensive map stage
-    # runs twice (same rationale as operators/minhash.py:97)
+    # runs twice (same rationale as operators/minhash.py:97). Shingles
+    # are 64-bit xxhash64 ids, not strings: both consumers only test
+    # equality, so the dedup exchange, the persist and the benchmark
+    # broadcast carry 8-byte longs (operators/funnel.py shingle_set
+    # discipline; the shared count shifts only under a 2⁻⁶⁴ collision)
     sh = (
         docs.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
+        .select("doc_id", F.explode(shingles("t", 8)).alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("s"))
         .distinct()
         .persist()
     )
@@ -1185,9 +1190,12 @@ def t24_contamination_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the single-split fixture scan before the fan-out (see
     # sources/reader.py spread_scan; no-op on a many-split input)
     docs = spread_scan(docs, "doc_id")
+    # hashed shingle ids through the persisted subtree and the broadcast
+    # (the t19/shingle_set discipline — equality-only consumers)
     sh = (
         docs.select("doc_id", tokens("text").alias("t"))
-        .select("doc_id", F.explode(shingles("t", 8)).alias("s"))
+        .select("doc_id", F.explode(shingles("t", 8)).alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("s"))
         .distinct()
         .persist()
     )

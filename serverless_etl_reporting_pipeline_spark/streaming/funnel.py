@@ -66,7 +66,7 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
 # into a loud rebuild instruction instead (r11 ADVICE). Bump this token
 # whenever quality_hash, eval_split, or the shingle construction
 # changes meaning.
-FUNNEL_STATE_FORMAT = "v2-md5-casefold"
+FUNNEL_STATE_FORMAT = "v3-md5-casefold-xxh64shingles"
 
 
 

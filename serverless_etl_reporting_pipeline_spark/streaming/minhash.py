@@ -90,12 +90,15 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
 # the three-log layout itself (v2 added the precomputed ``band_fan``
 # log — a v1 two-log state probed by a v2 drain would raise the
 # lockstep damage error at best, silently rebuild the fan per batch at
-# worst). The drain appends its GEOMETRY PARAMETERS (hash count, bands,
+# worst; v3 stores the shingle log as 64-bit xxhash64 shingle ids
+# instead of strings — a v2 string log joined against a v3 hashed
+# batch would silently match NOTHING, flagging every doc unique).
+# The drain appends its GEOMETRY PARAMETERS (hash count, bands,
 # shingle width, threshold) so two runs with different knobs can never
 # silently share an index. Bump the prefix whenever a shared contract
 # changes meaning; state is a pure function of the feed, so a rebuild
 # loses nothing.
-TEXT_STATE_FORMAT = "v2-bandfan64-xxh64"
+TEXT_STATE_FORMAT = "v3-xxh64shingleids-bandfan64"
 
 _LOGS = ("shingle_index", "sig_index", "band_fan")
 

@@ -516,7 +516,7 @@ def test_stateful_drain_format_guards_cover_all_modules(spark, tmp_path):
     d = spark.createDataFrame([(0, ta)], "doc_id long, text string")
     work = tmp_path / "textwork"
     assert incremental_text_dedup_drain(spark, real_src, d.schema, str(work)) == 1
-    assert (work / "_state_format=v2-bandfan64-xxh64-h64-b32-k3-j0.5").exists()
+    assert (work / "_state_format=v3-xxh64shingleids-bandfan64-h64-b32-k3-j0.5").exists()
     with pytest.raises(RuntimeError, match="b16"):
         incremental_text_dedup_drain(spark, real_src, d.schema, str(work), bands=16)
 
