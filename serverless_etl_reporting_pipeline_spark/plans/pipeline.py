@@ -33,7 +33,6 @@ from serverless_etl_reporting_pipeline_spark.operators.funnel import (
     annotate_batch,
     eval_split,
     mixture_report,
-    quality_hashes,
     shingle_set,
 )
 from serverless_etl_reporting_pipeline_spark.operators.text import duck_casefold
@@ -330,19 +329,25 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_b = shingle_set(base).persist()
     # state 1: the frozen benchmark shingle index
     hold_sh = sh_b.filter(ev).select("s").distinct().persist()
-    # state 2: content-hash index of base quality docs (keep-first
-    # blocker) — built from the profile subtree alone (quality_hashes),
-    # not the full annotation tree: the index does not need the dedup
-    # window or the contamination join. NOT persisted: it feeds exactly
-    # one action (the delta anti-join)
-    base_hashes = quality_hashes(base)
+    # states 2+3 from ONE persisted base annotation pass: the hash
+    # index is exactly the annotation's (q, h) projection, so deriving
+    # it from the same frame that feeds the domain counts drops a whole
+    # second base-corpus profile+md5 scan (quality_hashes re-ran
+    # _token_profile and the casefold md5 over every base doc — the
+    # r13 duplicated-subtree find; the dedup window and contamination
+    # join the annotation adds were already being paid by state 3)
+    ann_b = (
+        annotate_batch(base, hold_sh, ev=ev, shingle_frame=sh_b)
+        .select("source", "lang", "h", "q", "clean")
+        .persist()
+    )
+    # state 2: content-hash index of base quality docs (keep-first blocker)
+    base_hashes = ann_b.filter("q").select("h").distinct()
     # state 3: cumulative per-domain clean counts (aggregate-sized)
     base_dom = (
-        annotate_batch(base, hold_sh, ev=ev, shingle_frame=sh_b)
-        .filter("clean")
+        ann_b.filter("clean")
         .groupBy("source", "lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
-        .persist()
     )
 
     # ---- the incremental delta pass: work ∝ delta + index probes; the
@@ -451,17 +456,26 @@ def _pipe03_state(
         # one base shingle subtree feeds the benchmark index AND the
         # base contamination check (the t19/pipe01 discipline)
         sh_b = shingle_set(base).persist()
+        # both state tables from ONE persisted base annotation pass
+        # (the pipe02 discipline): the hash index is the annotation's
+        # (q, h) projection — a separate quality_hashes build re-ran
+        # the profile+md5 scan over every base doc
+        ann_b = None
         try:
             sh_b.filter(ev_b).select("s").distinct().write.mode("overwrite").parquet(
                 os.path.join(cache, "hold_sh")
             )
             hold = spark.read.parquet(os.path.join(cache, "hold_sh"))
-            quality_hashes(base).write.mode("overwrite").parquet(
+            ann_b = (
+                annotate_batch(base, hold, ev=ev_b, shingle_frame=sh_b)
+                .select("source", "lang", "h", "q", "clean")
+                .persist()
+            )
+            ann_b.filter("q").select("h").distinct().write.mode("overwrite").parquet(
                 os.path.join(cache, "base_hashes")
             )
             (
-                annotate_batch(base, hold, ev=ev_b, shingle_frame=sh_b)
-                .filter("clean")
+                ann_b.filter("clean")
                 .groupBy("source", "lang")
                 .agg(F.count("*").cast("bigint").alias("n_docs"))
                 .write.mode("overwrite")
@@ -469,6 +483,8 @@ def _pipe03_state(
             )
         finally:
             sh_b.unpersist()
+            if ann_b is not None:
+                ann_b.unpersist()
         open(marker, "w").close()
     return (
         spark.read.parquet(os.path.join(cache, "hold_sh")),

@@ -544,6 +544,12 @@ def t14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources/reader.py spread_scan; no-op on a many-split input)
     docs = spread_scan(docs, "doc_id")
     toks_e = docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+    # DELIBERATELY two passes over the explode: a shared per-(doc, term)
+    # pre-aggregate + persist was measured WORSE (r13: task CPU 21->28-35s
+    # across 3 A/B runs) — both aggregates below are map-side combined
+    # directly on the exploded rows, so the extra exchange and cache
+    # serialization of the doc-vocabulary frame cost more than running
+    # the cheap tokenize+explode map stage twice.
     tf = toks_e.groupBy("source", "tok").agg(F.count("*").alias("tf"))
     dfreq = toks_e.select("doc_id", "tok").distinct().groupBy("tok").agg(
         F.count("*").alias("df")
