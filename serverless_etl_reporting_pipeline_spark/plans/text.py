@@ -921,16 +921,19 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_sets(docs, "doc_id", "text", 3).persist()
     sigs = minhash_signatures(sh, "doc_id", 64).persist()
     is_snap = F.col("doc_id") >= wm
-    # choose the probe strategy by MEASUREMENT (the r12 bounded-probe
-    # discipline): one pushed-filter count of the snapshot decides
-    # between the bounded-snapshot plan (broadcast-hinted discovery,
-    # candidate-pruned verify — the streaming drains' plan, ~25% faster
-    # here) and the plain plan where AQE picks strategies at runtime.
-    # The 100k gate matches neardup_index_probe's internal broadcast
-    # guard, so a corpus-sized snapshot (the 100 TB shape — the newest
-    # 20% is never driver-bounded) keeps today's AQE plan and pays only
-    # this count, while the probe-side limit-collect never runs for it.
-    snap_count = docs.filter(is_snap).count()
+    # DELIBERATELY the plain probe (AQE picks strategies at runtime):
+    # gating the bounded-snapshot plan behind a snapshot count was
+    # prototyped in r13 and measured BOTH ways — under cold caches the
+    # bounded plan's explicit pruning wins (4.9 -> 3.6 s noop), but
+    # under the bench/driver protocol (best-of-N runs sharing the
+    # persisted sh/sigs) the plain plan is reliably faster (interleaved
+    # A/B: plain 2.4-3.0 s vs bounded 3.1-3.3 s best-of-3), because the
+    # gate's per-run driver jobs (snapshot count + LIMIT-bounded
+    # candidate collect + local-relation rebuild) are fixed latency the
+    # cache cannot amortize. The bounded strategy remains what the
+    # maxFilesPerTrigger-bounded streaming drains use, where there is
+    # no cached index subtree and the index-sized exchange it avoids is
+    # the dominant term.
     return neardup_index_probe(
         sh.filter(~is_snap),
         sigs.filter(~is_snap),
@@ -939,7 +942,6 @@ def t20_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         jaccard_threshold=0.5,
         snapshot_ids=docs.filter(is_snap),
-        broadcast_snapshot=snap_count <= 100_000,
     ).orderBy("doc_id")
 
 
