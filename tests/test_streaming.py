@@ -2323,6 +2323,58 @@ def test_streaming_text_dedup_torn_drain_fault_injection(spark, tmp_path):
     assert ann == {0: (False, None), 10: (True, 0), 11: (False, None)}
 
 
+def test_text_fan_fold_layout_size_gated(spark, tmp_path, monkeypatch):
+    """r13: the band-fan fold's (band, _bkt) directory layout is
+    SIZE-GATED — a small fold writes one plain parquet (2 048 KB-sized
+    files cost more to list/open than the data costs to scan), a fold
+    past the byte threshold writes the IVF-cells dirs. Probes must
+    annotate identically over both layouts."""
+    import glob as _glob
+    import os as _os
+
+    from serverless_etl_reporting_pipeline_spark.streaming import state as state_mod
+    from serverless_etl_reporting_pipeline_spark.streaming.minhash import (
+        compact_text_index,
+        incremental_text_dedup_drain,
+    )
+
+    schema = "doc_id long, text string"
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tb = "completely different words appear here instead tonight my friend"
+
+    def drive(work_dir, src_dir):
+        spark.createDataFrame([(0, ta), (1, tb)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        assert incremental_text_dedup_drain(
+            spark, src_dir, spark.createDataFrame([], schema).schema, work_dir
+        ) == 1
+        assert compact_text_index(spark, work_dir) == 0
+        # probe the folded state with a fresh batch
+        spark.createDataFrame([(10, ta), (11, "too short")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+        assert incremental_text_dedup_drain(
+            spark, src_dir, spark.createDataFrame([], schema).schema, work_dir
+        ) == 1
+        return {
+            r["doc_id"]: (r["is_dup"], r["dup_src"])
+            for r in spark.read.parquet(f"{work_dir}/doc_ann/batch=1").collect()
+        }
+
+    # tiny fold + default threshold -> plain layout, no partition dirs
+    ann_plain = drive(str(tmp_path / "w_plain"), str(tmp_path / "s_plain"))
+    assert not _glob.glob(str(tmp_path / "w_plain/band_fan_compacted/upto=0/band=*"))
+    assert _os.path.exists(str(tmp_path / "w_plain/band_fan_compacted/upto=0/_SUCCESS"))
+
+    # threshold forced to 0 -> the directory layout engages
+    monkeypatch.setattr(state_mod, "_PARTITION_FOLD_MIN_BYTES", 0)
+    ann_dirs = drive(str(tmp_path / "w_dirs"), str(tmp_path / "s_dirs"))
+    assert _glob.glob(str(tmp_path / "w_dirs/band_fan_compacted/upto=0/band=*/_bkt=*"))
+
+    assert ann_plain == ann_dirs == {10: (True, 0), 11: (False, None)}
+
+
 def test_streaming_text_index_torn_compaction(spark, tmp_path):
     """r12 verdict ask #5: compaction rewrites multi-segment state, a
     crash window DISTINCT from a drain's — a tear between 'compacted
