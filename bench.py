@@ -196,6 +196,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WRITE_BASELINE") == "1":
         with open(base_path, "w") as fh:
             json.dump({"sf": sf, "source": "local", "queries": short}, fh, indent=1, sort_keys=True)
+    # box_scale rides the headline line (additions-only, contract-safe):
+    # the median per-query ratio vs bench_baseline.json separates VM/box
+    # drift from code when rounds are compared — r13's genuinely-improved
+    # tree read as "113 regressed" because the canary lived only on
+    # stderr and the round-over-round comparison used raw seconds.
     line = json.dumps(
         {
             "metric": "registry_total_seconds",
@@ -205,6 +210,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "regressions": regressions,
+            "box_scale": box_scale,
         },
         separators=(",", ":"),
     )

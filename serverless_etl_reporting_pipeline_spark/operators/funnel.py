@@ -50,8 +50,23 @@ def quality_pred() -> Column:
 def quality_hash() -> Column:
     """The normalized content hash keying exact keep-first dedup (t02).
     casefold, not F.lower: the İ divergence (operators/text.py casefold)
-    would give the two engines different hashes for the same text."""
-    return F.md5(casefold("text"))
+    would give the two engines different hashes for the same text.
+
+    xxhash64, not md5 (r13 "not yet optimized" → r14): the key is
+    INTERNAL — it crosses the dedup window exchange, the keep-first
+    anti-joins and the stored streaming hash index, but never reaches a
+    query's output, so the oracle keeps restating dedup with md5 and
+    the RESULTS stay bit-identical as long as both hashes induce the
+    same groups over distinct casefolded texts. That holds up to 64-bit
+    collisions (p ≈ n²/2⁶⁵ per corpus — the same calculus as the
+    shingle-id change, absent from every oracle fixture), while the
+    full-text hash CPU drops ~5-10× and the key narrows from a 32-hex
+    string (~40+ shuffle bytes) to an 8-byte long at every dedup
+    exchange. NULL note: xxhash64(NULL) is the seed (42), not NULL —
+    harmless here because NULL/empty-text docs never satisfy the
+    quality predicate, so they never enter the keep-first window or
+    the hash index."""
+    return F.xxhash64(casefold("text"))
 
 
 def eval_split(id_col: str = "doc_id") -> Column:
@@ -100,7 +115,9 @@ def annotate_batch(
     Returns (doc_id, source, lang, h, q, ev, dd, clean):
 
     - ``q`` — the t16 integer quality rules;
-    - ``h`` — md5(casefold(text)), the exact-dedup key;
+    - ``h`` — xxhash64(casefold(text)), the exact-dedup key (the
+      oracle restates dedup with md5 — results agree because both
+      hashes induce the same groups, see ``quality_hash``);
     - ``dd`` — keep-first dedup survivor: first occurrence of ``h``
       within this batch (row_number window) AND, when ``seen_hashes``
       is given, ``h`` absent from that prior-state index. The index is

@@ -334,8 +334,18 @@ def e06_point_in_time_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_etl_reporting_pipeline_spark.operators.asof import asof_backward_join
 
     ev = load_table(spark, sf_dir, "events")
+    # ONE user_id exchange for the whole state build (guide §2.4): the
+    # explicit repartition keys the shuffle by user_id alone, which
+    # satisfies both the (user_id, valid_from) aggregate's clustering
+    # AND the version window's partitioning — before r14 the groupBy
+    # shuffled on (user_id, ts) and the window re-shuffled everything
+    # on user_id (2 Exchanges of the state rows). The trade: the
+    # exchange now carries raw signup rows instead of map-side-combined
+    # groups — a wash here because (user_id, ts) signup pairs are
+    # near-unique, so partial aggregation collapsed almost nothing.
     states = (
         ev.filter(F.col("event_type") == "signup")
+        .repartition(F.col("user_id"))
         .groupBy("user_id", F.col("ts").alias("valid_from"))
         .agg(
             F.max_by("value", "event_id").alias("state_value"),
@@ -478,8 +488,24 @@ def e08_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
     ).persist()
 
-    # the incremental apply: work ∝ delta + touched current rows
-    d_first = delta.groupBy("user_id").agg(F.min("ts").alias("_first_dts"))
+    # the incremental apply: work ∝ delta + touched current rows. The
+    # windowed delta is persisted because it feeds TWO consumers — the
+    # close-row frame's first-delta-ts aggregate and the new-version
+    # union branch; before r14 each consumer re-scanned and re-shuffled
+    # the delta separately (2 parquet scans + 2 user_id exchanges of
+    # the same rows; column pruning makes the two exchanges unequal, so
+    # ReuseExchange cannot merge them). One cached pass is the same
+    # discipline base_hist/pipe02 already follow (guide §2.4 — share
+    # the exchange). min(valid_from) ≡ min(ts) over the delta, and the
+    # cache preserves the window's user_id partitioning, so d_first
+    # adds NO further exchange.
+    new_rows = delta.select(
+        "user_id", "event_id", "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).persist()
+    d_first = new_rows.groupBy("user_id").agg(F.min("valid_from").alias("_first_dts"))
     closed = (
         base_hist.filter("is_current")
         .join(d_first, "user_id", "left")
@@ -488,12 +514,6 @@ def e08_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_first_dts", "valid_to").alias("valid_to"),
             F.col("_first_dts").isNull().alias("is_current"),
         )
-    )
-    new_rows = delta.select(
-        "user_id", "event_id", "value",
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
-        nxt.isNull().alias("is_current"),
     )
     return (
         base_hist.filter(~F.col("is_current"))

@@ -332,8 +332,8 @@ def pipe02_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # states 2+3 from ONE persisted base annotation pass: the hash
     # index is exactly the annotation's (q, h) projection, so deriving
     # it from the same frame that feeds the domain counts drops a whole
-    # second base-corpus profile+md5 scan (quality_hashes re-ran
-    # _token_profile and the casefold md5 over every base doc — the
+    # second base-corpus profile+content-hash scan (quality_hashes re-ran
+    # _token_profile and the casefold content hash over every base doc — the
     # r13 duplicated-subtree find; the dedup window and contamination
     # join the annotation adds were already being paid by state 3)
     ann_b = (
@@ -459,7 +459,7 @@ def _pipe03_state(
         # both state tables from ONE persisted base annotation pass
         # (the pipe02 discipline): the hash index is the annotation's
         # (q, h) projection — a separate quality_hashes build re-ran
-        # the profile+md5 scan over every base doc
+        # the profile+content-hash scan over every base doc
         ann_b = None
         try:
             sh_b.filter(ev_b).select("s").distinct().write.mode("overwrite").parquet(

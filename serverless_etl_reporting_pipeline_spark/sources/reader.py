@@ -107,7 +107,24 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     the spread, BASELINE.md round-10). Frames this helper already
     spread are tracked in a WeakSet so a repeated call is an identity
     no-op without any plan probe. Needs defaultParallelism > 1 to do
-    anything (tests run local[32])."""
+    anything (tests run local[32]).
+
+    The spread width is SIZE-AWARE, not a raw core count (r13 verdict
+    ask #3, guide §2 partition sizing): a KB-scale scan fanned to 32
+    tasks pays more in task scheduling than the parallelism buys — the
+    r13 8-vs-32-core scaling block showed the regex/fan-out c/t rows
+    running up to 3.7x FASTER on 8 cores for exactly this reason. The
+    width is ceil(input_bytes / SPARK_GRAFT_SPREAD_TARGET_BYTES),
+    capped at defaultParallelism, floored at 1 — so tiny fixtures get
+    a handful of tasks (or no exchange at all when one split already
+    covers the bytes), sf0.1 still spreads near the core count, and at
+    real scale the files>=cores short-circuit makes the whole probe a
+    no-op. The default target is pre-explode bytes: these sites feed
+    ~100-1000x token/shingle/char fan-outs, so ~64 KB of input per
+    task is tens of MB of post-explode work — the guide's advisory
+    partition range, measured on the r14 A/B (see OPTIMIZATION_r14.md).
+    When file sizes are unreadable (non-local scheme), fall back to
+    the core-count width — the conservative pre-r14 behavior."""
     from pyspark.sql import functions as F
 
     if df in _SPREAD_FRAMES:
@@ -115,10 +132,43 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) < target:
+        total = _local_file_bytes(files)
+        if total is not None:
+            want = max(1, -(-total // _spread_target_bytes()))
+            target = min(target, want)
+        if target <= len(files):
+            return df
         out = df.repartition(target, F.col(key))
         _SPREAD_FRAMES.add(out)
         return out
     return df
+
+
+def _spread_target_bytes() -> int:
+    """Pre-explode bytes of input per spread task (env-overridable like
+    the fold gate — the scale-parameterised-knob rule)."""
+    return int(os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(64 * 1024)))
+
+
+def _local_file_bytes(files: list[str]) -> int | None:
+    """Total on-disk bytes of ``file:`` URIs; None when any file lives
+    on a scheme we cannot stat locally (cluster deployments — where the
+    files>=cores short-circuit normally decides first anyway)."""
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -58,15 +58,18 @@ from serverless_etl_reporting_pipeline_spark.streaming.state import (
 )
 
 # Hash-space version of the persisted funnel state. v1 (unversioned,
-# pre-r12 marker) keyed exact dedup by md5(lower(text)); v2 is
-# md5(casefold(text)) (operators/funnel.quality_hash, the r11 casefold
-# contract). A v1 seen-hashes index consulted by a v2 drain would
-# silently re-admit previously-seen docs containing any of the 45
-# casefold-divergent code points — `ensure_state_format` turns that
-# into a loud rebuild instruction instead (r11 ADVICE). Bump this token
-# whenever quality_hash, eval_split, or the shingle construction
+# pre-r12 marker) keyed exact dedup by md5(lower(text)); v2 was
+# md5(casefold(text)) (the r11 casefold contract); v3 stored xxhash64
+# shingle ids; v4 keys exact dedup by xxhash64(casefold(text))
+# (operators/funnel.quality_hash, the r14 narrow-key change — ``h`` in
+# state_hashes is now BIGINT, not a 32-hex string). A pre-v4
+# seen-hashes index consulted by a v4 drain would never match any new
+# hash (different hash space AND different column type), silently
+# re-admitting every previously-seen doc — `ensure_state_format` turns
+# that into a loud rebuild instruction instead (r11 ADVICE). Bump this
+# token whenever quality_hash, eval_split, or the shingle construction
 # changes meaning.
-FUNNEL_STATE_FORMAT = "v3-md5-casefold-xxh64shingles"
+FUNNEL_STATE_FORMAT = "v4-xxh64-casefold-xxh64shingles"
 
 
 

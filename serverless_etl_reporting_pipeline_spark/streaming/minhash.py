@@ -11,8 +11,10 @@ contribution is appended as new segments. Unlike the vector twin the
 stored artifact is THREE frames that always advance in lockstep (one
 drain writes all segments for a batch):
 
-- ``shingle_index/batch=N/`` — distinct (doc_id, shingle) rows of
-  batch N, the exact-Jaccard-verify side of the stored index.
+- ``shingle_index/batch=N/`` — distinct (doc_id, s) rows of batch N,
+  where ``s`` is the 64-bit xxhash64 shingle id (the v3 format — not
+  the shingle string), the exact-Jaccard-verify side of the stored
+  index.
 - ``sig_index/batch=N/`` — one row per doc with the mh0..mhH-1 MinHash
   signature columns plus the shingle-set size ``n``, what the verify
   stage's set-size lookups read.

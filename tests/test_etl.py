@@ -351,21 +351,43 @@ def test_training_shard_write_reproducible_and_ordered(spark, sf_dir, tmp_path):
     assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan[:3000]}"
 
 
-def test_spread_scan_semantics(spark, sf_dir):
-    """spread_scan (the r10 fan-out fix) must (a) repartition a
-    single-split scan to cluster parallelism, (b) be a no-op on frames
-    already at-or-above it, and (c) never change results — the fan-out
-    queries it guards are oracle-checked, this pins the helper itself."""
-    from serverless_etl_reporting_pipeline_spark.sources.reader import load_table, spread_scan
+def test_spread_scan_semantics(spark, sf_dir, monkeypatch):
+    """spread_scan (r10 fan-out fix, r14 size-aware width) must
+    (a) size the spread as ceil(bytes / SPARK_GRAFT_SPREAD_TARGET_BYTES)
+    capped at cluster parallelism, (b) leave a scan alone when its
+    existing splits already cover that width (KB-scale fixture scans no
+    longer fan to 32 tasks — the r13 anti-scaling finding), and
+    (c) never change results — the fan-out queries it guards are
+    oracle-checked, this pins the helper itself."""
+    import os as _os
+
+    from serverless_etl_reporting_pipeline_spark.sources.reader import (
+        load_table,
+        spread_scan,
+        table_path,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     assert docs.rdd.getNumPartitions() == 1  # the fixture premise
-    spread = spread_scan(docs, "doc_id")
+    nbytes = _os.path.getsize(table_path(sf_dir, "documents"))
     target = spark.sparkContext.defaultParallelism
+
+    # (b) default target (64 KB): a tiny fixture scan stays unspread —
+    # the SAME frame comes back, no exchange at all
+    if nbytes <= 64 * 1024:
+        assert spread_scan(docs, "doc_id") is docs
+
+    # (a) a 1-byte target demands more partitions than cores: capped
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_TARGET_BYTES", "1")
+    spread = spread_scan(docs, "doc_id")
     assert spread.rdd.getNumPartitions() == target
     # no-op on an already-spread frame: the SAME object comes back
     assert spread_scan(spread, "doc_id") is spread
-    # row-identical (it is only an exchange)
+    # (a) width tracks input bytes when under the core cap
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(max(1, nbytes // 3)))
+    mid = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    assert mid.rdd.getNumPartitions() == min(target, -(-nbytes // max(1, nbytes // 3)))
+    # (c) row-identical (it is only an exchange)
     assert sorted(r["doc_id"] for r in spread.collect()) == sorted(
         r["doc_id"] for r in docs.collect()
     )

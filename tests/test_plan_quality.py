@@ -486,11 +486,14 @@ _SPREAD_QUERIES = [
 
 
 @pytest.mark.parametrize("name", _SPREAD_QUERIES)
-def test_fanout_queries_spread_single_split_scan(spark, sf_dir, name):
-    """At fixture scale every table is one input split, so the fan-out
+def test_fanout_queries_spread_single_split_scan(spark, sf_dir, name, monkeypatch):
+    """When the input bytes demand it (forced here with a 1 KB/partition
+    target — at the default 64 KB target the KB-scale fixture scan
+    correctly stays unspread, the r14 size-aware change), the fan-out
     queries must show the spread exchange (hashpartitioning by doc_id)
     in their physical plan; a regression here silently re-serializes
     the whole explode onto one core (the r9 c06 'noise')."""
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_TARGET_BYTES", "1024")
     q = REGISTRY[name]
     plan = _plan(spark, q.builder(spark, sf_dir))
     assert "hashpartitioning(doc_id" in plan, f"{name}: spread exchange missing"

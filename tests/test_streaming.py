@@ -547,7 +547,9 @@ def test_streaming_funnel_replay_idempotent(spark, tmp_path):
     # hash-state and annotation dirs already on disk under batch=1
     d2 = spark.createDataFrame(rows2, schema)
     d2.coalesce(1).write.mode("append").parquet(src)
-    d2.select(F.md5(F.lower("text")).alias("h")).distinct().write.mode(
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import quality_hash
+
+    d2.select(quality_hash().alias("h")).distinct().write.mode(
         "overwrite"
     ).parquet(f"{work}/state_hashes/batch=1")
     d2.select(
@@ -1167,12 +1169,11 @@ def test_streaming_funnel_hash_compaction_and_replay(spark, tmp_path):
         [(10, "s", "en", uniq), (12, "s", "en", fresh)], schema
     )
     d2.coalesce(1).write.mode("append").parquet(src)
-    import hashlib
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import quality_hash
 
-    h12 = hashlib.md5(fresh.encode()).hexdigest()
-    spark.createDataFrame([(h12,)], "h string").write.mode("overwrite").parquet(
-        f"{work}/state_hashes/batch=1"
-    )
+    d2.filter("doc_id = 12").select(quality_hash().alias("h")).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/state_hashes/batch=1")
     assert compact_hash_state(spark, work) == 1
 
     assert incremental_funnel_drain(spark, src, d1.schema, work) == 1
@@ -1449,12 +1450,11 @@ def test_streaming_funnel_replay_after_vacuum_excludes_self(spark, tmp_path):
 
     d2 = spark.createDataFrame([(10, "s", "en", uniq), (12, "s", "en", fresh)], schema)
     d2.coalesce(1).write.mode("append").parquet(src)
-    import hashlib
+    from serverless_etl_reporting_pipeline_spark.operators.funnel import quality_hash
 
-    h12 = hashlib.md5(fresh.encode()).hexdigest()
-    spark.createDataFrame([(h12,)], "h string").write.mode("overwrite").parquet(
-        f"{work}/state_hashes/batch=1"
-    )
+    d2.filter("doc_id = 12").select(quality_hash().alias("h")).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/state_hashes/batch=1")
     assert compact_hash_state(spark, work) == 1
     assert sorted(vacuum_hash_state(spark, work)) == [0, 1]
     assert not glob.glob(f"{work}/state_hashes/batch=*")
