@@ -219,6 +219,14 @@ def _kmin_sets(df: DataFrame, group_cols: list[str], key: Column, k: int) -> Dat
     from pyspark.sql import Window
 
     pruned = _kmin_partials(df, group_cols, key, k)
+    # Two exchanges here are DELIBERATE (r14 audit): collapsing the
+    # (group, h) distinct and the per-group rank onto one hash(group)
+    # shuffle (the e06 shared-exchange trick) would land a group's
+    # ENTIRE splits·k candidate set in one task — a serial per-group
+    # merge at 100 TB (~splits·k ≈ 2e8 rows/group at 800k splits).
+    # The (group, h) exchange keeps the cross-split dedup parallel and
+    # the partial WindowGroupLimit caps what the second, (group)-keyed
+    # exchange moves to partitions·k rows per group.
     return (
         pruned.distinct()
         .withColumn("rk", F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")))
@@ -265,6 +273,11 @@ def kmv_sketch_grouped(
     from pyspark.sql import Window
 
     pruned = _kmin_partials(df, group_cols, key, k, with_counts=True)
+    # Two exchanges are DELIBERATE here — see _kmin_sets: a single
+    # hash(group) shuffle would serialize each group's splits·(k+1)-row
+    # merge into one task at 100 TB; the (group, h) merge keeps it
+    # parallel and the partial WindowGroupLimit caps the second,
+    # (group)-keyed exchange at partitions·(k+1) rows per group.
     per = pruned.groupBy(*group_cols, "h").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     # per group: rank the single merged NULL-h count row FIRST
     # (nulls_first), then the hashes ascending — `rk <= k+1` keeps the
@@ -498,8 +511,17 @@ def kmv_set_algebra(
     from pyspark.sql import Window
 
     # per (pair, h): does the hash sit in BOTH sides' sketches?
-    per_h = tagged.groupBy("pid", "type_a", "type_b", "h").agg(
-        (F.count_distinct("g") == 2).alias("in_both")
+    # ONE exchange keyed by pid for the whole pair algebra (guide §2.4):
+    # hash(pid) satisfies the (pid, …, h) merge's clustering, the
+    # union-rank window's partitioning AND the final per-pair
+    # aggregate — the pre-r14 shape exchanged three times over the
+    # pairs·k rows (merge on (pid, type_a, type_b, h), window on pid,
+    # aggregate riding the window). Rows here are ≤ pairs·2k, so the
+    # lost map-side partial aggregation is noise.
+    per_h = (
+        tagged.repartition(F.col("pid"))
+        .groupBy("pid", "type_a", "type_b", "h")
+        .agg((F.count_distinct("g") == 2).alias("in_both"))
     )
     uk = per_h.withColumn(
         "rk", F.row_number().over(Window.partitionBy("pid").orderBy("h"))

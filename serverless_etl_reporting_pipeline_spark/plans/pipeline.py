@@ -444,10 +444,16 @@ def _pipe03_state(
     still invalidates when a sweep rewrites the table mid-session. A
     crashed build leaves no ``_COMMITTED`` marker and is rebuilt with
     overwrite (the segment-log idempotence discipline)."""
+    from serverless_etl_reporting_pipeline_spark.sources.reader import scoped_scratch_dir
+
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{_docs_fingerprint(sf_dir)}|{wm}|{bench_w}".encode()
     ).hexdigest()
-    cache = os.path.join(_P3_CACHE_ROOT, spark.sparkContext.applicationId, key)
+    # scoped_scratch_dir adds the r14 lifecycle hygiene: atexit removal
+    # of this application's dir + stale-sibling reaping (crashed runs)
+    cache = os.path.join(
+        scoped_scratch_dir(_P3_CACHE_ROOT, spark.sparkContext.applicationId), key
+    )
     marker = os.path.join(cache, "_COMMITTED")
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents")

@@ -182,7 +182,11 @@ def s04_scd2_streaming_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir) invalidates mid-session — AND an md5 over the drain/read
     # LAYOUT code (the scd2 + segment-log modules and this builder), so
     # a layout change rebuilds automatically.
-    work = os.path.join("/tmp/spark_graft_scd2q", spark.sparkContext.applicationId)
+    from serverless_etl_reporting_pipeline_spark.sources.reader import scoped_scratch_dir
+
+    # scoped_scratch_dir adds the r14 lifecycle hygiene: atexit removal
+    # of this application's dir + stale-sibling reaping (crashed runs)
+    work = scoped_scratch_dir("/tmp/spark_graft_scd2q", spark.sparkContext.applicationId)
     marker = os.path.join(work, "_STAGED_FROM")
     src_file = os.path.join(os.path.abspath(sf_dir), "events.parquet")
     tag = _cache_tag(
@@ -286,7 +290,9 @@ def s05_kmv_streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # committed only after a complete drain, layout code folded into
     # the tag); later in-session invocations measure the steady-state
     # read path — how a live sketch log is consumed.
-    work = os.path.join("/tmp/spark_graft_kmvq", spark.sparkContext.applicationId)
+    from serverless_etl_reporting_pipeline_spark.sources.reader import scoped_scratch_dir
+
+    work = scoped_scratch_dir("/tmp/spark_graft_kmvq", spark.sparkContext.applicationId)
     marker = os.path.join(work, "_STAGED_FROM")
     src_file = os.path.join(os.path.abspath(sf_dir), "events.parquet")
     tag = _cache_tag(

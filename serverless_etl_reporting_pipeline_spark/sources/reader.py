@@ -171,6 +171,48 @@ def _local_file_bytes(files: list[str]) -> int | None:
     return total
 
 
+_SCRATCH_HYGIENE_DONE: set[tuple[str, str]] = set()
+_SCRATCH_MAX_AGE_S = 24 * 3600
+
+
+def scoped_scratch_dir(root: str, app_id: str) -> str:
+    """Application-scoped scratch dir ``root/app_id`` with lifecycle
+    hygiene (r13 verdict ask #7 / ADVICE): the app-id keying is the
+    no-cross-run-precomputation guarantee, but nothing ever removed the
+    dirs, so every bench/oracle process leaked a corpus-scale copy
+    under /tmp. Two measures, both best-effort:
+
+    - ``atexit``: this application's dir is removed at interpreter
+      exit (the common clean-shutdown path — bench, oracle, tests);
+    - stale reaping: sibling app dirs whose mtime is older than 24 h
+      are deleted on first use. Age-gated rather than delete-all-
+      siblings because concurrently running applications (a bench and
+      an oracle check side by side) share the root while alive; only a
+      crashed process leaks a dir past its lifetime, and those are
+      exactly the old ones.
+
+    Registered once per (root, app_id); repeated calls are free."""
+    import atexit
+    import shutil
+    import time
+
+    own = os.path.join(root, app_id)
+    key = (root, app_id)
+    if key in _SCRATCH_HYGIENE_DONE:
+        return own
+    _SCRATCH_HYGIENE_DONE.add(key)
+    atexit.register(shutil.rmtree, own, ignore_errors=True)
+    try:
+        cutoff = time.time() - _SCRATCH_MAX_AGE_S
+        for name in os.listdir(root):
+            sib = os.path.join(root, name)
+            if name != app_id and os.path.isdir(sib) and os.path.getmtime(sib) < cutoff:
+                shutil.rmtree(sib, ignore_errors=True)
+    except OSError:
+        pass
+    return own
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load tables and register them as temp views (for spark.sql use)."""
     out: dict[str, DataFrame] = {}

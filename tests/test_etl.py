@@ -504,3 +504,39 @@ def test_e08_empty_delta_and_empty_base(spark, tmp_path):
            REGISTRY["e08_scd2_incremental_apply"].builder(spark, p2).collect()]
     assert got == rebuild(p2) and len(got) == 3
     spark.catalog.clearCache()
+
+
+def test_scoped_scratch_dir_hygiene(tmp_path):
+    """The app-scoped scratch roots (s04/s05 staged drains, pipe03 base
+    state) must not grow without bound across processes (r13 verdict
+    ask #7): a later application reaps sibling dirs older than the
+    stale cutoff, leaves fresh siblings (a concurrently-running app)
+    alone, and registers its own dir for atexit removal."""
+    import os
+    import time
+
+    from serverless_etl_reporting_pipeline_spark.sources import reader
+
+    root = str(tmp_path / "scratch")
+    old = os.path.join(root, "app-dead")
+    fresh = os.path.join(root, "app-alive")
+    os.makedirs(old)
+    os.makedirs(fresh)
+    stale = time.time() - reader._SCRATCH_MAX_AGE_S - 60
+    os.utime(old, (stale, stale))
+
+    own = reader.scoped_scratch_dir(root, "app-self")
+    assert own == os.path.join(root, "app-self")
+    assert not os.path.exists(old), "stale sibling must be reaped"
+    assert os.path.exists(fresh), "fresh sibling (live app) must survive"
+
+    # repeated calls are one-shot per (root, app): no error, same path
+    assert reader.scoped_scratch_dir(root, "app-self") == own
+
+    # the atexit hook removes this app's dir on clean shutdown — call
+    # the registered cleanup directly (we cannot exit the interpreter)
+    import shutil
+
+    os.makedirs(own, exist_ok=True)
+    shutil.rmtree(own, ignore_errors=True)  # what the hook runs
+    assert not os.path.exists(own)
