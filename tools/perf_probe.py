@@ -150,6 +150,9 @@ def main() -> None:
         walls[qid] = round(best, 3)
     spark.stop()
     metrics = parse_event_log(log_dir)
+    import shutil
+
+    shutil.rmtree(log_dir, ignore_errors=True)  # ~10-100 MB per invocation
     for name in names:
         qid = name.split("_", 1)[0]
         m = metrics.get(qid, {})
